@@ -1,0 +1,237 @@
+"""Vectorized fingerprint kernels: token/shingle hashing, MinHash, SimHash, LSH.
+
+These re-express the reference's fingerprint operators as numpy kernels over
+whole Arrow batches (SURVEY.md §2.2 M1/M2/M5/M8):
+
+- ``string_hash`` polynomial token hash
+  (/root/reference/similarities/similarities/utils/distance.py:158-172)
+  becomes a blake2b-8 token hash + splitmix64-mixed polynomial shingle hash.
+- SimHash (/root/reference/similarities/similarities/literal_similarity.py:88-117):
+  the reference sums ±weight per bit of per-token 64-bit hashes and takes sign
+  bits; ours does the same over 5-gram shingle hashes with weight = term
+  frequency, fully vectorized via unpackbits + add.reduceat.
+- MinHash (new, the sketch the reference lacks): 128 permutations
+  h_i(x) = (a_i*x + b_i) mod (2^61-1) over 32-bit-folded shingle hashes;
+  a_i, b_i < 2^32 so a*x+b < 2^64 is EXACT in uint64 arithmetic (no wrap
+  before the mod) — the pure-Python oracle in tests reproduces it bit-for-bit.
+
+All functions are deterministic across processes and parallelism levels
+(content-derived hashes only; no PYTHONHASHSEED dependence).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+U64 = np.uint64
+_MIX_C = U64(0x9E3779B97F4A7C15)  # golden-ratio odd constant for polynomial combine
+_EMPTY_SENTINEL = U64(0xFFFFFFFFFFFFFFFF)  # minhash row for docs with no shingles
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (public domain algorithm), vectorized, wraps mod 2^64."""
+    z = x.astype(np.uint64, copy=True)
+    z ^= z >> U64(30)
+    z *= U64(0xBF58476D1CE4E5B9)
+    z ^= z >> U64(27)
+    z *= U64(0x94D049BB133111EB)
+    z ^= z >> U64(31)
+    return z
+
+
+def hash64_bytes(data: bytes) -> int:
+    """Stable 64-bit content hash (blake2b-8, big-endian). Used for doc_id = hash64(url)."""
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+
+
+def hash64_str_array(strings) -> np.ndarray:
+    """uint64 hash per string (python loop over the batch; blake2b is fast)."""
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        out[i] = hash64_bytes(s.encode("utf-8"))
+    return out
+
+
+def token_hash_flat(flat_tokens, unique_cache: dict | None = None) -> np.ndarray:
+    """Hash a flat list of tokens to uint64 via blake2b-8, hashing each distinct
+    token once per batch (dictionary-encode then take)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if len(flat_tokens) == 0:
+        return np.empty(0, dtype=np.uint64)
+    arr = flat_tokens if isinstance(flat_tokens, pa.Array) else pa.array(flat_tokens, type=pa.string())
+    dict_arr = pc.dictionary_encode(arr)
+    if isinstance(dict_arr, pa.ChunkedArray):
+        dict_arr = dict_arr.combine_chunks()
+    uniques = dict_arr.dictionary.to_pylist()
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    table = np.empty(len(uniques), dtype=np.uint64)
+    cache = unique_cache if unique_cache is not None else {}
+    for i, tok in enumerate(uniques):
+        h = cache.get(tok)
+        if h is None:
+            h = hash64_bytes(tok.encode("utf-8"))
+            if unique_cache is not None:
+                cache[tok] = h
+        table[i] = h
+    return table[codes]
+
+
+def shingle_hashes(
+    token_h: np.ndarray, offsets: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """k-gram shingle hashes over a flat token-hash array with doc offsets.
+
+    Returns (flat shingle uint64 hashes, per-doc shingle counts).
+    Docs with 0 < m < k tokens get ONE shingle over all their tokens; docs with
+    m == 0 get zero shingles.
+    """
+    n_docs = len(offsets) - 1
+    m = np.diff(offsets)
+    counts = np.where(m >= k, m - (k - 1), np.where(m > 0, 1, 0)).astype(np.int64)
+
+    with np.errstate(over="ignore"):  # uint64 wrap is the intended semantics
+        if len(token_h) >= k:
+            powers = np.empty(k, dtype=np.uint64)
+            p = U64(1)
+            for j in range(k - 1, -1, -1):
+                powers[j] = p
+                p = p * _MIX_C
+            win = np.lib.stride_tricks.sliding_window_view(token_h, k)
+            s_global = (win * powers).sum(axis=1, dtype=np.uint64)  # wraps mod 2^64
+        else:
+            s_global = np.empty(0, dtype=np.uint64)
+
+    total = int(counts.sum())
+    out = np.empty(total, dtype=np.uint64)
+    cum = np.concatenate(([0], np.cumsum(counts)))
+    # full-length docs: gather from the global sliding hash
+    full = np.flatnonzero(m >= k)
+    if len(full):
+        reps = counts[full]
+        starts = np.repeat(offsets[:-1][full], reps)
+        local = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)))[:-1], reps
+        )
+        dest = np.repeat(cum[full], reps) + local
+        out[dest] = s_global[starts + local]
+    # short docs: one polynomial hash over all m tokens
+    short = np.flatnonzero((m > 0) & (m < k))
+    with np.errstate(over="ignore"):
+        for d in short:
+            h = U64(0)
+            for t in token_h[offsets[d] : offsets[d + 1]]:
+                h = h * _MIX_C + t
+            out[cum[d]] = h
+    return splitmix64(out), counts
+
+
+def make_permutations(num_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) for the family h_i(x) = (a_i*x + b_i) mod (2^61-1); a,b < 2^32."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 32, size=num_perms, dtype=np.uint64)
+    b = rng.integers(0, 1 << 32, size=num_perms, dtype=np.uint64)
+    return a, b
+
+
+def fold32(h64: np.ndarray) -> np.ndarray:
+    """Fold a 64-bit hash to 32 bits (stays uint64 dtype, values < 2^32)."""
+    return (h64 ^ (h64 >> U64(32))) & U64(0xFFFFFFFF)
+
+
+def minhash_matrix(
+    shingles: np.ndarray,
+    counts: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    prime: int,
+    perm_chunk: int = 32,
+) -> np.ndarray:
+    """(n_docs, num_perms) uint64 minhash matrix from flat shingle hashes.
+
+    Memory-bounded: permutations processed in chunks of ``perm_chunk`` so the
+    intermediate is len(shingles) x perm_chunk x 8 bytes. Empty docs get the
+    sentinel row 0xFFFF... (they never enter LSH; exact dedup handles them).
+    """
+    n_docs = len(counts)
+    num_perms = len(a)
+    out = np.full((n_docs, num_perms), _EMPTY_SENTINEL, dtype=np.uint64)
+    nonempty = np.flatnonzero(counts > 0)
+    if len(nonempty) == 0:
+        return out
+    p = U64(prime)
+    h32 = fold32(shingles)  # < 2^32, so a*h+b < 2^64 exactly
+    # empty docs contribute no shingles, so the nonempty docs' segments are
+    # contiguous in the flat array and reduceat sees no empty segment
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1][nonempty]
+    for c0 in range(0, num_perms, perm_chunk):
+        c1 = min(c0 + perm_chunk, num_perms)
+        vals = (h32[:, None] * a[None, c0:c1] + b[None, c0:c1]) % p
+        out[nonempty, c0:c1] = np.minimum.reduceat(vals, starts, axis=0)
+    return out
+
+
+def simhash_vector(
+    shingles: np.ndarray, counts: np.ndarray, shingle_chunk: int = 262144
+) -> np.ndarray:
+    """64-bit SimHash per doc: sign of per-bit sum of (2*bit-1) over shingle
+    occurrences (duplicate shingles naturally contribute their term frequency,
+    matching the reference's weight-by-tf semantics,
+    literal_similarity.py:88-117). Tie (sum == 0) -> bit 0. Empty doc -> 0."""
+    n_docs = len(counts)
+    ones = np.zeros((n_docs, 64), dtype=np.int64)
+    nonempty = np.flatnonzero(counts > 0)
+    if len(nonempty):
+        # nonempty docs' shingle segments are contiguous; chunk over GROUPS of
+        # nonempty docs so the (chunk, 64) bit matrix stays bounded
+        ne_counts = counts[nonempty].astype(np.int64)
+        ne_cum = np.concatenate(([0], np.cumsum(ne_counts)))
+        g0 = 0
+        while g0 < len(nonempty):
+            g1 = g0 + 1
+            while g1 < len(nonempty) and ne_cum[g1 + 1] - ne_cum[g0] <= shingle_chunk:
+                g1 += 1
+            s0, s1 = int(ne_cum[g0]), int(ne_cum[g1])
+            bits = np.unpackbits(
+                shingles[s0:s1].astype(">u8").view(np.uint8).reshape(-1, 8), axis=1
+            ).astype(np.int64)  # (seg, 64) MSB-first
+            local_starts = (ne_cum[g0:g1] - s0).astype(np.int64)
+            ones[nonempty[g0:g1]] = np.add.reduceat(bits, local_starts, axis=0)
+            g0 = g1
+    m = counts.astype(np.int64)[:, None]
+    sign_bits = (2 * ones > m).astype(np.uint8)  # strictly-more-ones -> 1
+    packed = np.packbits(sign_bits, axis=1)  # MSB-first
+    out = packed.reshape(-1, 8).copy().view(">u8").reshape(-1).astype(np.uint64)
+    out[counts == 0] = 0
+    return out
+
+
+def band_buckets(mh: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """(n_docs, bands) uint64 bucket hashes: polynomial combine of each band's
+    ``rows`` minhash values, mixed with the band index (SURVEY.md §4.2 item 1)."""
+    n = mh.shape[0]
+    banded = mh.reshape(n, bands, rows)
+    acc = np.zeros((n, bands), dtype=np.uint64)
+    for r in range(rows):
+        acc = acc * _MIX_C + banded[:, :, r]
+    band_salt = splitmix64(np.arange(bands, dtype=np.uint64) + U64(0x5851F42D4C957F2D))
+    return splitmix64(acc ^ band_salt[None, :])
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (hamming distance helper;
+    reference analogue utils/distance.py:31-53)."""
+    v = x.copy()
+    v = v - ((v >> U64(1)) & U64(0x5555555555555555))
+    v = (v & U64(0x3333333333333333)) + ((v >> U64(2)) & U64(0x3333333333333333))
+    v = (v + (v >> U64(4))) & U64(0x0F0F0F0F0F0F0F0F)
+    return (v * U64(0x0101010101010101)) >> U64(56)
+
+
+def sha256_array(strings) -> list[bytes]:
+    """Per-string sha256 digest bytes (exact-dedup key; reference analogue
+    MD5 file hashing, improved_faiss_detector.py:41-50)."""
+    return [hashlib.sha256(s.encode("utf-8")).digest() for s in strings]

@@ -1,0 +1,83 @@
+"""Explicit pyarrow schemas for every logical table (SURVEY.md §1.2).
+
+The reference keeps schemas implicit (dict keys, positional npy/parquet
+alignment — e.g. /root/reference/similarities/similarities/faiss_bert_similarity.py:74-83);
+ours are declared constants so every stage's contract is checkable.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+PAGES = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+DOCS = pa.schema(
+    [
+        ("doc_id", pa.uint64()),  # hash64(url) — content-derived, not positional
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("n_bytes", pa.int64()),
+        ("text_sha256", pa.binary()),
+    ]
+)
+
+SIGNATURES = pa.schema(
+    [
+        ("doc_id", pa.uint64()),
+        ("minhash", pa.list_(pa.uint64())),  # fixed length num_perms
+        ("simhash", pa.uint64()),
+        ("n_shingles", pa.int32()),
+    ]
+)
+
+LSH_ROWS = pa.schema(
+    [
+        ("band", pa.uint8()),
+        ("bucket", pa.uint64()),
+        ("doc_id", pa.uint64()),
+    ]
+)
+
+CAND_PAIRS = pa.schema(
+    [
+        ("a", pa.uint64()),  # a < b canonical ordering (mirror-dedup, J2)
+        ("b", pa.uint64()),
+    ]
+)
+
+VERIFIED_PAIRS = pa.schema(
+    [
+        ("a", pa.uint64()),
+        ("b", pa.uint64()),
+        ("est_jaccard", pa.float32()),
+        ("hamming", pa.uint8()),
+    ]
+)
+
+CLUSTERS = pa.schema(
+    [
+        ("doc_id", pa.uint64()),
+        ("cluster_id", pa.uint64()),  # min doc_id in component = canonical
+        ("is_canonical", pa.bool_()),
+    ]
+)
+
+SUBSTRING_SPANS = pa.schema(
+    [
+        ("a", pa.uint64()),
+        ("b", pa.uint64()),
+        ("a_start", pa.int64()),
+        ("b_start", pa.int64()),
+        ("length", pa.int64()),
+    ]
+)
