@@ -18,19 +18,15 @@ import json
 from dataclasses import dataclass, asdict, field
 
 
-MERSENNE61 = (1 << 61) - 1  # prime modulus for the minhash permutation family
-
-
 @dataclass(frozen=True)
 class DedupConfig:
     # shingling: word-level k-grams over lowercased, whitespace-collapsed text
     shingle_k: int = 5
-    # minhash: n_perms permutations h_i(x) = (a_i * x + b_i) mod p over 32-bit
-    # shingle hashes; a_i in [1, 2^32), b_i in [0, 2^32) from a seeded PRNG so
-    # a*x+b < 2^64 is exact in uint64 arithmetic before the Mersenne-prime mod.
+    # minhash: num_perms true 64-bit permutations h_i(x) = splitmix64(x ^ c_i)
+    # with c_i drawn from a seeded PRNG (bijective — genuinely min-wise
+    # independent, exact in uint64; see functions/hashing.make_permutations)
     num_perms: int = 128
     perm_seed: int = 42
-    prime: int = MERSENNE61
     # simhash: 64-bit over the same k-gram shingles, weight = term frequency
     simhash_bits: int = 64
     # LSH banding: bands * rows_per_band == num_perms

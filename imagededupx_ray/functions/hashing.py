@@ -41,16 +41,31 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z
 
 
+MASK63 = (1 << 63) - 1
+
+
 def hash64_bytes(data: bytes) -> int:
-    """Stable 64-bit content hash (blake2b-8, big-endian). Used for doc_id = hash64(url)."""
+    """Stable 64-bit content hash (blake2b-8, big-endian) — token/shingle domain."""
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
 
 
-def hash64_str_array(strings) -> np.ndarray:
-    """uint64 hash per string (python loop over the batch; blake2b is fast)."""
-    out = np.empty(len(strings), dtype=np.uint64)
+def doc_id_of(url: str) -> int:
+    """Content-derived doc id: 63-bit blake2b hash of the url, stored as int64.
+
+    63 bits (not 64) so the id is a non-negative int64 — Ray Data's native
+    aggregates (Min/Count) and hash joins handle int64 zero-copy, while uint64
+    falls back to pickled python objects. At true 10^12-doc scale a 128-bit id
+    would be needed (64-bit birthday collisions ~1e5 at 1e12 rows); the id
+    width is isolated here so that swap is one function.
+    """
+    return hash64_bytes(url.encode("utf-8")) & MASK63
+
+
+def id_hash_array(strings) -> np.ndarray:
+    """int64 63-bit id per string (python loop over the batch; blake2b is fast)."""
+    out = np.empty(len(strings), dtype=np.int64)
     for i, s in enumerate(strings):
-        out[i] = hash64_bytes(s.encode("utf-8"))
+        out[i] = hash64_bytes(s.encode("utf-8")) & MASK63
     return out
 
 
@@ -129,25 +144,25 @@ def shingle_hashes(
     return splitmix64(out), counts
 
 
-def make_permutations(num_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    """(a, b) for the family h_i(x) = (a_i*x + b_i) mod (2^61-1); a,b < 2^32."""
+def make_permutations(num_perms: int, seed: int) -> np.ndarray:
+    """Per-permutation 64-bit XOR salts for the family
+    h_i(x) = splitmix64(x XOR c_i).
+
+    Each h_i is a bijection on the 64-bit domain (XOR and splitmix64 are both
+    bijective) — a genuine random permutation family, exact in uint64 with no
+    modulo. A linear (a*x+b) mod p family over folded 32-bit inputs was tried
+    first and found NOT min-wise independent: elements with small x never wrap
+    mod p, so one tiny-x shingle wins the min for every permutation and the
+    jaccard estimate collapses when it sits in the symmetric difference.
+    """
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, 1 << 32, size=num_perms, dtype=np.uint64)
-    b = rng.integers(0, 1 << 32, size=num_perms, dtype=np.uint64)
-    return a, b
-
-
-def fold32(h64: np.ndarray) -> np.ndarray:
-    """Fold a 64-bit hash to 32 bits (stays uint64 dtype, values < 2^32)."""
-    return (h64 ^ (h64 >> U64(32))) & U64(0xFFFFFFFF)
+    return rng.integers(0, 1 << 64, size=num_perms, dtype=np.uint64)
 
 
 def minhash_matrix(
     shingles: np.ndarray,
     counts: np.ndarray,
-    a: np.ndarray,
-    b: np.ndarray,
-    prime: int,
+    salts: np.ndarray,
     perm_chunk: int = 32,
 ) -> np.ndarray:
     """(n_docs, num_perms) uint64 minhash matrix from flat shingle hashes.
@@ -157,19 +172,17 @@ def minhash_matrix(
     sentinel row 0xFFFF... (they never enter LSH; exact dedup handles them).
     """
     n_docs = len(counts)
-    num_perms = len(a)
+    num_perms = len(salts)
     out = np.full((n_docs, num_perms), _EMPTY_SENTINEL, dtype=np.uint64)
     nonempty = np.flatnonzero(counts > 0)
     if len(nonempty) == 0:
         return out
-    p = U64(prime)
-    h32 = fold32(shingles)  # < 2^32, so a*h+b < 2^64 exactly
     # empty docs contribute no shingles, so the nonempty docs' segments are
     # contiguous in the flat array and reduceat sees no empty segment
     starts = np.concatenate(([0], np.cumsum(counts)))[:-1][nonempty]
     for c0 in range(0, num_perms, perm_chunk):
         c1 = min(c0 + perm_chunk, num_perms)
-        vals = (h32[:, None] * a[None, c0:c1] + b[None, c0:c1]) % p
+        vals = splitmix64(shingles[:, None] ^ salts[None, c0:c1])
         out[nonempty, c0:c1] = np.minimum.reduceat(vals, starts, axis=0)
     return out
 
@@ -210,15 +223,17 @@ def simhash_vector(
 
 
 def band_buckets(mh: np.ndarray, bands: int, rows: int) -> np.ndarray:
-    """(n_docs, bands) uint64 bucket hashes: polynomial combine of each band's
-    ``rows`` minhash values, mixed with the band index (SURVEY.md §4.2 item 1)."""
+    """(n_docs, bands) int64 63-bit bucket hashes: polynomial combine of each
+    band's ``rows`` minhash values, mixed with the band index (SURVEY.md §4.2
+    item 1). int64 so the LSH groupby key is native for Ray aggregates."""
     n = mh.shape[0]
     banded = mh.reshape(n, bands, rows)
     acc = np.zeros((n, bands), dtype=np.uint64)
-    for r in range(rows):
-        acc = acc * _MIX_C + banded[:, :, r]
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            acc = acc * _MIX_C + banded[:, :, r]
     band_salt = splitmix64(np.arange(bands, dtype=np.uint64) + U64(0x5851F42D4C957F2D))
-    return splitmix64(acc ^ band_salt[None, :])
+    return (splitmix64(acc ^ band_salt[None, :]) & U64(MASK63)).astype(np.int64)
 
 
 def popcount64(x: np.ndarray) -> np.ndarray:

@@ -1,0 +1,80 @@
+"""End-to-end near-duplicate detection pipeline (SURVEY.md §3.1 "ours").
+
+    read_parquet(pages)
+      → extract (stateless map_batches)            pages → docs
+      → exact dedup (groupby text_sha256)          docs → docs_unique + dup_map
+      → signatures (actor pool)                    docs_unique → signatures
+      → LSH banding (groupby bucket)               signatures → cand_pairs
+      → verify (broadcast or join)                 cand_pairs → verified_pairs
+      → union-find                                 verified_pairs → clusters
+
+Replaces the reference's three-stage offline pipeline
+(embed → autofaiss index → batch filter,
+/root/reference/similarities/similarities/faiss_bert_similarity.py:23-234)
+with a streaming Dataset pipeline; every intermediate is a Dataset that can be
+checkpointed to Parquet (state/ module) instead of pickle+npy sidecars.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import ray.data
+
+from imagededupx_ray.config import DedupConfig, DEFAULT_CONFIG
+from imagededupx_ray.stages.cluster import assign_clusters, cluster_edges, dsu_components
+from imagededupx_ray.stages.dedup import exact_dedup
+from imagededupx_ray.stages.extract import extract_stage
+from imagededupx_ray.stages.lsh import lsh_candidate_pairs
+from imagededupx_ray.stages.signatures import signature_stage
+from imagededupx_ray.stages.verify import verify_pairs_broadcast, verify_pairs_join
+
+
+@dataclass
+class DedupResult:
+    docs_unique: Any
+    dup_map: Any
+    signatures: Any
+    cand_pairs: Any
+    verified_pairs: Any
+    clusters: Any
+    root_map: dict[int, int] = field(default_factory=dict)
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+
+def run_dedup(
+    pages_ds: "ray.data.Dataset",
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    signature_concurrency: int | tuple[int, int] = 4,
+    verify_strategy: str = "broadcast",
+) -> DedupResult:
+    """Run the full pipeline. Returns all intermediate Datasets plus the final
+    clusters Dataset (one row per input doc: doc_id, url, cluster_id,
+    is_canonical; canonical = min doc_id per component)."""
+    docs = extract_stage(pages_ds)
+    docs_unique, dup_map = exact_dedup(docs)
+    # signatures feed two consumers (LSH + verify): materialize once so the
+    # actor-pool stage doesn't run twice
+    signatures = signature_stage(
+        docs_unique, cfg, concurrency=signature_concurrency
+    ).materialize()
+    cand_pairs = lsh_candidate_pairs(signatures, cfg)
+    if verify_strategy == "join":
+        verified = verify_pairs_join(cand_pairs, signatures, cfg)
+    else:
+        verified = verify_pairs_broadcast(cand_pairs, signatures, cfg)
+    verified = verified.materialize()
+    docs_unique = docs_unique.materialize()
+    dup_map = dup_map.materialize()
+    root_map = dsu_components(cluster_edges(verified, dup_map))
+    clusters = assign_clusters(docs_unique, dup_map, root_map)
+    return DedupResult(
+        docs_unique=docs_unique,
+        dup_map=dup_map,
+        signatures=signatures,
+        cand_pairs=cand_pairs,
+        verified_pairs=verified,
+        clusters=clusters,
+        root_map=root_map,
+    )

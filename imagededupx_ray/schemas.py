@@ -21,7 +21,7 @@ PAGES = pa.schema(
 
 DOCS = pa.schema(
     [
-        ("doc_id", pa.uint64()),  # hash64(url) — content-derived, not positional
+        ("doc_id", pa.int64()),  # 63-bit hash of url — content-derived, not positional
         ("url", pa.string()),
         ("warc_ts", pa.timestamp("us")),
         ("text", pa.string()),
@@ -33,7 +33,7 @@ DOCS = pa.schema(
 
 SIGNATURES = pa.schema(
     [
-        ("doc_id", pa.uint64()),
+        ("doc_id", pa.int64()),
         ("minhash", pa.list_(pa.uint64())),  # fixed length num_perms
         ("simhash", pa.uint64()),
         ("n_shingles", pa.int32()),
@@ -43,22 +43,22 @@ SIGNATURES = pa.schema(
 LSH_ROWS = pa.schema(
     [
         ("band", pa.uint8()),
-        ("bucket", pa.uint64()),
-        ("doc_id", pa.uint64()),
+        ("bucket", pa.int64()),
+        ("doc_id", pa.int64()),
     ]
 )
 
 CAND_PAIRS = pa.schema(
     [
-        ("a", pa.uint64()),  # a < b canonical ordering (mirror-dedup, J2)
-        ("b", pa.uint64()),
+        ("a", pa.int64()),  # a < b canonical ordering (mirror-dedup, J2)
+        ("b", pa.int64()),
     ]
 )
 
 VERIFIED_PAIRS = pa.schema(
     [
-        ("a", pa.uint64()),
-        ("b", pa.uint64()),
+        ("a", pa.int64()),
+        ("b", pa.int64()),
         ("est_jaccard", pa.float32()),
         ("hamming", pa.uint8()),
     ]
@@ -66,16 +66,16 @@ VERIFIED_PAIRS = pa.schema(
 
 CLUSTERS = pa.schema(
     [
-        ("doc_id", pa.uint64()),
-        ("cluster_id", pa.uint64()),  # min doc_id in component = canonical
+        ("doc_id", pa.int64()),
+        ("cluster_id", pa.int64()),  # min doc_id in component = canonical
         ("is_canonical", pa.bool_()),
     ]
 )
 
 SUBSTRING_SPANS = pa.schema(
     [
-        ("a", pa.uint64()),
-        ("b", pa.uint64()),
+        ("a", pa.int64()),
+        ("b", pa.int64()),
         ("a_start", pa.int64()),
         ("b_start", pa.int64()),
         ("length", pa.int64()),

@@ -1,0 +1,207 @@
+"""LSH banding shuffle: signatures → (bucket, doc_id) rows → candidate pairs
+(SURVEY.md §7.2 step 4 — THE core shuffle, §2.5 G1).
+
+Replaces the reference's candidate generation — FAISS ANN indexes
+(/root/reference/improved_faiss_detector.py:297-317) and brute-force all-pairs
+mining with a global priority queue
+(/root/reference/similarities/similarities/utils/util.py:170-234) — with a
+groupby shuffle: each doc emits one row per band keyed by the band's bucket
+hash; docs sharing any band bucket become candidate pairs.
+
+Execution shape (scale notes): everything is a COARSE-PARTITION groupby —
+group key = ``bucket & (P-1)`` — so the exchange is a task-based sort shuffle
+into P partitions and each ``map_groups`` call sees ALL buckets of one
+partition at once, resolving pairs fully vectorized (lexsort + stride tricks).
+No per-bucket Python (the overwhelming majority of buckets are singletons),
+no ``Dataset.join`` (its per-partition aggregator ACTORS deadlock small
+clusters and pay startup per stage).
+
+Skew handling (SURVEY.md §4.2 items 1-2; the reference never faced this at
+<=1e5 docs): exact dups are collapsed BEFORE signatures, and buckets larger
+than ``max_bucket_size`` switch from all-pairs (O(g^2)) to sorted
+sliding-window emission (O(g*W)) — bounded pair explosion while preserving
+within-bucket connectivity for union-find (all docs in a bucket form one
+chain), so clustering recall survives even when pair emission is capped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from imagededupx_ray.config import DedupConfig, DEFAULT_CONFIG
+from imagededupx_ray.functions import hashing as H
+from imagededupx_ray.stages.signatures import signatures_to_numpy
+from imagededupx_ray.util import suggest_num_partitions
+
+_MASK63 = np.int64((1 << 63) - 1)
+
+
+def _pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def explode_bands(cfg: DedupConfig = DEFAULT_CONFIG, partitions: int = 64):
+    """Batch fn: signatures → LSH rows (part:int32, bucket:i64, doc_id:i64).
+    Docs with no shingles never enter LSH (empty texts are exact-dedup
+    territory). The band index is mixed INTO the bucket hash, so a single
+    int64 groupby key partitions all bands at once; ``part`` is the coarse
+    shuffle key."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, mh, _, nsh = signatures_to_numpy(batch, cfg.num_perms)
+        keep = nsh > 0
+        ids, mh = ids[keep], mh[keep]
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "_part": pa.array([], type=pa.int32()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        buckets = H.band_buckets(mh, cfg.lsh_bands, cfg.lsh_rows).reshape(-1)
+        return pa.table(
+            {
+                "_part": pa.array(
+                    (buckets & np.int64(partitions - 1)).astype(np.int32),
+                    type=pa.int32(),
+                ),
+                "bucket": pa.array(buckets, type=pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, cfg.lsh_bands), type=pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def emit_pairs_vectorized(
+    bucket: np.ndarray,
+    doc_id: np.ndarray,
+    max_bucket_size: int,
+    window: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """All (a < b) candidate pairs from (bucket, doc_id) rows, fully
+    vectorized over every bucket at once.
+
+    lexsort by (bucket, doc_id); rows i and i+w pair up iff they share a
+    bucket AND (the bucket is small enough for all-pairs, or w <= window for
+    hot buckets). The w-loop runs only over rows of non-singleton buckets, so
+    cost is O(dup_rows * min(max_group, cap)) — singletons (the vast
+    majority) cost one sort pass.
+    """
+    order = np.lexsort((doc_id, bucket))
+    b = bucket[order]
+    d = doc_id[order]
+    # group boundaries + sizes
+    if len(b) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    new_grp = np.empty(len(b), dtype=bool)
+    new_grp[0] = True
+    np.not_equal(b[1:], b[:-1], out=new_grp[1:])
+    # drop exact (bucket, doc_id) repeats (same doc twice in one bucket is a
+    # cross-band hash collision; harmless but would emit a==b pairs)
+    dup_row = np.zeros(len(b), dtype=bool)
+    dup_row[1:] = (~new_grp[1:]) & (d[1:] == d[:-1])
+    if dup_row.any():
+        keep = ~dup_row
+        b, d = b[keep], d[keep]
+        new_grp = np.empty(len(b), dtype=bool)
+        new_grp[0] = True
+        np.not_equal(b[1:], b[:-1], out=new_grp[1:])
+    starts = np.flatnonzero(new_grp)
+    sizes = np.diff(np.append(starts, len(b)))
+    size_of_row = np.repeat(sizes, sizes)
+    grp_of_row = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+    # restrict to non-singleton buckets
+    multi = size_of_row >= 2
+    if not multi.any():
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    d2 = d[multi]
+    g2 = grp_of_row[multi]
+    s2 = size_of_row[multi]
+    max_w = int(min(s2.max() - 1, max(max_bucket_size - 1, window)))
+    parts_a: list[np.ndarray] = []
+    parts_b: list[np.ndarray] = []
+    for w in range(1, max_w + 1):
+        same = g2[w:] == g2[:-w]
+        allowed = same & ((s2[:-w] <= max_bucket_size) | (w <= window))
+        if allowed.any():
+            parts_a.append(d2[:-w][allowed])
+            parts_b.append(d2[w:][allowed])
+    if not parts_a:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(parts_a), np.concatenate(parts_b)
+
+
+def _emit_group(cfg: DedupConfig):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = emit_pairs_vectorized(
+            df["bucket"].to_numpy(),
+            df["doc_id"].to_numpy(),
+            cfg.max_bucket_size,
+            cfg.bucket_window,
+        )
+        return pd.DataFrame({"a": a, "b": b})
+
+    return fn
+
+
+def _dedup_pairs_group(df: pd.DataFrame) -> pd.DataFrame:
+    a = df["a"].to_numpy()
+    b = df["b"].to_numpy()
+    if len(a) == 0:
+        return pd.DataFrame({"a": a, "b": b})
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.empty(len(a), dtype=bool)
+    keep[0] = True
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return pd.DataFrame({"a": a[keep], "b": b[keep]})
+
+
+def lsh_candidate_pairs(
+    signatures_ds, cfg: DedupConfig = DEFAULT_CONFIG, num_partitions: int | None = None
+):
+    """signatures → distinct candidate pairs (a < b).
+
+    Two task-based sort-shuffle groupbys, both on coarse power-of-two keys:
+    pair emission (bucket & (P-1)) and cross-band pair dedup
+    (hash(a) & (P-1)) — the reference's mirrored-pair set
+    (utils/util.py:222-230) as a vectorized distinct."""
+    if num_partitions is None:
+        num_partitions = suggest_num_partitions(per_cpu=2)
+    p = _pow2(num_partitions)
+    lsh_rows = signatures_ds.map_batches(
+        explode_bands(cfg, partitions=p), batch_format="pyarrow", batch_size=4096
+    )
+    pairs = lsh_rows.groupby("_part").map_groups(
+        _emit_group(cfg), batch_format="pandas"
+    )
+
+    def decorate(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (
+            H.splitmix64(a.astype(np.uint64) ^ (bb.astype(np.uint64) << np.uint64(1)))
+            .astype(np.int64)
+            & np.int64(p - 1)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "_part": pa.array(key, type=pa.int32()),
+                "a": pa.array(a, type=pa.int64()),
+                "b": pa.array(bb, type=pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(decorate, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(_dedup_pairs_group, batch_format="pandas")
+    )

@@ -1,0 +1,90 @@
+"""Signature stage: stateful actor pool computing MinHash + SimHash per doc
+(SURVEY.md §7.2 step 3, §2.3 A1/A2).
+
+Reference analogue: the deep-encoder actor stages (model held per process,
+/root/reference/similarities/similarities/clip_module.py:223-317 hand-rolled
+spawn-per-device pool with queues) and the SimHash fingerprint
+(/root/reference/similarities/similarities/literal_similarity.py:88-117).
+Ray Data's actor-pool ``map_batches`` replaces the queue plumbing: the
+permutation table and token-hash cache are built ONCE per actor in
+``__init__``; each ``__call__`` is a fully vectorized batch kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from imagededupx_ray.config import DedupConfig, DEFAULT_CONFIG
+from imagededupx_ray.functions import hashing as H
+from imagededupx_ray.functions.text import tokenize_batch
+
+
+class SignatureStage:
+    """Callable class for ``map_batches(SignatureStage, fn_constructor_kwargs=...,
+    concurrency=N)``: holds the 128 (a_i, b_i) permutation constants and a
+    bounded token-hash cache across batches."""
+
+    def __init__(self, cfg: DedupConfig = DEFAULT_CONFIG, cache_limit: int = 2_000_000):
+        self.cfg = cfg
+        self.salts = H.make_permutations(cfg.num_perms, cfg.perm_seed)
+        self.token_cache: dict = {}
+        self.cache_limit = cache_limit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(self.token_cache) > self.cache_limit:
+            self.token_cache.clear()
+        cfg = self.cfg
+        flat, offsets = tokenize_batch(batch["text"])
+        token_h = H.token_hash_flat(flat, unique_cache=self.token_cache)
+        shingles, counts = H.shingle_hashes(token_h, offsets, cfg.shingle_k)
+        mh = H.minhash_matrix(shingles, counts, self.salts)
+        sv = H.simhash_vector(shingles, counts)
+        mh_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(mh.reshape(-1), type=pa.uint64()), cfg.num_perms
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "minhash": mh_col,
+                "simhash": pa.array(sv, type=pa.uint64()),
+                "n_shingles": pa.array(counts.astype(np.int32), type=pa.int32()),
+            }
+        )
+
+
+def signature_stage(
+    docs_ds,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 1024,
+):
+    """docs (needs doc_id + text) → signatures Dataset via an actor pool.
+
+    ``concurrency × num_cpus=1`` should be sized below the node's CPU count so
+    read/shuffle stages aren't starved (SURVEY.md §4.2 item 4).
+    """
+    from imagededupx_ray.util import clamp_actor_pool
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        SignatureStage,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=clamp_actor_pool(concurrency),
+        num_cpus=1,
+    )
+
+
+def signatures_to_numpy(sig_table: pa.Table, num_perms: int):
+    """Zero-copy-ish view of a signatures Arrow table as numpy arrays:
+    (doc_ids u64, minhash (n, num_perms) u64, simhash u64, n_shingles i32)."""
+    ids = sig_table["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mh_col = sig_table["minhash"]
+    if isinstance(mh_col, pa.ChunkedArray):
+        mh_col = mh_col.combine_chunks()
+    flat = mh_col.flatten()
+    mh = flat.to_numpy(zero_copy_only=False).astype(np.uint64).reshape(-1, num_perms)
+    sim = sig_table["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    nsh = sig_table["n_shingles"].to_numpy(zero_copy_only=False).astype(np.int32)
+    return ids, mh, sim, nsh

@@ -1,0 +1,168 @@
+"""Pair verification: candidate pairs × signatures → verified pairs
+(SURVEY.md §2.5 G4).
+
+est_jaccard = fraction of agreeing minhash components (128-perm agreement);
+hamming = popcount(simhash_a ^ simhash_b). A pair survives if
+``est_jaccard >= jaccard_threshold`` OR ``hamming <= simhash_hamming_max``
+(the exact-ish tier; reference threshold presets
+/root/reference/README.md:206-209, hamming similarity
+/root/reference/similarities/similarities/literal_similarity.py:119-125).
+
+Signature lookup strategies (SURVEY.md §2.4 J1 — reference used positional
+``df.iloc[faiss_id]``; ours joins on content-derived doc_id):
+
+- ``broadcast``: signatures put in the object store ONCE (``ray.put``), each
+  verify actor reads them once in ``__init__`` — no shuffle; right whenever
+  the signature table fits a worker (sf-scale tests/bench; ~1 KB/doc).
+- ``join``: hash-partitioned ``Dataset.join`` on doc_id for both sides — the
+  10^12-doc path; two narrow shuffles of the (small) pair table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from imagededupx_ray.config import DedupConfig, DEFAULT_CONFIG
+from imagededupx_ray.functions.hashing import popcount64
+from imagededupx_ray.stages.signatures import signatures_to_numpy
+
+
+def _pair_metrics(
+    mh_a: np.ndarray, mh_b: np.ndarray, sim_a: np.ndarray, sim_b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    est = (mh_a == mh_b).mean(axis=1).astype(np.float32)
+    ham = popcount64(sim_a ^ sim_b).astype(np.uint8)
+    return est, ham
+
+
+class BroadcastVerify:
+    """Actor-pool stage: signature arrays fetched from the object store once
+    per actor; per-batch work is searchsorted + vectorized compare."""
+
+    def __init__(self, sig_ref, cfg: DedupConfig = DEFAULT_CONFIG):
+        # arrays are pre-sorted by id at broadcast time; ray.get is zero-copy
+        self.ids, self.mh, self.sim = ray.get(sig_ref)
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ia = np.searchsorted(self.ids, a)
+        ib = np.searchsorted(self.ids, b)
+        # candidate ids always exist in signatures (same pipeline run)
+        est, ham = _pair_metrics(self.mh[ia], self.mh[ib], self.sim[ia], self.sim[ib])
+        keep = (est >= self.cfg.jaccard_threshold) | (ham <= self.cfg.simhash_hamming_max)
+        return pa.table(
+            {
+                "a": pa.array(a[keep], type=pa.int64()),
+                "b": pa.array(b[keep], type=pa.int64()),
+                "est_jaccard": pa.array(est[keep], type=pa.float32()),
+                "hamming": pa.array(ham[keep], type=pa.uint8()),
+            }
+        )
+
+
+def broadcast_signatures(signatures_ds, cfg: DedupConfig = DEFAULT_CONFIG):
+    """Materialize the signature table into compact numpy arrays and ``ray.put``
+    them once (SURVEY.md §2.3 A5 broadcast pattern)."""
+    tables = []
+    for batch in signatures_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        tables.append(batch)
+    sig = pa.concat_tables(tables)
+    ids, mh, sim, _ = signatures_to_numpy(sig, cfg.num_perms)
+    order = np.argsort(ids)  # sorted once here; every verify actor reads as-is
+    return ray.put((ids[order], np.ascontiguousarray(mh[order]), sim[order]))
+
+
+def verify_pairs_broadcast(
+    cand_pairs_ds, signatures_ds, cfg: DedupConfig = DEFAULT_CONFIG, concurrency=2
+):
+    from imagededupx_ray.util import clamp_actor_pool
+
+    sig_ref = broadcast_signatures(signatures_ds, cfg)
+    return cand_pairs_ds.map_batches(
+        BroadcastVerify,
+        fn_constructor_kwargs={"sig_ref": sig_ref, "cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=clamp_actor_pool(concurrency),
+        num_cpus=1,
+    )
+
+
+def verify_pairs_join(
+    cand_pairs_ds,
+    signatures_ds,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    num_partitions: int | None = None,
+):
+    """Scale path: two hash-partitioned joins on doc_id (Ray Dataset.join),
+    then the same vectorized metric kernel."""
+    from imagededupx_ray.util import suggest_num_partitions
+
+    if num_partitions is None:
+        num_partitions = suggest_num_partitions()
+    nperm = cfg.num_perms
+
+    def pack(batch: pa.Table) -> pa.Table:
+        # acero joins reject (fixed_size_)list payload columns — carry the
+        # signature as fixed-width binary (num_perms * 8 bytes) through the join
+        ids, mh, sim, _ = signatures_to_numpy(batch, nperm)
+        raw = np.ascontiguousarray(mh).tobytes()
+        mh_bin = pa.Array.from_buffers(
+            pa.binary(nperm * 8), len(ids), [None, pa.py_buffer(raw)]
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "minhash": mh_bin,
+                "simhash": pa.array(sim, type=pa.uint64()),
+            }
+        )
+
+    sig_a = signatures_ds.map_batches(pack, batch_format="pyarrow")
+
+    joined = cand_pairs_ds.join(
+        sig_a,
+        join_type="inner",
+        on=("a",),
+        right_on=("doc_id",),
+        num_partitions=num_partitions,
+    ).rename_columns({"minhash": "minhash_a", "simhash": "simhash_a"})
+    joined = joined.join(
+        sig_a,
+        join_type="inner",
+        on=("b",),
+        right_on=("doc_id",),
+        num_partitions=num_partitions,
+    ).rename_columns({"minhash": "minhash_b", "simhash": "simhash_b"})
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        def mat(col):
+            c = batch[col]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            # fixed_size_binary data buffer -> (n, nperm) u64, offset-aware
+            buf = np.frombuffer(c.buffers()[1], dtype=np.uint64)
+            start = c.offset * nperm
+            return buf[start : start + len(c) * nperm].reshape(-1, nperm)
+
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sim_a = batch["simhash_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sim_b = batch["simhash_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        est, ham = _pair_metrics(mat("minhash_a"), mat("minhash_b"), sim_a, sim_b)
+        keep = (est >= cfg.jaccard_threshold) | (ham <= cfg.simhash_hamming_max)
+        return pa.table(
+            {
+                "a": pa.array(a[keep], type=pa.int64()),
+                "b": pa.array(b[keep], type=pa.int64()),
+                "est_jaccard": pa.array(est[keep], type=pa.float32()),
+                "hamming": pa.array(ham[keep], type=pa.uint8()),
+            }
+        )
+
+    return joined.map_batches(metrics, batch_format="pyarrow", batch_size=32768)

@@ -1,0 +1,41 @@
+"""Small runtime helpers shared by the stages.
+
+``suggest_num_partitions`` sizes hash-shuffle (join) partition counts to the
+cluster actually present. Ray 2.49's ``Dataset.join`` spawns one aggregator
+actor per partition (hash_shuffle.py AggregatorPool); requesting more
+partitions than the cluster can host actors for deadlocks the streaming
+executor on small clusters (observed: num_partitions=32 on a 4-CPU local
+cluster hangs forever). On a real multi-node cluster the same call returns
+the full CPU count, so wide joins still fan out.
+"""
+
+from __future__ import annotations
+
+import ray
+
+
+def cluster_cpus() -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", 0)) or 4
+    except Exception:
+        return 4
+
+
+def suggest_num_partitions(cap: int | None = None, per_cpu: int = 1) -> int:
+    """Join/shuffle partition count: ~one per CPU, at least 2, at most ``cap``."""
+    n = max(2, cluster_cpus() * per_cpu)
+    if cap is not None:
+        n = min(n, cap)
+    return n
+
+
+def clamp_actor_pool(requested: int | tuple[int, int]) -> int | tuple[int, int]:
+    """Clamp an actor-pool ``concurrency`` so the pool's actors (1 CPU each)
+    never reserve the whole cluster: a pool that holds every CPU starves the
+    task-based operators feeding it and deadlocks the streaming executor
+    (observed with concurrency=2 on a 2-CPU cluster). Always leaves >=1 CPU."""
+    limit = max(1, cluster_cpus() - 1)
+    if isinstance(requested, tuple):
+        lo, hi = requested
+        return (max(1, min(lo, limit)), max(1, min(hi, limit)))
+    return max(1, min(requested, limit))

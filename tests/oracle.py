@@ -60,18 +60,28 @@ def shingle_hash_set(text: str, k: int) -> list[int]:
     return out
 
 
-def minhash(text: str, cfg: DedupConfig) -> list[int]:
+def minhash(text: str, cfg: DedupConfig, _pure: bool = False) -> list[int]:
+    """Shingling is pure python (independent of the numpy kernels); the
+    per-permutation min uses numpy for speed unless ``_pure`` — the fully
+    pure path is exercised on small inputs in test_kernels."""
     rng = np.random.default_rng(cfg.perm_seed)
-    a = rng.integers(1, 1 << 32, size=cfg.num_perms, dtype=np.uint64)
-    b = rng.integers(0, 1 << 32, size=cfg.num_perms, dtype=np.uint64)
+    salts = rng.integers(0, 1 << 64, size=cfg.num_perms, dtype=np.uint64)
     sh = shingle_hash_set(text, cfg.shingle_k)
     if not sh:
         return [(1 << 64) - 1] * cfg.num_perms
-    h32 = [((h ^ (h >> 32)) & 0xFFFFFFFF) for h in sh]
-    return [
-        min((int(a[i]) * h + int(b[i])) % cfg.prime for h in h32)
-        for i in range(cfg.num_perms)
-    ]
+    if _pure:
+        return [min(_mix(h ^ int(salts[i])) for h in sh) for i in range(cfg.num_perms)]
+    arr = np.array(sh, dtype=np.uint64)
+    out = []
+    for i in range(cfg.num_perms):
+        z = arr ^ salts[i]
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+        out.append(int(z.min()))
+    return out
 
 
 def simhash(text: str, cfg: DedupConfig) -> int:

@@ -27,8 +27,8 @@ def _batch_signatures(texts):
     flat, off = T.tokenize_batch(pa.array(texts))
     th = H.token_hash_flat(flat)
     sh, counts = H.shingle_hashes(th, off, CFG.shingle_k)
-    a, b = H.make_permutations(CFG.num_perms, CFG.perm_seed)
-    mh = H.minhash_matrix(sh, counts, a, b, CFG.prime)
+    salts = H.make_permutations(CFG.num_perms, CFG.perm_seed)
+    mh = H.minhash_matrix(sh, counts, salts)
     sv = H.simhash_vector(sh, counts)
     return mh, sv, counts
 
@@ -37,6 +37,9 @@ def test_minhash_matches_pure_python_oracle():
     mh, _, _ = _batch_signatures(TEXTS)
     for i, t in enumerate(TEXTS):
         assert mh[i].tolist() == oracle.minhash(t, CFG), f"doc {i}"
+    # fully pure-python path (no numpy) agrees too
+    assert mh[0].tolist() == oracle.minhash(TEXTS[0], CFG, _pure=True)
+    assert mh[4].tolist() == oracle.minhash(TEXTS[4], CFG, _pure=True)
 
 
 def test_simhash_matches_pure_python_oracle():
@@ -94,7 +97,7 @@ def test_popcount():
 def test_hash64_stability():
     # content-derived, process-independent (doc_id determinism)
     assert H.hash64_bytes(b"https://a.example/x") == H.hash64_bytes(b"https://a.example/x")
-    arr = H.hash64_str_array(["u1", "u2", "u1"])
+    arr = H.id_hash_array(["u1", "u2", "u1"])
     assert arr[0] == arr[2] and arr[0] != arr[1]
 
 

@@ -1,0 +1,168 @@
+"""End-to-end pipeline correctness (SURVEY.md §5.2 items 2,3,5).
+
+The recall gate: the Ray pipeline must reproduce the identical-config oracle's
+dup pairs (brute-force all-pairs over the SAME 128-perm minhash estimates —
+the quantity the reference computes for its candidates,
+utils/util.py:170-234) with recall >= 0.99, and its cluster assignments.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from imagededupx_ray.config import DEFAULT_CONFIG as CFG
+from tests import oracle
+
+
+@pytest.fixture(scope="module")
+def dedup_result(ray_session, fixture_corpus):
+    import ray.data as rd
+
+    from imagededupx_ray.pipelines.dedup import run_dedup
+
+    pages = rd.read_parquet(f"{fixture_corpus}/pages")
+    res = run_dedup(pages, CFG, signature_concurrency=2)
+    return fixture_corpus, res
+
+
+@pytest.fixture(scope="module")
+def oracle_pairs(fixture_corpus):
+    """Identical-config oracle: minhash-estimated jaccard >= threshold over all
+    doc pairs, computed from the SAME signatures semantics in pure Python."""
+    pages = pq.read_table(f"{fixture_corpus}/pages")
+    texts = dict(zip(pages["url"].to_pylist(), pages["text"].to_pylist()))
+    # oracle works on unique texts (exact dups collapse to min url)
+    by_sha: dict[str, str] = {}
+    import hashlib
+
+    for url, t in sorted(texts.items()):
+        sha = hashlib.sha256(t.encode()).hexdigest()
+        by_sha.setdefault(sha, url)
+    from imagededupx_ray.functions.hashing import doc_id_of
+
+    reps = {url: t for url, t in texts.items() if url in set(by_sha.values())}
+    ids = {url: doc_id_of(url) for url in reps}
+    mh = {ids[url]: np.array(oracle.minhash(t, CFG), dtype=np.uint64) for url, t in reps.items()}
+    id_list = sorted(mh)
+    M = np.stack([mh[i] for i in id_list])
+    n = len(id_list)
+    pairs = []
+    for i0 in range(0, n, 64):  # chunked all-pairs agreement matrix
+        i1 = min(i0 + 64, n)
+        est = (M[i0:i1, None, :] == M[None, :, :]).mean(axis=2)
+        for r in range(i1 - i0):
+            i = i0 + r
+            hits = np.flatnonzero(est[r] >= CFG.jaccard_threshold)
+            for j in hits:
+                if j > i:
+                    pairs.append((id_list[i], id_list[j], float(est[r, j])))
+    return texts, ids, pairs
+
+
+def test_counts_and_schema(dedup_result):
+    corpus, res = dedup_result
+    n_pages = pq.read_table(f"{corpus}/pages").num_rows
+    clusters = res.clusters.to_pandas()
+    assert len(clusters) == n_pages  # every input doc gets an assignment
+    assert set(clusters.columns) == {"doc_id", "url", "cluster_id", "is_canonical"}
+    assert clusters.url.nunique() == n_pages
+    # each cluster has exactly one canonical doc; cluster_id = min member doc_id
+    g = clusters.groupby("cluster_id")
+    assert (g.is_canonical.sum() == 1).all()
+    mins = g.doc_id.min()
+    assert (mins.index.values.astype("uint64") == mins.values.astype("uint64")).all()
+
+
+def test_dup_pair_recall_vs_identical_config_oracle(dedup_result, oracle_pairs):
+    corpus, res = dedup_result
+    _, _, pairs = oracle_pairs
+    cl = res.clusters.to_pandas().set_index("doc_id")["cluster_id"].to_dict()
+    hits = sum(1 for a, b, _ in pairs if cl[a] == cl[b])
+    recall = hits / max(1, len(pairs))
+    assert len(pairs) > 50  # fixture actually plants enough dup structure
+    assert recall >= 0.99, f"recall {recall:.4f} ({hits}/{len(pairs)})"
+
+
+def test_verified_pairs_match_oracle_estimates(dedup_result, oracle_pairs):
+    """Every verified pair's est_jaccard must EQUAL the oracle's estimate
+    (identical signatures bit-for-bit)."""
+    _, res = dedup_result
+    texts, ids, _ = oracle_pairs
+    vp = res.verified_pairs.to_pandas().head(200)
+    id2url = {v: k for k, v in ids.items()}
+    for _, r in vp.iterrows():
+        ua, ub = id2url.get(int(r.a)), id2url.get(int(r.b))
+        if ua is None or ub is None:
+            continue
+        mh_a = np.array(oracle.minhash(texts[ua], CFG), dtype=np.uint64)
+        mh_b = np.array(oracle.minhash(texts[ub], CFG), dtype=np.uint64)
+        assert abs(float((mh_a == mh_b).mean()) - r.est_jaccard) < 1e-6
+
+
+def test_exact_dups_share_cluster(dedup_result, fixture_corpus):
+    _, res = dedup_result
+    tp = pq.read_table(f"{fixture_corpus}/truth_pairs.parquet").to_pandas()
+    cl = res.clusters.to_pandas().set_index("url")["cluster_id"].to_dict()
+    exact = tp[tp.kind == "exact"]
+    assert all(cl[r.a_url] == cl[r.b_url] for _, r in exact.iterrows())
+
+
+def test_truth_cluster_recall(dedup_result, fixture_corpus):
+    """Against generator ground truth. TRUE jaccard >= 0.85 gives a ~4-sigma
+    margin over the est_jaccard threshold (sigma = sqrt(j(1-j)/128) ~ 0.04),
+    so misses indicate real pipeline bugs, not estimator noise. The contract
+    metric (vs the identical-config oracle) is the test above."""
+    _, res = dedup_result
+    tp = pq.read_table(f"{fixture_corpus}/truth_pairs.parquet").to_pandas()
+    cl = res.clusters.to_pandas().set_index("url")["cluster_id"].to_dict()
+    hi = tp[(tp.jaccard_5gram >= 0.85) | (tp.kind == "exact")]
+    hits = sum(1 for _, r in hi.iterrows() if cl[r.a_url] == cl[r.b_url])
+    assert hits / len(hi) >= 0.99, f"{hits}/{len(hi)}"
+
+
+def test_low_jaccard_pairs_not_directly_paired(dedup_result, fixture_corpus):
+    """Precision guard: verified pair list contains no pair whose true jaccard
+    is far below threshold (clusters may transitively merge; direct pairs not)."""
+    _, res = dedup_result
+    tp = pq.read_table(f"{fixture_corpus}/truth_pairs.parquet").to_pandas()
+    pages = pq.read_table(f"{fixture_corpus}/pages")
+    from imagededupx_ray.functions.hashing import doc_id_of
+
+    url2id = {u: doc_id_of(u) for u in pages["url"].to_pylist()}
+    vp = res.verified_pairs.to_pandas()
+    vset = {(int(a), int(b)) for a, b in zip(vp.a, vp.b)}
+    lo = tp[tp.jaccard_5gram < 0.35]
+    for _, r in lo.iterrows():
+        a, b = url2id[r.a_url], url2id[r.b_url]
+        key = (min(a, b), max(a, b))
+        assert key not in vset, f"low-jaccard pair {r.a_url},{r.b_url} verified"
+
+
+def test_label_prop_equals_dsu(dedup_result):
+    """Distributed large-star/small-star components == driver DSU components."""
+    from imagededupx_ray.stages.cluster import cluster_edges, label_prop_components
+
+    _, res = dedup_result
+    lp = label_prop_components(cluster_edges(res.verified_pairs, res.dup_map))
+    dsu = res.root_map
+    # same partition: compare canonical assignment over all nodes in either map
+    nodes = set(dsu) | set(lp)
+    for n in nodes:
+        assert lp.get(n, n) == dsu.get(n, n)
+
+
+def test_join_verify_equals_broadcast(dedup_result):
+    from imagededupx_ray.stages.verify import verify_pairs_join
+
+    _, res = dedup_result
+    vj = (
+        verify_pairs_join(res.cand_pairs, res.signatures, CFG)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    vb = res.verified_pairs.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        vj[["a", "b", "est_jaccard", "hamming"]], vb[["a", "b", "est_jaccard", "hamming"]]
+    )
