@@ -1,0 +1,187 @@
+"""Bench harness (SURVEY.md §7.2 step 8).
+
+Headline: the full near-dup pipeline (extract → exact dedup → minhash/simhash
+signatures → LSH banding → verify → union-find clusters) over a
+deterministically synthesized Common-Crawl-style ``pages`` corpus sized to the
+scale factor (BASELINE.json ``input_hint`` shape; generated once per sf and
+cached under /tmp), plus representative relational/similarity queries over the
+driver's sf tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+   "dedup_docs_per_sec": ...}
+
+``--scaling`` runs the headline pipeline in two FRESH processes
+(num_cpus=8 and num_cpus=32, same input) and reports both throughputs plus
+scaling efficiency = (t_8 / t_32) / 4 — the sandbox evidence for the
+north rule's N→4N cluster-size criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_PER_SF = 600_000  # sf0.1 -> 60k pages (~90 MB text), sf0.01 -> 6k
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _pages_dir(sf: float) -> str:
+    from imagededupx_ray.sources.synthetic import write_pages_corpus
+
+    n = max(600, int(PAGES_PER_SF * sf)) if sf > 0 else 6000
+    out = f"/tmp/graft_pages_sf{sf}"
+    write_pages_corpus(out, n_pages=n, seed=42, with_truth=False)
+    return f"{out}/pages"
+
+
+def run_headline(sf: float) -> dict:
+    import ray.data as rd
+
+    from imagededupx_ray.pipelines.dedup import run_dedup
+
+    pages_path = _pages_dir(sf)
+    n_pages = rd.read_parquet(pages_path).count()
+    t0 = time.monotonic()
+    res = run_dedup(rd.read_parquet(pages_path))
+    n_clusters = res.clusters.count()
+    wall = time.monotonic() - t0
+    return {
+        "sec": wall,
+        "n_pages": n_pages,
+        "n_cluster_rows": n_clusters,
+        "docs_per_sec": n_pages / wall,
+    }
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from imagededupx_ray import queries as Q
+
+    import ray.data as rd
+
+    out = {}
+    for name, fn in [
+        ("q1_pricing_summary", Q.q1_pricing_summary),
+        ("events_hourly", Q.events_hourly),
+        ("orders_per_customer", Q.orders_per_customer),
+        ("knn_cosine", Q.knn_cosine),
+        ("docs_token_stats", Q.docs_token_stats),
+    ]:
+        t0 = time.monotonic()
+        res = fn(sf_dir)
+        if isinstance(res, rd.Dataset):
+            res.count()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sf = _sf_of(SF_DIR)
+    head = run_headline(sf)
+    queries = {"dedup_pipeline": round(head["sec"], 3)}
+    queries.update(run_queries(SF_DIR))
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_pipeline_wall_sec",
+                "value": round(head["sec"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "num_cpus": NUM_CPUS,
+                "dedup_n_pages": head["n_pages"],
+                "dedup_docs_per_sec": round(head["docs_per_sec"], 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def headline_only() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    head = run_headline(_sf_of(SF_DIR))
+    print(json.dumps(head))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Same job, two parallelism levels, fresh processes (north-rule N→4N
+    evidence in a single-node sandbox)."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8, t32 = results[8]["sec"], results[32]["sec"]
+    speedup = t8 / t32
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_8_to_32_cpus",
+                "value": round(speedup / 4.0, 3),
+                "unit": "fraction",
+                "sf": _sf_of(SF_DIR),
+                "cpus_8": {
+                    "sec": round(t8, 3),
+                    "docs_per_sec": round(results[8]["docs_per_sec"], 1),
+                },
+                "cpus_32": {
+                    "sec": round(t32, 3),
+                    "docs_per_sec": round(results[32]["docs_per_sec"], 1),
+                },
+                "speedup": round(speedup, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif "--headline-only" in sys.argv:
+        headline_only()
+    else:
+        main()

@@ -46,7 +46,7 @@ class DedupResult:
 def run_dedup(
     pages_ds: "ray.data.Dataset",
     cfg: DedupConfig = DEFAULT_CONFIG,
-    signature_concurrency: int | tuple[int, int] = 4,
+    signature_concurrency: int | tuple[int, int] | None = None,
     verify_strategy: str = "broadcast",
 ) -> DedupResult:
     """Run the full pipeline. Returns all intermediate Datasets plus the final

@@ -1,0 +1,488 @@
+"""Driver-contract query registry: every operator family from SURVEY.md §2
+exposed as a callable over the driver's testdata tables, with (where the
+semantics are SQL-expressible) a DuckDB oracle twin in ``ORACLE_SQL``.
+
+Column names and rounding are part of the contract: the driver sorts columns
+by name and value-hashes both sides, so every computed column is named
+identically here and in the SQL, floats are rounded to fixed decimals on both
+sides (computed in float64 on both sides), and timestamps are emitted as epoch
+integers.
+
+Reference analogues are cited per query; the dedup-family queries (minhash /
+simhash / LSH / clusters) have no SQL twin — DuckDB cannot reproduce
+blake2b-based signatures — and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from imagededupx_ray.config import DEFAULT_CONFIG, DedupConfig
+from imagededupx_ray.functions import hashing as H
+from imagededupx_ray.functions.text import tokenize_batch
+from imagededupx_ray.util import suggest_num_partitions
+
+
+def _read(sf_dir: str, table: str) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _round_col(arr: np.ndarray, nd: int) -> pa.Array:
+    """Half-AWAY-from-zero rounding (DuckDB ROUND semantics; numpy's default
+    np.round is banker's rounding and would hash-mismatch the oracle on ties)."""
+    x = arr.astype(np.float64)
+    p = 10.0 ** nd
+    return pa.array(np.copysign(np.floor(np.abs(x) * p + 0.5) / p, x), type=pa.float64())
+
+
+# --------------------------------------------------------------------------
+# documents family (text analysis / dedup-adjacent, SURVEY.md §2.5 G5, §2.2)
+# --------------------------------------------------------------------------
+
+def docs_lang_counts(sf_dir: str):
+    """Per (lang, source): doc count + mean n_chars (grouped aggregate;
+    reference analogue: corpus stats G7, improved_faiss_detector.py:399-405)."""
+    from ray.data.aggregate import Count, Mean
+
+    ds = (
+        _read(sf_dir, "documents")
+        .select_columns(["lang", "source", "n_chars"])
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars"))
+    )
+    return ds.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("avg_chars"),
+            "avg_chars",
+            _round_col(t["avg_chars"].to_numpy(zero_copy_only=False), 6),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def docs_exact_dedup(sf_dir: str):
+    """Exact-dedup winner map keyed by full text: canonical = min(doc_id)
+    (G5/M9; reference value-dedup literal_similarity.py:66-74)."""
+    from ray.data.aggregate import Count, Min
+
+    return (
+        _read(sf_dir, "documents")
+        .select_columns(["text", "doc_id"])
+        .groupby("text")
+        .aggregate(
+            Min("doc_id", alias_name="canonical_doc_id"),
+            Count(alias_name="n_exact_dups"),
+        )
+    )
+
+
+def docs_token_stats(sf_dir: str):
+    """Per doc: token count + distinct token count over lowercased
+    whitespace tokens (M4 tokenizer; token counting for training-data prep)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokenize_batch(batch["text"])
+        n_tok = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(batch.num_rows), n_tok)
+        df = pd.DataFrame({"d": doc_idx, "t": flat.to_pandas()})
+        uniq = df.drop_duplicates().groupby("d").size()
+        n_uniq = np.zeros(batch.num_rows, dtype=np.int64)
+        n_uniq[uniq.index.to_numpy()] = uniq.to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+                "n_unique_tokens": pa.array(n_uniq, type=pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
+
+
+def docs_top_longest(sf_dir: str):
+    """Top-20 docs by n_chars (O1 sort+limit; reference most_similar topn,
+    literal_similarity.py:179-189)."""
+    return (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def token_jaccard_pairs(sf_dir: str, threshold: float = 0.4):
+    """All doc pairs with unigram token-set jaccard >= threshold — the n-gram
+    jaccard dedup operator at n=1 (G4 jaccard_coef, utils/distance.py:129-134).
+
+    Exact all-pairs computed as a blocked incidence matmul: distributed
+    tokenize → collect the (small) distinct doc-token incidence to the driver,
+    code the vocab (np.unique), broadcast the bool incidence matrix once
+    (``ray.put``), then fan the upper-triangle row blocks out as tasks whose
+    per-block work is one float32 matmul. Inverted-index candidate generation
+    was tried and rejected: this corpus's vocab overlap makes nearly every
+    pair co-occur, so candidate pruning degenerates to O(n^2 * df) rows —
+    brute force IS the right algorithm at oracle scale, and the MinHash/LSH
+    pipeline (not this operator) is the 10^12-doc path.
+    """
+
+    def distinct_tokens(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokenize_batch(batch["text"])
+        tok_h = H.token_hash_flat(flat)
+        n_tok = np.diff(offsets)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.repeat(doc_ids, n_tok)
+        df = pd.DataFrame({"d": d, "t": tok_h}).drop_duplicates()
+        return pa.table(
+            {
+                "doc_id": pa.array(df["d"].to_numpy(), type=pa.int64()),
+                "token": pa.array(df["t"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    inc_tbl = (
+        _read(sf_dir, "documents")
+        .map_batches(distinct_tokens, batch_format="pyarrow")
+        .to_pandas()
+    )
+    doc_ids, doc_codes = np.unique(inc_tbl["doc_id"].to_numpy(), return_inverse=True)
+    _, tok_codes = np.unique(inc_tbl["token"].to_numpy(), return_inverse=True)
+    n, v = len(doc_ids), int(tok_codes.max()) + 1 if len(tok_codes) else 0
+    inc = np.zeros((n, v), dtype=np.float32)
+    inc[doc_codes, tok_codes] = 1.0
+    sizes = inc.sum(axis=1)
+    inc_ref = ray.put((doc_ids, inc, sizes))
+
+    block = 512
+    starts = list(range(0, n, block))
+    thr = threshold
+
+    def pairs_for_block(batch: pa.Table) -> pa.Table:
+        ids, M, sz = ray.get(inc_ref)
+        out = []
+        for s in batch["start"].to_pylist():
+            e = min(s + block, len(ids))
+            inter = (M[s:e] @ M.T).astype(np.float64)  # counts exact (< 2^24)
+            union = sz[s:e, None].astype(np.float64) + sz[None, :] - inter
+            with np.errstate(invalid="ignore"):
+                jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+            ii, jj = np.nonzero(jac >= thr)
+            keep = (ii + s) < jj  # upper triangle, a < b
+            out.append(
+                (
+                    ids[ii[keep] + s],
+                    ids[jj[keep]],
+                    jac[ii[keep], jj[keep]].astype(np.float64),
+                )
+            )
+        a = np.concatenate([o[0] for o in out]) if out else np.empty(0, np.int64)
+        b = np.concatenate([o[1] for o in out]) if out else np.empty(0, np.int64)
+        j = np.concatenate([o[2] for o in out]) if out else np.empty(0, np.float64)
+        return pa.table(
+            {
+                "a": pa.array(a, type=pa.int64()),
+                "b": pa.array(b, type=pa.int64()),
+                "jaccard": _round_col(j, 6),
+            }
+        )
+
+    return rd.from_items([{"start": s} for s in starts]).map_batches(
+        pairs_for_block, batch_format="pyarrow", batch_size=1
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-ish relational coverage (grouped aggregates, joins, sort+limit)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape over lineitem: partial aggregation inside map_batches
+    happens natively in Ray's sort-shuffle aggregate (G6-style two-pass)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    def disc_price(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "disc_price", pa.array(ep * (1.0 - disc), type=pa.float64())
+        )
+
+    ds = (
+        _read(sf_dir, "lineitem")
+        .select_columns(
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(disc_price, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def roundcols(t: pa.Table) -> pa.Table:
+        for col, nd in [
+            ("sum_qty", 2),
+            ("sum_base_price", 2),
+            ("sum_disc_price", 2),
+            ("avg_qty", 6),
+            ("avg_disc", 6),
+        ]:
+            t = t.set_column(
+                t.column_names.index(col),
+                col,
+                _round_col(t[col].to_numpy(zero_copy_only=False), nd),
+            )
+        return t
+
+    return ds.map_batches(roundcols, batch_format="pyarrow")
+
+
+def orders_per_customer(sf_dir: str):
+    """customer ⋈ orders (hash join J1 analogue — content keys, not
+    positional df.iloc like faiss_bert_similarity.py:175)."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = (
+        _read(sf_dir, "orders")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_spent"))
+    )
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"])
+    # small join: cap partitions (each hash-shuffle partition is an aggregator
+    # actor; 32 cold actors cost far more than shuffling a few MB through 8)
+    joined = cust.join(
+        orders,
+        "inner",
+        suggest_num_partitions(cap=8),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+    return joined.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("total_spent"),
+            "total_spent",
+            _round_col(t["total_spent"].to_numpy(zero_copy_only=False), 2),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# --------------------------------------------------------------------------
+# events family (timestamp handling)
+# --------------------------------------------------------------------------
+
+def events_hourly(sf_dir: str):
+    """Per (event_type, hour): counts + value sum; hour as epoch seconds."""
+    from ray.data.aggregate import Count, Sum
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)  # us
+        hour = (ts // 3_600_000_000) * 3600
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour_epoch": pa.array(hour, type=pa.int64()),
+                "value": batch["value"],
+            }
+        )
+
+    ds = (
+        _read(sf_dir, "events")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour_epoch"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return ds.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("sum_value"),
+            "sum_value",
+            _round_col(t["sum_value"].to_numpy(zero_copy_only=False), 4),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def events_user_stats(sf_dir: str):
+    """Per user: event count, value sum, first/last event time (epoch us)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "value": batch["value"],
+            }
+        )
+
+    ds = (
+        _read(sf_dir, "events")
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="total_value"),
+            Min("ts_us", alias_name="first_ts_us"),
+            Max("ts_us", alias_name="last_ts_us"),
+        )
+    )
+    return ds.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("total_value"),
+            "total_value",
+            _round_col(t["total_value"].to_numpy(zero_copy_only=False), 4),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# --------------------------------------------------------------------------
+# embeddings family (similarity search, SURVEY.md §2.3 A4 replaced)
+# --------------------------------------------------------------------------
+
+def knn_cosine(sf_dir: str, n_queries: int = 10, k: int = 10):
+    """Brute-force cosine top-k of the first ``n_queries`` vectors against the
+    whole embeddings table: broadcast query matrix, per-batch float64 matmul,
+    per-batch partial top-k, tiny global reduce (A4 FAISS IndexFlatIP
+    analogue, improved_faiss_detector.py:297-317)."""
+    emb = _read(sf_dir, "embeddings")
+    q_tbl = (
+        emb.filter(expr=f"vec_id < {n_queries}")
+        .select_columns(["vec_id", "embedding"])
+        .to_pandas()
+    )
+    Q = np.stack(q_tbl["embedding"].to_numpy()).astype(np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ids = q_tbl["vec_id"].to_numpy().astype(np.int64)
+    q_ref = ray.put((q_ids, Q))
+
+    class PartialTopK:
+        def __init__(self, q_ref, k):
+            self.q_ids, self.Q = ray.get(q_ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            col = batch["embedding"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            M = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            M = M.reshape(len(ids), -1)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            S = self.Q @ M.T  # (nq, nbatch)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(self.q_ids)):
+                row = S[qi]
+                mask = ids != self.q_ids[qi]
+                cand = np.flatnonzero(mask)
+                if len(cand) == 0:
+                    continue
+                top = cand[np.argsort(row[cand])[::-1][: self.k]]
+                out_q.append(np.full(len(top), self.q_ids[qi], dtype=np.int64))
+                out_n.append(ids[top])
+                out_s.append(row[top])
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        "neighbor_id": pa.array([], type=pa.int64()),
+                        "cosine": pa.array([], type=pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                    "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+                    "cosine": pa.array(np.concatenate(out_s), type=pa.float64()),
+                }
+            )
+
+    partials = emb.map_batches(
+        PartialTopK,
+        fn_constructor_kwargs={"q_ref": q_ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=1,
+    ).to_pandas()
+    # global reduce: tiny (n_queries * k * n_blocks rows)
+    out = (
+        partials.sort_values(["query_id", "cosine"], ascending=[True, False])
+        .groupby("query_id")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
+# --------------------------------------------------------------------------
+# dedup family over documents-as-pages (rows-only driver check; the SQL
+# engine cannot reproduce blake2b signatures)
+# --------------------------------------------------------------------------
+
+def _documents_as_pages(sf_dir: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = pa.array([f"doc://{i}" for i in ids], type=pa.string())
+        n = batch.num_rows
+        return pa.table(
+            {
+                "url": urls,
+                "warc_ts": pa.nulls(n, pa.timestamp("us")),
+                "html": pa.nulls(n, pa.binary()),
+                "text": batch["text"],
+                "lang": batch["lang"],
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
+
+
+def dedup_clusters(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG):
+    """Flagship: full near-dup pipeline over documents-as-pages."""
+    from imagededupx_ray.pipelines.dedup import run_dedup
+
+    res = run_dedup(_documents_as_pages(sf_dir), cfg)
+    return res.clusters
+
+
+def minhash_signatures(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG):
+    """Signature table over documents-as-pages (first 4 minhash components
+    surfaced as scalar columns for a stable, narrow result)."""
+    from imagededupx_ray.stages.extract import extract_stage
+    from imagededupx_ray.stages.signatures import signature_stage, signatures_to_numpy
+
+    sigs = signature_stage(extract_stage(_documents_as_pages(sf_dir)), cfg)
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        ids, mh, sim, nsh = signatures_to_numpy(batch, cfg.num_perms)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "mh0": pa.array(mh[:, 0].astype(np.int64) & np.int64((1 << 63) - 1), type=pa.int64()),
+                "mh1": pa.array(mh[:, 1].astype(np.int64) & np.int64((1 << 63) - 1), type=pa.int64()),
+                "simhash": pa.array(sim.astype(np.int64) & np.int64((1 << 63) - 1), type=pa.int64()),
+                "n_shingles": pa.array(nsh.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return sigs.map_batches(narrow, batch_format="pyarrow")
+
+
+def lsh_pairs(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG):
+    """LSH candidate pairs over documents-as-pages."""
+    from imagededupx_ray.stages.extract import extract_stage
+    from imagededupx_ray.stages.lsh import lsh_candidate_pairs
+    from imagededupx_ray.stages.signatures import signature_stage
+
+    sigs = signature_stage(extract_stage(_documents_as_pages(sf_dir)), cfg)
+    return lsh_candidate_pairs(sigs.materialize(), cfg)

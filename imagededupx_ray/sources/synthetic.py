@@ -290,18 +290,24 @@ def write_pages_corpus(
     n_pages: int,
     seed: int = 42,
     with_truth: bool = True,
-    rows_per_file: int = 25000,
+    rows_per_file: int = 8192,
 ) -> str:
     """Materialize the corpus as a directory of parquet files (the pipeline's
     actual input format) + truth sidecars. Idempotent: skips if a _SUCCESS
-    marker exists for the same params."""
+    marker exists for the same params. rows_per_file sizes read parallelism
+    (one read task per file at minimum)."""
     import json
     import os
 
     import pyarrow.parquet as pq
 
     marker = os.path.join(out_dir, "_SUCCESS")
-    params = {"n_pages": n_pages, "seed": seed, "with_truth": with_truth}
+    params = {
+        "n_pages": n_pages,
+        "seed": seed,
+        "with_truth": with_truth,
+        "rows_per_file": rows_per_file,
+    }
     if os.path.exists(marker):
         with open(marker) as f:
             if json.load(f) == params:

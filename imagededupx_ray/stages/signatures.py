@@ -53,20 +53,50 @@ class SignatureStage:
         )
 
 
+_PROC_CACHE: dict = {}
+
+
+def _signature_task(cfg: DedupConfig):
+    """Task-mode batch fn with once-per-worker-process setup: the constructed
+    SignatureStage (permutation table + token cache) is cached in the worker
+    process keyed by config hash — actor-pool state amortization without
+    actor-pool startup."""
+    key = cfg.config_hash
+
+    def fn(batch: pa.Table) -> pa.Table:
+        stage = _PROC_CACHE.get(key)
+        if stage is None:
+            stage = _PROC_CACHE[key] = SignatureStage(cfg)
+        return stage(batch)
+
+    return fn
+
+
 def signature_stage(
     docs_ds,
     cfg: DedupConfig = DEFAULT_CONFIG,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 1024,
 ):
-    """docs (needs doc_id + text) → signatures Dataset via an actor pool.
+    """docs (needs doc_id + text) → signatures Dataset.
 
-    ``concurrency × num_cpus=1`` should be sized below the node's CPU count so
-    read/shuffle stages aren't starved (SURVEY.md §4.2 item 4).
+    Default (``concurrency=None``) runs as task-based ``map_batches`` with the
+    stage object cached once per worker process: measured at sf0.1, a fresh
+    24-actor pool costs ~4s of actor cold-start per pipeline run while warm
+    task workers finish the whole stage in ~2.5s. Pass ``concurrency`` to get
+    a genuine actor pool — the right shape when the per-worker state is
+    expensive (GPU hashing per the north star, model scorers: SURVEY.md §2.3
+    A1/A2); ``concurrency × num_cpus=1`` is clamped below the node's CPU count
+    so read/shuffle stages aren't starved (SURVEY.md §4.2 item 4).
     """
+    src = docs_ds.select_columns(["doc_id", "text"])
+    if concurrency is None:
+        return src.map_batches(
+            _signature_task(cfg), batch_format="pyarrow", batch_size=batch_size
+        )
     from imagededupx_ray.util import clamp_actor_pool
 
-    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+    return src.map_batches(
         SignatureStage,
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",

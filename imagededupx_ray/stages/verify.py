@@ -77,12 +77,28 @@ def broadcast_signatures(signatures_ds, cfg: DedupConfig = DEFAULT_CONFIG):
     return ray.put((ids[order], np.ascontiguousarray(mh[order]), sim[order]))
 
 
+_PROC_CACHE: dict = {}
+
+
 def verify_pairs_broadcast(
-    cand_pairs_ds, signatures_ds, cfg: DedupConfig = DEFAULT_CONFIG, concurrency=2
+    cand_pairs_ds, signatures_ds, cfg: DedupConfig = DEFAULT_CONFIG, concurrency=None
 ):
+    sig_ref = broadcast_signatures(signatures_ds, cfg)
+    if concurrency is None:
+        # task mode: the verifier (holding the zero-copy broadcast arrays) is
+        # constructed once per worker process — no actor-pool cold start
+        key = sig_ref.hex()
+
+        def fn(batch: pa.Table) -> pa.Table:
+            v = _PROC_CACHE.get(key)
+            if v is None:
+                _PROC_CACHE.clear()  # previous runs' refs are dead weight
+                v = _PROC_CACHE[key] = BroadcastVerify(sig_ref, cfg)
+            return v(batch)
+
+        return cand_pairs_ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
     from imagededupx_ray.util import clamp_actor_pool
 
-    sig_ref = broadcast_signatures(signatures_ds, cfg)
     return cand_pairs_ds.map_batches(
         BroadcastVerify,
         fn_constructor_kwargs={"sig_ref": sig_ref, "cfg": cfg},

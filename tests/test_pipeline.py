@@ -22,7 +22,7 @@ def dedup_result(ray_session, fixture_corpus):
     from imagededupx_ray.pipelines.dedup import run_dedup
 
     pages = rd.read_parquet(f"{fixture_corpus}/pages")
-    res = run_dedup(pages, CFG, signature_concurrency=2)
+    res = run_dedup(pages, CFG)
     return fixture_corpus, res
 
 
