@@ -206,12 +206,16 @@ def minhash_matrix(
 
 
 def simhash_vector(
-    shingles: np.ndarray, counts: np.ndarray, shingle_chunk: int = 262144
+    shingles: np.ndarray, counts: np.ndarray, shingle_chunk: int = 8192
 ) -> np.ndarray:
     """64-bit SimHash per doc: sign of per-bit sum of (2*bit-1) over shingle
     occurrences (duplicate shingles naturally contribute their term frequency,
     matching the reference's weight-by-tf semantics,
-    literal_similarity.py:88-117). Tie (sum == 0) -> bit 0. Empty doc -> 0."""
+    literal_similarity.py:88-117). Tie (sum == 0) -> bit 0. Empty doc -> 0.
+
+    shingle_chunk sizes the (chunk, 64) unpacked-bit int64 temporary (~4 MiB)
+    to stay cache-resident — at 262144 it streamed ~130 MiB of DRAM per chunk
+    and throttled all workers under parallel contention."""
     n_docs = len(counts)
     ones = np.zeros((n_docs, 64), dtype=np.int64)
     nonempty = np.flatnonzero(counts > 0)

@@ -249,13 +249,25 @@ def assign_clusters(docs_unique_ds, dup_map_ds, root_map: dict[int, int]):
     members included), is_canonical = (doc_id == cluster_id).
 
     ``root_map`` holds only docs that appear in some dup relation (small
-    relative to a web corpus — the unique majority never enters it), broadcast
-    via closure capture; everything else is a singleton.
+    relative to a web corpus — the unique majority never enters it), put in
+    the object store ONCE as sorted arrays; lookup is vectorized searchsorted.
     """
+    import ray
+
+    keys = np.fromiter(root_map.keys(), dtype=np.int64, count=len(root_map))
+    vals = np.fromiter(root_map.values(), dtype=np.int64, count=len(root_map))
+    order = np.argsort(keys)
+    map_ref = ray.put((keys[order], vals[order]))
 
     def assign(batch: pa.Table) -> pa.Table:
+        k, v = ray.get(map_ref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cl = np.array([root_map.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        cl = ids.copy()
+        if len(k):
+            pos = np.searchsorted(k, ids)
+            pos[pos >= len(k)] = 0
+            hit = k[pos] == ids
+            cl[hit] = v[pos[hit]]
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),

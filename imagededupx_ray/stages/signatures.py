@@ -109,12 +109,16 @@ def signature_stage(
 def signatures_to_numpy(sig_table: pa.Table, num_perms: int):
     """Zero-copy-ish view of a signatures Arrow table as numpy arrays:
     (doc_ids u64, minhash (n, num_perms) u64, simhash u64, n_shingles i32)."""
-    ids = sig_table["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = sig_table["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     mh_col = sig_table["minhash"]
     if isinstance(mh_col, pa.ChunkedArray):
         mh_col = mh_col.combine_chunks()
     flat = mh_col.flatten()
-    mh = flat.to_numpy(zero_copy_only=False).astype(np.uint64).reshape(-1, num_perms)
-    sim = sig_table["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    nsh = sig_table["n_shingles"].to_numpy(zero_copy_only=False).astype(np.int32)
+    mh = (
+        flat.to_numpy(zero_copy_only=False)
+        .astype(np.uint64, copy=False)
+        .reshape(-1, num_perms)
+    )
+    sim = sig_table["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+    nsh = sig_table["n_shingles"].to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
     return ids, mh, sim, nsh

@@ -1,0 +1,170 @@
+"""Suffix-array exact-substring-span operator (SURVEY.md §7.2 step 6, §2.8).
+
+Generalizes the reference's longest-common-substring scoring —
+``longest_match_size`` / ``longest_match_ratio``
+(/root/reference/similarities/similarities/utils/distance.py:115-126) and
+``SequenceMatcherSimilarity`` with its ``min_same_len=70 →
+min_same_len_score=0.9`` rule
+(/root/reference/similarities/similarities/literal_similarity.py:1022-1047) —
+into a distributed stage: for every candidate/verified pair, build a suffix
+array over ``a + sep + b`` and emit the exact shared byte spans of length >=
+``span_min_len``.
+
+Per-pair texts are small (web pages), so the suffix array uses a vectorized
+numpy doubling algorithm (O(n log n)) and Kasai's LCP (O(n) python loop — a
+few thousand steps per pair, amortized across task workers). Spans come from
+adjacent cross-doc suffix pairs in the SA; this always realizes the longest
+common substring (the classic SA-LCS theorem) plus the left-maximal long
+spans, deduplicated. Offsets are byte offsets in the UTF-8 encoding.
+
+The pair → text lookup broadcasts only the texts of docs that appear in some
+pair (a small subset of a web corpus); the join path is the 10^12-doc
+alternative (same shape as verify_pairs_join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from imagededupx_ray.config import DedupConfig, DEFAULT_CONFIG
+
+
+def suffix_array_bytes(s: np.ndarray) -> np.ndarray:
+    """Suffix array of an int array via prefix-doubling (numpy lexsort)."""
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = s.astype(np.int64)
+    sa = np.argsort(rank, kind="stable")
+    k = 1
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        sa = np.lexsort((key2, rank))
+        r = rank[sa]
+        k2 = key2[sa]
+        neq = np.empty(n, dtype=bool)
+        neq[0] = False
+        neq[1:] = (r[1:] != r[:-1]) | (k2[1:] != k2[:-1])
+        new_rank = np.empty(n, dtype=np.int64)
+        new_rank[sa] = np.cumsum(neq)
+        rank = new_rank
+        if rank[sa[-1]] == n - 1:
+            return sa
+        k *= 2
+
+
+def lcp_kasai(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """lcp[r] = longest common prefix of suffixes sa[r-1], sa[r] (Kasai)."""
+    n = len(s)
+    lcp = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return lcp
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    sl = s.tolist()  # python list: ~3x faster element access in the loop
+    h = 0
+    for i in range(n):
+        r = rank[i]
+        if r > 0:
+            j = int(sa[r - 1])
+            while i + h < n and j + h < n and sl[i + h] == sl[j + h]:
+                h += 1
+            lcp[r] = h
+            if h:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def pair_spans(text_a: str, text_b: str, min_len: int) -> list[tuple[int, int, int]]:
+    """Exact shared byte spans (a_start, b_start, length >= min_len) between
+    two texts, from adjacent cross-doc suffix pairs; left-maximal, deduped,
+    sorted. Includes the longest common substring whenever it is >= min_len."""
+    ba = np.frombuffer(text_a.encode("utf-8"), dtype=np.uint8).astype(np.int64) + 2
+    bb = np.frombuffer(text_b.encode("utf-8"), dtype=np.uint8).astype(np.int64) + 2
+    la = len(ba)
+    s = np.concatenate((ba, np.array([1], dtype=np.int64), bb))
+    sa = suffix_array_bytes(s)
+    lcp = lcp_kasai(s, sa)
+    n = len(s)
+    out: set[tuple[int, int, int]] = set()
+    for r in range(1, n):
+        length = int(lcp[r])
+        if length < min_len:
+            continue
+        i, j = int(sa[r - 1]), int(sa[r])
+        if (i < la) == (j < la):  # same doc — not a cross span
+            continue
+        if i > j:
+            i, j = j, i
+        a_start, b_start = i, j - la - 1
+        length = min(length, la - a_start)  # clip at the separator
+        if length < min_len:
+            continue
+        # left-maximality: an extendable span is contained in a longer one
+        if a_start > 0 and b_start > 0 and ba[a_start - 1] == bb[b_start - 1]:
+            continue
+        out.add((a_start, b_start, length))
+    return sorted(out)
+
+
+def substring_spans(
+    pairs_ds,
+    docs_ds,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+):
+    """(a, b) pairs × docs(doc_id, text) → SUBSTRING_SPANS table.
+
+    Broadcasts only the texts of pair members (collected via a distributed
+    membership filter), then maps over pair batches as tasks.
+    """
+    pair_tbl = pairs_ds.select_columns(["a", "b"])
+    ids_df = pair_tbl.to_pandas()
+    needed = np.unique(
+        np.concatenate([ids_df["a"].to_numpy(), ids_df["b"].to_numpy()])
+    ).astype(np.int64)
+    needed_ref = ray.put(needed)
+
+    def member_filter(batch: pa.Table) -> pa.Table:
+        want = ray.get(needed_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(want, ids)
+        pos[pos >= len(want)] = 0
+        keep = want[pos] == ids
+        return batch.filter(pa.array(keep)).select(["doc_id", "text"])
+
+    texts_df = (
+        docs_ds.map_batches(member_filter, batch_format="pyarrow").to_pandas()
+    )
+    text_ref = ray.put(dict(zip(texts_df["doc_id"], texts_df["text"])))
+    min_len = cfg.span_min_len
+
+    def emit(batch: pa.Table) -> pa.Table:
+        texts = ray.get(text_ref)
+        rows_a, rows_b, a_s, b_s, ln = [], [], [], [], []
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            ta, tb = texts.get(a), texts.get(b)
+            if ta is None or tb is None:
+                continue
+            for (sa_, sb_, length) in pair_spans(ta, tb, min_len):
+                rows_a.append(a)
+                rows_b.append(b)
+                a_s.append(sa_)
+                b_s.append(sb_)
+                ln.append(length)
+        return pa.table(
+            {
+                "a": pa.array(rows_a, type=pa.int64()),
+                "b": pa.array(rows_b, type=pa.int64()),
+                "a_start": pa.array(a_s, type=pa.int64()),
+                "b_start": pa.array(b_s, type=pa.int64()),
+                "length": pa.array(ln, type=pa.int64()),
+            }
+        )
+
+    return pair_tbl.map_batches(emit, batch_format="pyarrow", batch_size=256)

@@ -39,20 +39,22 @@ def _pair_metrics(
 
 
 class BroadcastVerify:
-    """Actor-pool stage: signature arrays fetched from the object store once
-    per actor; per-batch work is searchsorted + vectorized compare."""
+    """Broadcast-lookup stage: signature arrays fetched from the object store
+    once per worker; per-batch work is searchsorted + vectorized compare.
+    The broadcast holds (sorted ids, argsort permutation, UNSORTED matrices):
+    reordering the 100s-of-MB minhash matrix at broadcast time cost more than
+    every lookup it would save — the permutation indirection is 8 bytes/doc."""
 
     def __init__(self, sig_ref, cfg: DedupConfig = DEFAULT_CONFIG):
-        # arrays are pre-sorted by id at broadcast time; ray.get is zero-copy
-        self.ids, self.mh, self.sim = ray.get(sig_ref)
+        self.ids_sorted, self.order, self.mh, self.sim = ray.get(sig_ref)
         self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ia = np.searchsorted(self.ids, a)
-        ib = np.searchsorted(self.ids, b)
         # candidate ids always exist in signatures (same pipeline run)
+        ia = self.order[np.searchsorted(self.ids_sorted, a)]
+        ib = self.order[np.searchsorted(self.ids_sorted, b)]
         est, ham = _pair_metrics(self.mh[ia], self.mh[ib], self.sim[ia], self.sim[ib])
         keep = (est >= self.cfg.jaccard_threshold) | (ham <= self.cfg.simhash_hamming_max)
         return pa.table(
@@ -66,15 +68,21 @@ class BroadcastVerify:
 
 
 def broadcast_signatures(signatures_ds, cfg: DedupConfig = DEFAULT_CONFIG):
-    """Materialize the signature table into compact numpy arrays and ``ray.put``
-    them once (SURVEY.md §2.3 A5 broadcast pattern)."""
-    tables = []
-    for batch in signatures_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        tables.append(batch)
-    sig = pa.concat_tables(tables)
-    ids, mh, sim, _ = signatures_to_numpy(sig, cfg.num_perms)
-    order = np.argsort(ids)  # sorted once here; every verify actor reads as-is
-    return ray.put((ids[order], np.ascontiguousarray(mh[order]), sim[order]))
+    """Stream the signature table into compact numpy arrays and ``ray.put``
+    them once (SURVEY.md §2.3 A5 broadcast pattern). One vstack copy of the
+    minhash matrix; ids are index-sorted via a permutation, the matrix is not
+    physically reordered."""
+    ids_l, mh_l, sim_l = [], [], []
+    for batch in signatures_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        i, m, s, _ = signatures_to_numpy(batch, cfg.num_perms)
+        ids_l.append(i)
+        mh_l.append(m)
+        sim_l.append(s)
+    ids = np.concatenate(ids_l)
+    mh = np.vstack(mh_l)
+    sim = np.concatenate(sim_l)
+    order = np.argsort(ids).astype(np.int64)
+    return ray.put((ids[order], order, mh, sim))
 
 
 _PROC_CACHE: dict = {}

@@ -1,0 +1,104 @@
+"""Suffix-array substring-span operator tests (SURVEY.md §2.8 / §7.2 step 6).
+
+Oracle: difflib.SequenceMatcher(autojunk=False).find_longest_match — the
+exact routine the reference uses for longest-common-substring scoring
+(utils/distance.py:115-126) — must agree with the stage's max span length
+per pair; the fixture's planted substring pairs must all be detected.
+"""
+
+from difflib import SequenceMatcher
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from imagededupx_ray.config import DEFAULT_CONFIG as CFG
+from imagededupx_ray.stages.spans import pair_spans, suffix_array_bytes, lcp_kasai
+
+
+def _longest_match(a: str, b: str) -> int:
+    m = SequenceMatcher(None, a, b, autojunk=False)
+    return m.find_longest_match(0, len(a), 0, len(b)).size
+
+
+def test_suffix_array_small():
+    s = np.frombuffer(b"banana", dtype=np.uint8).astype(np.int64)
+    sa = suffix_array_bytes(s)
+    # suffixes sorted: a(5), ana(3), anana(1), banana(0), na(4), nana(2)
+    assert sa.tolist() == [5, 3, 1, 0, 4, 2]
+    lcp = lcp_kasai(s, sa)
+    assert lcp.tolist() == [0, 1, 3, 0, 0, 2]
+
+
+def test_pair_spans_exact_known():
+    shared = "x" * 10 + "the quick brown fox jumps over the lazy dog " * 3
+    a = "prefix one two three " + shared + " suffix alpha"
+    b = "other start " + shared + " different tail"
+    spans = pair_spans(a, b, min_len=70)
+    assert spans, "planted span not found"
+    best = max(s[2] for s in spans)
+    assert best == _longest_match(a, b)
+    # offsets actually point at identical bytes
+    for a_start, b_start, length in spans:
+        assert a.encode()[a_start : a_start + length] == b.encode()[b_start : b_start + length]
+
+
+def test_pair_spans_no_false_positive():
+    a = "completely different words here without overlap one"
+    b = "nothing shared beyond tiny bits and bobs two"
+    assert pair_spans(a, b, min_len=20) == []
+
+
+def test_pair_spans_matches_difflib_on_random_pairs():
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    for _ in range(25):
+        base = " ".join(rng.choice(vocab, size=80))
+        a_toks = base.split()
+        b_toks = base.split()
+        # perturb each side independently
+        for toks in (a_toks, b_toks):
+            for _ in range(rng.integers(1, 8)):
+                toks[int(rng.integers(0, len(toks)))] = str(rng.choice(vocab))
+        a, b = " ".join(a_toks), " ".join(b_toks)
+        want = _longest_match(a, b)
+        spans = pair_spans(a, b, min_len=10)
+        got = max((s[2] for s in spans), default=0)
+        if want >= 10:
+            assert got == want, (a, b)
+        else:
+            assert got == 0 or got < 10
+
+
+def test_substring_stage_on_fixture(ray_session, fixture_corpus):
+    """Every planted substring pair in the synthetic corpus yields a span
+    >= span_min_len when run through the distributed stage."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from imagededupx_ray.functions.hashing import doc_id_of
+    from imagededupx_ray.stages.spans import substring_spans
+
+    tp = pq.read_table(f"{fixture_corpus}/truth_pairs.parquet").to_pandas()
+    sub = tp[tp.kind == "substring"]
+    assert len(sub) > 5
+    pairs = []
+    for _, r in sub.iterrows():
+        ia, ib = doc_id_of(r.a_url), doc_id_of(r.b_url)
+        pairs.append({"a": min(ia, ib), "b": max(ia, ib)})
+    pages = pq.read_table(f"{fixture_corpus}/pages")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(
+                [doc_id_of(u) for u in pages["url"].to_pylist()], type=pa.int64()
+            ),
+            "text": pages["text"],
+        }
+    )
+    spans = substring_spans(
+        rd.from_arrow(pa.Table.from_pylist(pairs)), rd.from_arrow(docs), CFG
+    ).to_pandas()
+    assert (spans.length >= CFG.span_min_len).all()
+    found = {(r.a, r.b) for _, r in spans.iterrows()}
+    for p in pairs:
+        assert (p["a"], p["b"]) in found, "planted substring pair missing"
