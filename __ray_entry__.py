@@ -46,10 +46,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": Q.events_hourly,
         "events_user_stats": Q.events_user_stats,
         "knn_cosine": Q.knn_cosine,
+        "docs_quality": Q.docs_quality,
+        "docs_fingerprint_md5": Q.docs_fingerprint_md5,
+        "embedding_dup_pairs": Q.embedding_dup_pairs,
         # non-SQL-expressible (rows-only check; gated by pytest oracle instead)
         "dedup_clusters": Q.dedup_clusters,
         "minhash_signatures": Q.minhash_signatures,
         "lsh_pairs": Q.lsh_pairs,
+        "docs_langid": Q.docs_langid,
+        "docs_winnow_fingerprints": Q.docs_winnow_fingerprints,
+        "simhash_dup_pairs": Q.simhash_dup_pairs,
+        "ann_cosine": Q.ann_cosine,
+        "image_decode_features": Q.image_decode_features,
     }
 
 
@@ -115,6 +123,30 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(value), 4) AS total_value, "
             "epoch_us(MIN(ts)) AS first_ts_us, epoch_us(MAX(ts)) AS last_ts_us "
             "FROM events GROUP BY user_id"
+        ),
+        "docs_quality": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits, "
+            "length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper, "
+            "length(regexp_replace(text, '[^ ]', '', 'g')) AS n_spaces, "
+            "ROUND(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
+            " / GREATEST(length(text), 1), 6) AS digit_ratio, "
+            "ROUND(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)"
+            " / GREATEST(length(text), 1), 6) AS upper_ratio, "
+            "ROUND(CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)"
+            " / GREATEST(length(text), 1), 6) AS space_ratio "
+            "FROM documents"
+        ),
+        "docs_fingerprint_md5": (
+            "SELECT doc_id, md5(text) AS md5 FROM documents"
+        ),
+        "embedding_dup_pairs": (
+            "WITH e AS (SELECT vec_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+            "s AS (SELECT a.vec_id AS a, b.vec_id AS b, "
+            "list_cosine_similarity(a.v, b.v) AS cos "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id) "
+            "SELECT a, b, ROUND(cos, 6) AS cosine FROM s WHERE cos >= 0.4"
         ),
         "knn_cosine": (
             "WITH e AS (SELECT vec_id, "

@@ -1,0 +1,148 @@
+"""Text-analysis kernels for training-data curation: quality stats,
+language-ID heuristic, winnowing fingerprints.
+
+All operate on whole Arrow batches (numpy / pyarrow.compute); no per-row
+Python in the stats kernels. Reference analogues: the tokenizer/stopword
+plumbing (SURVEY.md §2.2 M3/M4) and the corpus-stats aggregates (§2.5 G7) —
+the reference has no quality/langid operators; these are the standard
+web-corpus curation additions (C4/Gopher-style heuristics from public
+literature).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from imagededupx_ray.functions import hashing as H
+
+# ---------------------------------------------------------------- quality
+
+
+def quality_stats(text_col) -> pa.Table:
+    """Per-doc quality columns: n_chars, n_digits, n_upper, n_spaces, plus
+    float ratios (6dp, half-away rounding to match a SQL oracle)."""
+    arr = text_col if isinstance(text_col, (pa.Array, pa.ChunkedArray)) else pa.array(
+        text_col, type=pa.string()
+    )
+    n_chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    def count_class(pattern: str) -> np.ndarray:
+        # strip everything OUTSIDE the class; what remains is the class count
+        stripped = pc.replace_substring_regex(arr, pattern=pattern, replacement="")
+        return pc.utf8_length(stripped).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    n_digits = count_class(r"[^0-9]")
+    n_upper = count_class(r"[^A-Z]")
+    n_spaces = count_class(r"[^ ]")
+    denom = np.maximum(n_chars, 1).astype(np.float64)
+
+    def ratio(x):
+        r = x.astype(np.float64) / denom
+        return np.copysign(np.floor(np.abs(r) * 1e6 + 0.5) / 1e6, r)
+
+    return pa.table(
+        {
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+            "n_digits": pa.array(n_digits, type=pa.int64()),
+            "n_upper": pa.array(n_upper, type=pa.int64()),
+            "n_spaces": pa.array(n_spaces, type=pa.int64()),
+            "digit_ratio": pa.array(ratio(n_digits), type=pa.float64()),
+            "upper_ratio": pa.array(ratio(n_upper), type=pa.float64()),
+            "space_ratio": pa.array(ratio(n_spaces), type=pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------- langid
+
+# Tiny per-language profiles: high-frequency function words (public knowledge)
+# + a CJK codepoint test. A deterministic heuristic — not a trained model.
+_PROFILES = {
+    "en": {"the", "of", "and", "to", "in", "is", "that", "it", "was", "for",
+           "with", "on", "as", "are", "this", "be", "at", "by", "not", "or"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine",
+           "zu", "den", "von", "für", "auf", "im", "des", "sich", "auch"},
+    "fr": {"le", "la", "les", "de", "des", "et", "est", "un", "une", "du",
+           "que", "qui", "dans", "pour", "pas", "sur", "avec", "au"},
+    "es": {"el", "la", "los", "las", "de", "y", "es", "un", "una", "que",
+           "en", "por", "con", "para", "del", "se", "no", "su"},
+}
+
+
+def langid_batch(text_col) -> tuple[list[str], np.ndarray]:
+    """Heuristic language-ID: CJK codepoint share → zh; else argmax stopword
+    hit-rate over per-language profiles; 'und' (undetermined) when no profile
+    scores. Returns (lang codes, confidence in [0,1])."""
+    arr = text_col if isinstance(text_col, (pa.Array, pa.ChunkedArray)) else pa.array(
+        text_col, type=pa.string()
+    )
+    texts = arr.to_pylist()
+    langs: list[str] = []
+    conf = np.zeros(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        t = (t or "").lower()
+        if not t.strip():
+            langs.append("und")
+            continue
+        sample = t[:2000]
+        n_cjk = sum(1 for ch in sample if "一" <= ch <= "鿿")
+        if n_cjk >= max(4, 0.05 * len(sample)):
+            langs.append("zh")
+            conf[i] = min(1.0, n_cjk / max(1, len(sample)) * 4)
+            continue
+        toks = sample.split()
+        if not toks:
+            langs.append("und")
+            continue
+        best, best_score = "und", 0.0
+        for lang, words in _PROFILES.items():
+            score = sum(1 for w in toks if w in words) / len(toks)
+            if score > best_score:
+                best, best_score = lang, score
+        langs.append(best if best_score > 0.02 else "und")
+        conf[i] = round(min(1.0, best_score * 5), 6)
+    return langs, conf
+
+
+# ---------------------------------------------------------------- fingerprints
+
+
+def winnow_fingerprints(
+    token_hashes: np.ndarray, offsets: np.ndarray, k: int = 5, window: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing document fingerprints (Schleimer et al. 2003, public
+    algorithm): k-gram rolling hashes, then the minimum of every ``window``
+    consecutive hashes, deduplicated per doc. Returns (flat fingerprint u64s,
+    per-doc counts). Vectorized via sliding_window_view over each doc's
+    shingle range (one numpy call per doc on its own slice — doc counts are
+    small; the shingle hashing itself is batch-global)."""
+    sh, counts = H.shingle_hashes(token_hashes, offsets, k)
+    out: list[np.ndarray] = []
+    fp_counts = np.zeros(len(counts), dtype=np.int64)
+    pos = 0
+    for d, c in enumerate(counts):
+        c = int(c)
+        seg = sh[pos : pos + c]
+        pos += c
+        if c == 0:
+            continue
+        if c <= window:
+            fps = np.unique(seg.min(keepdims=True))
+        else:
+            mins = np.min(
+                np.lib.stride_tricks.sliding_window_view(seg, window), axis=1
+            )
+            fps = np.unique(mins)
+        out.append(fps)
+        fp_counts[d] = len(fps)
+    flat = np.concatenate(out) if out else np.empty(0, dtype=np.uint64)
+    return flat, fp_counts
+
+
+def content_md5(texts: list[str]) -> list[str]:
+    """Hex md5 per text (DuckDB-oracle-able exact fingerprint; reference
+    analogue get_file_hash, improved_faiss_detector.py:41-50)."""
+    return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]

@@ -486,3 +486,199 @@ def lsh_pairs(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG):
 
     sigs = signature_stage(extract_stage(_documents_as_pages(sf_dir)), cfg)
     return lsh_candidate_pairs(sigs.materialize(), cfg)
+
+
+# --------------------------------------------------------------------------
+# text-analysis family (quality, langid, fingerprints)
+# --------------------------------------------------------------------------
+
+def docs_quality(sf_dir: str):
+    """Per-doc quality stats (C4/Gopher-style curation heuristics): char
+    counts + digit/upper/space ratios, all Arrow-kernel vectorized."""
+    from imagededupx_ray.functions.textstats import quality_stats
+
+    def fn(batch: pa.Table) -> pa.Table:
+        stats = quality_stats(batch["text"])
+        return pa.table({"doc_id": batch["doc_id"], **{c: stats[c] for c in stats.column_names}})
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
+
+
+def docs_fingerprint_md5(sf_dir: str):
+    """Exact content fingerprint (md5 hex) per doc — the SQL-oracle-able
+    fingerprint twin (reference MD5 file hash, improved_faiss_detector.py:41-50)."""
+    from imagededupx_ray.functions.textstats import content_md5
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "md5": pa.array(content_md5(batch["text"].to_pylist()), type=pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
+
+
+def docs_langid(sf_dir: str):
+    """Heuristic language-ID (stopword-profile + CJK codepoint test) — the
+    n-gram-heuristic langid of web-corpus curation; rows-only (no SQL twin)."""
+    from imagededupx_ray.functions.textstats import langid_batch
+
+    def fn(batch: pa.Table) -> pa.Table:
+        langs, conf = langid_batch(batch["text"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(langs, type=pa.string()),
+                "confidence": pa.array(conf, type=pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
+
+
+def docs_winnow_fingerprints(sf_dir: str):
+    """Winnowing fingerprint summary per doc (Schleimer et al.): count and
+    xor-fold of the fingerprint set (order-independent, deterministic)."""
+    from imagededupx_ray.functions.textstats import winnow_fingerprints
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokenize_batch(batch["text"])
+        th = H.token_hash_flat(flat)
+        fps, counts = winnow_fingerprints(th, offsets)
+        xor_fold = np.zeros(batch.num_rows, dtype=np.uint64)
+        pos = 0
+        for i, c in enumerate(counts):
+            seg = fps[pos : pos + int(c)]
+            pos += int(c)
+            if len(seg):
+                xor_fold[i] = np.bitwise_xor.reduce(seg)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_fingerprints": pa.array(counts, type=pa.int64()),
+                "fp_xor": pa.array(
+                    (xor_fold & np.uint64((1 << 63) - 1)).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
+
+
+def simhash_dup_pairs(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG):
+    """All doc pairs within simhash hamming distance <= cfg.simhash_hamming_max
+    (the SimHash dedup tier; reference hamming similarity
+    literal_similarity.py:119-125). Blocked popcount over the full pair grid —
+    64-bit signatures make this a cheap uint64 kernel; LSH-over-simhash-bands
+    is the 10^12 path."""
+    from imagededupx_ray.stages.extract import extract_stage
+    from imagededupx_ray.stages.signatures import signature_stage, signatures_to_numpy
+    from imagededupx_ray.functions.hashing import popcount64
+
+    sigs = signature_stage(extract_stage(_documents_as_pages(sf_dir)), cfg)
+    parts = []
+    for b in sigs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ids, _, sim, nsh = signatures_to_numpy(b, cfg.num_perms)
+        parts.append((ids[nsh > 0], sim[nsh > 0]))
+    ids = np.concatenate([p[0] for p in parts])
+    sim = np.concatenate([p[1] for p in parts])
+    ref = ray.put((ids, sim))
+    block = 2048
+    starts = list(range(0, len(ids), block))
+    hmax = cfg.simhash_hamming_max
+
+    def pairs_for_block(batch: pa.Table) -> pa.Table:
+        all_ids, all_sim = ray.get(ref)
+        out_a, out_b, out_h = [], [], []
+        for s in batch["start"].to_pylist():
+            e = min(s + block, len(all_ids))
+            ham = popcount64(all_sim[s:e, None] ^ all_sim[None, :])
+            ii, jj = np.nonzero(ham <= hmax)
+            keep = all_ids[ii + s] < all_ids[jj]
+            out_a.append(all_ids[ii[keep] + s])
+            out_b.append(all_ids[jj[keep]])
+            out_h.append(ham[ii[keep], jj[keep]])
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a) if out_a else [], type=pa.int64()),
+                "b": pa.array(np.concatenate(out_b) if out_b else [], type=pa.int64()),
+                "hamming": pa.array(
+                    np.concatenate(out_h).astype(np.int64) if out_h else [],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return rd.from_items([{"start": s} for s in starts]).map_batches(
+        pairs_for_block, batch_format="pyarrow", batch_size=1
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding similarity family (ANN + near-dup)
+# --------------------------------------------------------------------------
+
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
+    """Embedding-cosine near-duplicate pairs (>= threshold), exact blocked
+    matmul against the broadcast matrix — the embedding tier of dedup."""
+    emb = _read(sf_dir, "embeddings").to_pandas()
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids, M))
+    block = 1024
+    starts = list(range(0, len(ids), block))
+
+    def pairs_for_block(batch: pa.Table) -> pa.Table:
+        all_ids, Mn = ray.get(ref)
+        out_a, out_b, out_c = [], [], []
+        for s in batch["start"].to_pylist():
+            e = min(s + block, len(all_ids))
+            S = Mn[s:e] @ Mn.T
+            ii, jj = np.nonzero(S >= threshold)
+            keep = all_ids[ii + s] < all_ids[jj]
+            out_a.append(all_ids[ii[keep] + s])
+            out_b.append(all_ids[jj[keep]])
+            out_c.append(S[ii[keep], jj[keep]])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        c = np.concatenate(out_c) if out_c else np.empty(0, np.float64)
+        return pa.table(
+            {
+                "a": pa.array(a, type=pa.int64()),
+                "b": pa.array(b, type=pa.int64()),
+                "cosine": _round_col(c, 6),
+            }
+        )
+
+    return rd.from_items([{"start": s} for s in starts]).map_batches(
+        pairs_for_block, batch_format="pyarrow", batch_size=1
+    )
+
+
+def ann_cosine(sf_dir: str, n_queries: int = 10, k: int = 10):
+    """IVF approximate top-k (scale path of knn_cosine); rows-only — recall
+    vs brute force is gated in tests/test_ann.py."""
+    from imagededupx_ray.stages.ann import IVFIndex
+
+    emb = _read(sf_dir, "embeddings")
+    q = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    Q = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    idx = IVFIndex(n_clusters=16, nprobe=6).build(emb)
+    out = idx.search(Q, q["vec_id"].to_numpy(), k=k)
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
+def image_decode_features(sf_dir: str):
+    """Multimodal plumbing: synthetic binary payloads through the actor-pool
+    decode stage (deterministic fake kernel; real Ray-side layout)."""
+    from imagededupx_ray.stages.multimodal import decode_images, synthetic_images
+
+    imgs = rd.from_arrow(synthetic_images(200))
+    return decode_images(imgs).map_batches(
+        lambda t: t.drop_columns(["feature"]), batch_format="pyarrow"
+    )

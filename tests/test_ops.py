@@ -1,0 +1,131 @@
+"""Extended operator tests: ANN recall vs brute force, language-ID on known
+samples, winnowing fingerprint properties, multimodal decode plumbing,
+simhash pair symmetry (SURVEY.md §2.3 A4, §2.2 M5, training-data ops)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_ann_recall_vs_brute_force(ray_session):
+    import ray.data as rd
+
+    from imagededupx_ray.stages.ann import IVFIndex, brute_force_topk
+
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(expr="vec_id < 20").to_pandas()
+    Q = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    q_ids = q["vec_id"].to_numpy()
+
+    exact = brute_force_topk(emb, Q, q_ids, k=10)
+    idx = IVFIndex(n_clusters=16, nprobe=8).build(emb)
+    approx = idx.search(Q, q_ids, k=10)
+
+    # recall@10 over all queries
+    hits = 0
+    total = 0
+    for qid in q_ids:
+        want = set(exact[exact.query_id == qid].neighbor_id)
+        got = set(approx[approx.query_id == qid].neighbor_id)
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.5, f"IVF recall {hits}/{total}"
+    # exact scores agree where ids overlap
+    m = exact.merge(approx, on=["query_id", "neighbor_id"], suffixes=("_e", "_a"))
+    assert np.allclose(m.cosine_e, m.cosine_a, atol=1e-9)
+
+
+def test_ivf_deterministic(ray_session):
+    import ray.data as rd
+
+    from imagededupx_ray.stages.ann import IVFIndex
+
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    c1 = IVFIndex(n_clusters=8).build(emb).centroids
+    c2 = IVFIndex(n_clusters=8).build(emb).centroids
+    assert np.array_equal(c1, c2)
+
+
+def test_langid_known_samples():
+    from imagededupx_ray.functions.textstats import langid_batch
+
+    texts = [
+        "the cat sat on the mat and it was happy with the sun",
+        "der Hund ist nicht mit der Katze im Haus und das ist gut",
+        "le chat est dans la maison et il est content pour le moment",
+        "el perro es un animal que vive en la casa con su familia",
+        "这是一个中文句子，用来测试语言识别的功能。",
+        "",
+    ]
+    langs, conf = langid_batch(pa.array(texts, type=pa.string()))
+    assert langs == ["en", "de", "fr", "es", "zh", "und"]
+    assert all(c > 0 for c in conf[:5])
+
+
+def test_winnow_fingerprints_properties():
+    from imagededupx_ray.functions.text import tokenize_batch
+    from imagededupx_ray.functions import hashing as H
+    from imagededupx_ray.functions.textstats import winnow_fingerprints
+
+    base = " ".join(f"tok{i}" for i in range(100))
+    texts = [base, base, base + " extra tail words here now", "short one", ""]
+    flat, off = tokenize_batch(pa.array(texts, type=pa.string()))
+    th = H.token_hash_flat(flat)
+    fps, counts = winnow_fingerprints(th, off)
+    segs = np.split(fps, np.cumsum(counts)[:-1])
+    # identical docs -> identical fingerprint sets
+    assert np.array_equal(segs[0], segs[1])
+    # winnowing guarantee: shared prefix keeps most fingerprints
+    overlap = len(np.intersect1d(segs[0], segs[2])) / len(segs[0])
+    assert overlap > 0.8
+    # short doc gets >= 1 fingerprint; empty gets 0
+    assert counts[3] >= 1 and counts[4] == 0
+
+
+def test_image_decode_stage(ray_session):
+    import ray.data as rd
+
+    from imagededupx_ray.stages.multimodal import (
+        FEATURE_DIM,
+        decode_images,
+        synthetic_images,
+    )
+
+    imgs = synthetic_images(64)
+    out = decode_images(rd.from_arrow(imgs), batch_size=16).to_pandas()
+    assert len(out) == 64
+    assert set(out.columns) == {"image_id", "width", "height", "mean_luma", "feature"}
+    assert (out.width >= 64).all() and (out.height >= 64).all()
+    feats = np.stack(out.sort_values("image_id").feature.to_numpy())
+    assert feats.shape == (64, FEATURE_DIM)
+    # unit-norm features, deterministic across runs
+    assert np.allclose(np.linalg.norm(feats, axis=1), 1.0, atol=1e-5)
+    out2 = decode_images(rd.from_arrow(imgs), batch_size=16).to_pandas()
+    feats2 = np.stack(out2.sort_values("image_id").feature.to_numpy())
+    assert np.array_equal(feats, feats2)
+
+
+def test_simhash_pairs_match_bruteforce(ray_session):
+    """simhash_dup_pairs equals a direct popcount check over the signature
+    table (same pipeline semantics, independent pairing code)."""
+    import __ray_entry__ as e
+    from imagededupx_ray.config import DEFAULT_CONFIG as CFG
+    from imagededupx_ray.functions.hashing import popcount64
+    from imagededupx_ray.stages.extract import extract_stage
+    from imagededupx_ray.stages.signatures import signature_stage, signatures_to_numpy
+    from imagededupx_ray.queries import _documents_as_pages
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["simhash_dup_pairs"](sf).to_pandas()
+    sig = signature_stage(extract_stage(_documents_as_pages(sf)), CFG).to_pandas()
+    import pyarrow as pa_
+
+    ids, _, sim, nsh = signatures_to_numpy(pa_.Table.from_pandas(sig), CFG.num_perms)
+    ids, sim = ids[nsh > 0], sim[nsh > 0]
+    ham = popcount64(sim[:, None] ^ sim[None, :])
+    ii, jj = np.nonzero(ham <= CFG.simhash_hamming_max)
+    keep = ids[ii] < ids[jj]
+    want = {(int(a), int(b)) for a, b in zip(ids[ii[keep]], ids[jj[keep]])}
+    assert {(int(r.a), int(r.b)) for _, r in got.iterrows()} == want
