@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": Q.simhash_dup_pairs,
         "ann_cosine": Q.ann_cosine,
         "image_decode_features": Q.image_decode_features,
+        "bm25_search": Q.bm25_search,
     }
 
 

@@ -1,0 +1,121 @@
+"""CLI entry points (SURVEY.md §2.10; reference analogue: the ``fire`` CLI
+verbs in similarities/similarities/cli.py:15-29 and the detector
+``--mode build|update|search`` main, improved_faiss_detector.py:612-738).
+
+    python -m imagededupx_ray dedup   --input DIR --output DIR
+    python -m imagededupx_ray build   --input DIR --store DIR --snapshot ID
+    python -m imagededupx_ray merge   --input DIR --store DIR --snapshot ID --parent ID
+    python -m imagededupx_ray spans   --input DIR --output DIR
+    python -m imagededupx_ray synth   --output DIR --pages N
+
+Owns its Ray session (guarded init + shutdown); the driver contract
+(__ray_entry__) never goes through here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="imagededupx_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("dedup", help="one-shot near-dup pipeline: pages parquet -> clusters parquet")
+    d.add_argument("--input", required=True, help="directory of pages parquet files")
+    d.add_argument("--output", required=True)
+
+    b = sub.add_parser("build", help="checkpointed full build into a snapshot store")
+    b.add_argument("--input", required=True)
+    b.add_argument("--store", required=True)
+    b.add_argument("--snapshot", required=True)
+
+    m = sub.add_parser("merge", help="incremental merge of a new snapshot")
+    m.add_argument("--input", required=True)
+    m.add_argument("--store", required=True)
+    m.add_argument("--snapshot", required=True)
+    m.add_argument("--parent", default=None, help="defaults to the store's latest snapshot")
+
+    s = sub.add_parser("spans", help="substring spans for verified pairs of a dedup run")
+    s.add_argument("--input", required=True, help="pages parquet directory")
+    s.add_argument("--output", required=True)
+
+    g = sub.add_parser("synth", help="write a synthetic pages corpus")
+    g.add_argument("--output", required=True)
+    g.add_argument("--pages", type=int, default=10000)
+    g.add_argument("--seed", type=int, default=42)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "synth":
+        from imagededupx_ray.sources.synthetic import write_pages_corpus
+
+        out = write_pages_corpus(args.output, n_pages=args.pages, seed=args.seed)
+        print(json.dumps({"written": out, "n_pages": args.pages}))
+        return 0
+
+    _ray_init()
+    import ray
+    import ray.data as rd
+
+    from imagededupx_ray.config import DEFAULT_CONFIG
+
+    try:
+        if args.cmd == "dedup":
+            from imagededupx_ray.pipelines.dedup import run_dedup
+
+            res = run_dedup(rd.read_parquet(args.input), DEFAULT_CONFIG)
+            res.clusters.write_parquet(args.output)
+            print(json.dumps({"clusters": args.output, "rows": res.clusters.count()}))
+        elif args.cmd in ("build", "merge"):
+            from imagededupx_ray.pipelines.incremental import build_snapshot
+            from imagededupx_ray.state.checkpoint import SnapshotStore
+
+            store = SnapshotStore(args.store, DEFAULT_CONFIG)
+            parent = getattr(args, "parent", None)
+            if args.cmd == "merge" and parent is None:
+                parent = store.latest_snapshot()
+            clusters = build_snapshot(
+                store, rd.read_parquet(args.input), args.snapshot, parent=parent
+            )
+            print(
+                json.dumps(
+                    {
+                        "snapshot": args.snapshot,
+                        "parent": parent,
+                        "rows": clusters.count(),
+                        "manifest": store.manifest(args.snapshot),
+                    }
+                )
+            )
+        elif args.cmd == "spans":
+            from imagededupx_ray.pipelines.dedup import run_dedup
+            from imagededupx_ray.stages.spans import substring_spans
+
+            res = run_dedup(rd.read_parquet(args.input), DEFAULT_CONFIG)
+            spans = substring_spans(
+                res.verified_pairs,
+                res.docs_unique.select_columns(["doc_id", "text"]),
+                DEFAULT_CONFIG,
+            )
+            spans.write_parquet(args.output)
+            print(json.dumps({"spans": args.output, "rows": spans.count()}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -75,6 +75,8 @@ def _winners(meta_ds):
 def _attach_sha(signatures_ds, docs_unique_ds):
     """signatures(doc_id, ...) + docs_unique(doc_id → sha): broadcast map."""
     meta = docs_unique_ds.select_columns(["doc_id", "text_sha256"]).to_pandas()
+    if "doc_id" not in meta.columns:  # empty delta loses schema via to_pandas
+        meta = meta.reindex(columns=["doc_id", "text_sha256"])
     ref = ray.put(dict(zip(meta["doc_id"], meta["text_sha256"])))
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -95,6 +97,8 @@ def _pairs_from_lsh(lsh_rows_ds, cfg: DedupConfig, bucket_filter_ref=None):
         def keep_touched(t: pa.Table) -> pa.Table:
             want = ray.get(bucket_filter_ref)
             b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(want) == 0:
+                return t.slice(0, 0)
             pos = np.searchsorted(want, b)
             pos[pos >= len(want)] = 0
             return t.filter(pa.array(want[pos] == b))
@@ -245,12 +249,17 @@ def build_snapshot(
         signature_stage(reps, cfg), reps.select_columns(["doc_id", "text_sha256"])
     ).materialize()
 
+    _SIG_COLS = ["doc_id", "minhash", "simhash", "n_shingles", "text_sha256"]
+
+    def _with_cols(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+        # an empty Ray dataset loses its schema through to_pandas()
+        return df if set(cols) <= set(df.columns) else df.reindex(columns=cols)
+
+    new_sigs_df = _with_cols(new_sigs.to_pandas(), _SIG_COLS)
     if prev_sig is None:
-        sig_all_df = new_sigs.to_pandas()
+        sig_all_df = new_sigs_df
     else:
-        sig_all_df = pd.concat(
-            [prev_sig, new_sigs.to_pandas()], ignore_index=True
-        )
+        sig_all_df = pd.concat([prev_sig, new_sigs_df], ignore_index=True)
 
     # rekey every signature row to the CURRENT canonical doc of its text
     canon = dict(zip(winners_df["text_sha256"], winners_df["canonical_doc_id"]))
@@ -265,19 +274,27 @@ def build_snapshot(
     if parent is None:
         bucket_filter_ref = None
     else:
-        new_sig_tbl = pa.Table.from_pandas(
-            sig_all_df[sig_all_df["text_sha256"].isin(set(new_sigs.to_pandas()["text_sha256"]))],
-            preserve_index=False,
-        )
-        delta_rows = explode_bands(cfg, partitions=p)(new_sig_tbl)
-        bucket_filter_ref = ray.put(
-            np.unique(delta_rows["bucket"].to_numpy(zero_copy_only=False))
-        )
+        if len(new_sigs_df) == 0:
+            bucket_filter_ref = ray.put(np.empty(0, dtype=np.int64))
+        else:
+            new_sig_tbl = pa.Table.from_pandas(
+                sig_all_df[
+                    sig_all_df["text_sha256"].isin(set(new_sigs_df["text_sha256"]))
+                ],
+                preserve_index=False,
+            )
+            delta_rows = explode_bands(cfg, partitions=p)(new_sig_tbl)
+            bucket_filter_ref = ray.put(
+                np.unique(delta_rows["bucket"].to_numpy(zero_copy_only=False))
+            )
     cand = _pairs_from_lsh(lsh_all, cfg, bucket_filter_ref)
-    verified_new = _verify(cand, sig_tbl, cfg).materialize()
+    _VER_COLS = ["a", "b", "est_jaccard", "hamming"]
+    verified_new_df = _with_cols(
+        _verify(cand, sig_tbl, cfg).materialize().to_pandas(), _VER_COLS
+    )
 
     if parent is None:
-        verified_all_df = verified_new.to_pandas()
+        verified_all_df = verified_new_df
     else:
         prev_ver = store.read_stage(parent, "verified_pairs").to_pandas()
         if len(prev_ver):
@@ -290,7 +307,7 @@ def build_snapshot(
             swap = prev_ver["a"] > prev_ver["b"]
             prev_ver.loc[swap, ["a", "b"]] = prev_ver.loc[swap, ["b", "a"]].to_numpy()
         verified_all_df = (
-            pd.concat([prev_ver, verified_new.to_pandas()], ignore_index=True)
+            pd.concat([prev_ver, verified_new_df], ignore_index=True)
             .drop_duplicates(subset=["a", "b"])
             .reset_index(drop=True)
         )

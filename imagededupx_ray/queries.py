@@ -682,3 +682,20 @@ def image_decode_features(sf_dir: str):
     return decode_images(imgs).map_batches(
         lambda t: t.drop_columns(["feature"]), batch_format="pyarrow"
     )
+
+
+def bm25_search(sf_dir: str, k: int = 10):
+    """BM25 Okapi top-k over documents for fixed deterministic queries
+    (reference A3 rank_bm25 rebuilt distributed; rows-only — exact-score
+    parity vs a pure-python BM25 is gated in tests/test_bm25.py)."""
+    from imagededupx_ray.stages.bm25 import bm25_topk
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    queries_ = [
+        "key value hash table scan",
+        "window stream batch merge",
+        "sort order join part",
+    ]
+    out = bm25_topk(docs, queries_, k=k)
+    out["score"] = out["score"].round(6)
+    return out

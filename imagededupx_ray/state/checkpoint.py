@@ -45,12 +45,19 @@ class SnapshotStore:
         with open(p) as f:
             return json.load(f)
 
+    COMPLETE_STAGES = ("docs_meta", "signatures", "verified_pairs", "clusters")
+
+    def is_complete(self, snapshot: str) -> bool:
+        m = self.manifest(snapshot)
+        return bool(m) and all(s in m.get("stages", {}) for s in self.COMPLETE_STAGES)
+
     def latest_snapshot(self) -> str | None:
+        """Newest COMPLETE snapshot (a crashed build leaves a manifest with
+        missing stages — it must never be picked as a merge parent)."""
         snaps = [
             d.split("=", 1)[1]
             for d in os.listdir(self.root)
-            if d.startswith("snapshot=")
-            and os.path.exists(self._manifest_path(d.split("=", 1)[1]))
+            if d.startswith("snapshot=") and self.is_complete(d.split("=", 1)[1])
         ]
         if not snaps:
             return None
