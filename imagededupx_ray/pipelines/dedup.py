@@ -23,7 +23,11 @@ from typing import Any
 import ray.data
 
 from imagededupx_ray.config import DedupConfig, DEFAULT_CONFIG
-from imagededupx_ray.stages.cluster import assign_clusters, cluster_edges, dsu_components
+from imagededupx_ray.stages.cluster import (
+    assign_clusters_via_canonical,
+    cluster_edges,
+    dsu_components,
+)
 from imagededupx_ray.stages.dedup import exact_dedup
 from imagededupx_ray.stages.extract import extract_stage
 from imagededupx_ray.stages.lsh import lsh_candidate_pairs
@@ -53,7 +57,7 @@ def run_dedup(
     clusters Dataset (one row per input doc: doc_id, url, cluster_id,
     is_canonical; canonical = min doc_id per component)."""
     docs = extract_stage(pages_ds)
-    docs_unique, dup_map = exact_dedup(docs)
+    docs_unique, dup_map, docs_mat, dup_ref = exact_dedup(docs, return_extras=True)
     # signatures feed two consumers (LSH + verify): materialize once so the
     # actor-pool stage doesn't run twice
     signatures = signature_stage(
@@ -65,10 +69,11 @@ def run_dedup(
     else:
         verified = verify_pairs_broadcast(cand_pairs, signatures, cfg)
     verified = verified.materialize()
-    docs_unique = docs_unique.materialize()
-    dup_map = dup_map.materialize()
-    root_map = dsu_components(cluster_edges(verified, dup_map))
-    clusters = assign_clusters(docs_unique, dup_map, root_map)
+    # union-find over verified near-dup pairs ONLY; exact-dup members fold
+    # through the sha→canonical broadcast at assignment time, so no
+    # member→canonical edge list is ever materialized
+    root_map = dsu_components(verified.select_columns(["a", "b"]))
+    clusters = assign_clusters_via_canonical(docs_mat, dup_ref, root_map)
     return DedupResult(
         docs_unique=docs_unique,
         dup_map=dup_map,

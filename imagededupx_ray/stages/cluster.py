@@ -223,6 +223,46 @@ def label_prop_components(
 
 
 # -------------------------------------------------------------- assignment
+def assign_clusters_via_canonical(docs_ds, dup_ref, root_map: dict[int, int]):
+    """Final ``clusters`` table in ONE map over the full docs table:
+    cluster(doc) = root(canonical(sha(doc))) — exact-dup members fold through
+    the broadcast {sha: (canonical, n)} map instead of a member→canonical edge
+    list, so the union-find only ever sees verified near-dup pairs."""
+    import ray
+
+    keys = np.fromiter(root_map.keys(), dtype=np.int64, count=len(root_map))
+    vals = np.fromiter(root_map.values(), dtype=np.int64, count=len(root_map))
+    order = np.argsort(keys)
+    map_ref = ray.put((keys[order], vals[order]))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        k, v = ray.get(map_ref)
+        dup = ray.get(dup_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        canon = ids.copy()
+        if dup:
+            for i, s in enumerate(batch["text_sha256"].to_pylist()):
+                hit = dup.get(s)
+                if hit is not None:
+                    canon[i] = hit[0]
+        cl = canon.copy()
+        if len(k):
+            pos = np.searchsorted(k, canon)
+            pos[pos >= len(k)] = 0
+            hit_m = k[pos] == canon
+            cl[hit_m] = v[pos[hit_m]]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "url": batch["url"],
+                "cluster_id": pa.array(cl, type=pa.int64()),
+                "is_canonical": pa.array(ids == cl),
+            }
+        )
+
+    return docs_ds.map_batches(assign, batch_format="pyarrow")
+
+
 def cluster_edges(verified_pairs_ds, dup_map_ds):
     """Edge list for component finding: verified near-dup pairs ∪ exact-dup
     member→canonical links (both narrow (a, b) uint64 datasets)."""

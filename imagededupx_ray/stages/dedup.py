@@ -24,28 +24,56 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray
-from ray.data.aggregate import Count, Min
 
 
-def exact_dedup(docs_ds, num_partitions: int | None = None):
-    """docs → (docs_unique, dup_map).
+
+def exact_dedup(docs_ds, num_partitions: int | None = None, return_extras: bool = False):
+    """docs → (docs_unique, dup_map) [+ (docs_materialized, dup_ref) when
+    ``return_extras``].
 
     docs_unique: one row per distinct text (the min-doc_id winner) with its
     full doc columns plus ``n_exact_dups``.
     dup_map: (doc_id, url, text_sha256, canonical_doc_id) for every doc whose
     text is duplicated (winners included, mapping to themselves) — the only
     docs exact-dup clustering needs.
+    dup_ref: the broadcast {sha: (canonical_doc_id, n)} object ref, reusable
+    by downstream cluster assignment without another shuffle.
     """
     docs_ds = docs_ds.materialize()  # two consumers below; extract runs once
-    winners = (
-        docs_ds.select_columns(["text_sha256", "doc_id"])
-        .groupby("text_sha256")
-        .aggregate(
-            Min("doc_id", alias_name="canonical_doc_id"),
-            Count(alias_name="n_exact_dups"),
+    # winner resolution over the NARROW projection via a coarse-partition
+    # groupby: the shuffle key is an int32 sha prefix (a native sort-shuffle
+    # on the 64-char sha strings measured 5x slower), and only groups with
+    # >= 2 members leave the partition
+    p = 64
+
+    def decorate(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        part = _np.fromiter(
+            (int(s[:8], 16) & (p - 1) for s in batch["text_sha256"].to_pylist()),
+            dtype=_np.int32,
+            count=batch.num_rows,
         )
+        return pa.table(
+            {
+                "_part": pa.array(part, type=pa.int32()),
+                "text_sha256": batch["text_sha256"],
+                "doc_id": batch["doc_id"],
+            }
+        )
+
+    def dup_groups(df):
+        g = df.groupby("text_sha256")["doc_id"].agg(["min", "size"])
+        g = g[g["size"] >= 2].reset_index()
+        return g.rename(columns={"min": "canonical_doc_id", "size": "n_exact_dups"})
+
+    dup_df = (
+        docs_ds.select_columns(["text_sha256", "doc_id"])
+        .map_batches(decorate, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(dup_groups, batch_format="pandas")
+        .to_pandas()
     )
-    dup_df = winners.filter(expr="n_exact_dups >= 2").to_pandas()
     if "text_sha256" not in dup_df.columns:  # all-unique corpus: empty result
         dup_df = dup_df.reindex(
             columns=["text_sha256", "canonical_doc_id", "n_exact_dups"]
@@ -92,4 +120,6 @@ def exact_dedup(docs_ds, num_partitions: int | None = None):
 
     docs_unique = docs_ds.map_batches(keep_winners, batch_format="pyarrow")
     dup_map = docs_ds.map_batches(dup_members, batch_format="pyarrow")
+    if return_extras:
+        return docs_unique, dup_map, docs_ds, dup_ref
     return docs_unique, dup_map

@@ -68,19 +68,38 @@ class BroadcastVerify:
 
 
 def broadcast_signatures(signatures_ds, cfg: DedupConfig = DEFAULT_CONFIG):
-    """Stream the signature table into compact numpy arrays and ``ray.put``
-    them once (SURVEY.md §2.3 A5 broadcast pattern). One vstack copy of the
-    minhash matrix; ids are index-sorted via a permutation, the matrix is not
-    physically reordered."""
+    """Compact the signature table into numpy arrays and ``ray.put`` them once
+    (SURVEY.md §2.3 A5 broadcast pattern). The arrow→numpy conversion runs IN
+    PARALLEL as a map_batches (each block ships one pre-packed binary cell);
+    the driver only memcpy-concatenates buffers — driver serial time is what
+    caps scaling efficiency at small cluster sizes. ids are index-sorted via
+    a permutation; the matrix is not physically reordered."""
+    nperm = cfg.num_perms
+
+    def compact(batch: pa.Table) -> pa.Table:
+        i, m, s, _ = signatures_to_numpy(batch, nperm)
+        return pa.table(
+            {
+                "n": pa.array([len(i)], type=pa.int64()),
+                "ids": pa.array([i.astype(np.int64, copy=False).tobytes()], type=pa.large_binary()),
+                "mh": pa.array([np.ascontiguousarray(m).tobytes()], type=pa.large_binary()),
+                "sim": pa.array([s.astype(np.uint64, copy=False).tobytes()], type=pa.large_binary()),
+            }
+        )
+
     ids_l, mh_l, sim_l = [], [], []
-    for batch in signatures_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        i, m, s, _ = signatures_to_numpy(batch, cfg.num_perms)
-        ids_l.append(i)
-        mh_l.append(m)
-        sim_l.append(s)
-    ids = np.concatenate(ids_l)
-    mh = np.vstack(mh_l)
-    sim = np.concatenate(sim_l)
+    for b in signatures_ds.map_batches(
+        compact, batch_format="pyarrow", batch_size=65536
+    ).iter_batches(batch_size=1, batch_format="pyarrow"):
+        for r in range(b.num_rows):
+            ids_l.append(np.frombuffer(b["ids"][r].as_py(), dtype=np.int64))
+            mh_l.append(
+                np.frombuffer(b["mh"][r].as_py(), dtype=np.uint64).reshape(-1, nperm)
+            )
+            sim_l.append(np.frombuffer(b["sim"][r].as_py(), dtype=np.uint64))
+    ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
+    mh = np.vstack(mh_l) if mh_l else np.empty((0, nperm), np.uint64)
+    sim = np.concatenate(sim_l) if sim_l else np.empty(0, np.uint64)
     order = np.argsort(ids).astype(np.int64)
     return ray.put((ids[order], order, mh, sim))
 

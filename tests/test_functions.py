@@ -1,0 +1,93 @@
+"""Scalar kernels, fusion, and readers (SURVEY.md §2.8, §2.10, §2.1)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from imagededupx_ray.functions import distance as D
+from imagededupx_ray.functions.fusion import reciprocal_rank_fusion, weighted_fusion
+
+
+def test_distances_match_numpy_reference():
+    rng = np.random.default_rng(3)
+    a, b = rng.normal(size=(16, 8)), rng.normal(size=(16, 8))
+    assert np.allclose(D.euclidean_distance(a, b), np.linalg.norm(a - b, axis=1))
+    assert np.allclose(D.manhattan_distance(a, b), np.abs(a - b).sum(axis=1))
+    assert np.allclose(D.chebyshev_distance(a, b), np.abs(a - b).max(axis=1))
+    assert np.allclose(
+        D.minkowski_distance(a, b, 3), (np.abs(a - b) ** 3).sum(axis=1) ** (1 / 3)
+    )
+    S = D.cos_sim(a, b)
+    assert S.shape == (16, 16)
+    assert np.allclose(np.diag(S), D.pairwise_cos_sim(a, b))
+
+
+def test_hamming_and_jaccard():
+    a = np.array([0b1010, 0], dtype=np.uint64)
+    b = np.array([0b0101, 0], dtype=np.uint64)
+    assert D.hamming_distance(a, b).tolist() == [4, 0]
+    assert D.jaccard_coef(np.array([1, 2, 3]), np.array([2, 3, 4])) == 0.5
+
+
+@pytest.mark.parametrize(
+    "s1,s2,want",
+    [("kitten", "sitting", 3), ("", "abc", 3), ("abc", "abc", 0), ("flaw", "lawn", 2)],
+)
+def test_edit_distance(s1, s2, want):
+    assert D.edit_distance(s1, s2) == want
+
+
+def test_normalizers():
+    x = np.array([1.0, 2.0, 3.0])
+    assert np.allclose(D.max_min_normalize(x), [0, 0.5, 1])
+    assert abs(D.z_score(x).mean()) < 1e-12
+    assert np.allclose(D.max_min_normalize(np.ones(3)), 0)
+
+
+def _res(qd, scores):
+    return pd.DataFrame(
+        {
+            "query_id": [q for q, _ in qd],
+            "doc_id": [d for _, d in qd],
+            "score": scores,
+        }
+    )
+
+
+def test_weighted_fusion_prefers_agreement():
+    r1 = _res([(0, 1), (0, 2), (0, 3)], [1.0, 0.8, 0.1])
+    r2 = _res([(0, 2), (0, 1), (0, 4)], [0.9, 0.5, 0.4])
+    out = weighted_fusion([r1, r2], k=3)
+    assert list(out.doc_id[:2]) in ([1, 2], [2, 1])  # consensus docs lead
+    assert out.iloc[0]["rank"] == 1
+
+
+def test_rrf_matches_manual():
+    r1 = _res([(0, 1), (0, 2)], [1.0, 0.9])
+    r2 = _res([(0, 2), (0, 3)], [1.0, 0.9])
+    out = reciprocal_rank_fusion([r1, r2], k=3, c=60)
+    want_2 = 1 / 62 + 1 / 61
+    got_2 = float(out[out.doc_id == 2].score.iloc[0])
+    assert abs(got_2 - want_2) < 1e-12
+    assert int(out.iloc[0].doc_id) == 2  # appears in both lists
+
+
+def test_read_pages_csv_and_parquet(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from imagededupx_ray.sources.readers import read_pages
+
+    df = pd.DataFrame({"id": [1, 2], "text": ["hello world", "second doc"]})
+    csv_path = tmp_path / "c.csv"
+    df.to_csv(csv_path, index=False)
+    ds = read_pages(str(csv_path), format="csv")
+    out = ds.to_pandas()
+    assert list(out.columns) == ["url", "warc_ts", "html", "text", "lang"]
+    assert sorted(out.url.tolist()) == ["doc://1", "doc://2"]  # row order is not part of the contract
+
+    pq_path = tmp_path / "p.parquet"
+    pq.write_table(pa.table({"text": ["x y z"], "url": ["https://a/1"]}), pq_path)
+    out2 = read_pages(str(pq_path)).to_pandas()
+    assert out2.url.tolist() == ["https://a/1"]
+    assert out2.html.isna().all()

@@ -140,12 +140,18 @@ def test_low_jaccard_pairs_not_directly_paired(dedup_result, fixture_corpus):
 
 
 def test_label_prop_equals_dsu(dedup_result):
-    """Distributed large-star/small-star components == driver DSU components."""
-    from imagededupx_ray.stages.cluster import cluster_edges, label_prop_components
+    """Distributed large-star/small-star components == driver DSU components
+    on the identical edge set (verified pairs + exact member links)."""
+    from imagededupx_ray.stages.cluster import (
+        cluster_edges,
+        dsu_components,
+        label_prop_components,
+    )
 
     _, res = dedup_result
-    lp = label_prop_components(cluster_edges(res.verified_pairs, res.dup_map))
-    dsu = res.root_map
+    edges = cluster_edges(res.verified_pairs, res.dup_map).materialize()
+    lp = label_prop_components(edges)
+    dsu = dsu_components(edges)
     # same partition: compare canonical assignment over all nodes in either map
     nodes = set(dsu) | set(lp)
     for n in nodes:
