@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine": Q.ann_cosine,
         "image_decode_features": Q.image_decode_features,
         "bm25_search": Q.bm25_search,
+        "substring_spans_docs": Q.substring_spans_docs,
     }
 
 

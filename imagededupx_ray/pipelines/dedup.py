@@ -63,11 +63,25 @@ def run_dedup(
     signatures = signature_stage(
         docs_unique, cfg, concurrency=signature_concurrency
     ).materialize()
-    cand_pairs = lsh_candidate_pairs(signatures, cfg)
+    cand_pairs = lsh_candidate_pairs(signatures, cfg).materialize()
     if verify_strategy == "join":
         verified = verify_pairs_join(cand_pairs, signatures, cfg)
     else:
-        verified = verify_pairs_broadcast(cand_pairs, signatures, cfg)
+        # the verify broadcast only needs pair members' signatures — a small
+        # fraction of the corpus (cand_pairs is materialized and narrow)
+        import numpy as _np
+        import pyarrow as _pa
+
+        ids_l = []
+        for b in cand_pairs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            ids_l.append(b["a"].to_numpy(zero_copy_only=False).astype(_np.int64))
+            ids_l.append(b["b"].to_numpy(zero_copy_only=False).astype(_np.int64))
+        pair_ids = (
+            _np.unique(_np.concatenate(ids_l)) if ids_l else _np.empty(0, _np.int64)
+        )
+        verified = verify_pairs_broadcast(
+            cand_pairs, signatures, cfg, pair_ids=pair_ids
+        )
     verified = verified.materialize()
     # union-find over verified near-dup pairs ONLY; exact-dup members fold
     # through the sha→canonical broadcast at assignment time, so no

@@ -699,3 +699,16 @@ def bm25_search(sf_dir: str, k: int = 10):
     out = bm25_topk(docs, queries_, k=k)
     out["score"] = out["score"].round(6)
     return out
+
+
+def substring_spans_docs(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG):
+    """Suffix-array exact substring spans over the near-dup candidate pairs
+    of the documents corpus (north-rule span operator; rows-only — exact
+    parity vs difflib longest-match is gated in tests/test_spans.py)."""
+    from imagededupx_ray.pipelines.dedup import run_dedup
+    from imagededupx_ray.stages.spans import substring_spans
+
+    res = run_dedup(_documents_as_pages(sf_dir), cfg)
+    return substring_spans(
+        res.verified_pairs, res.docs_unique.select_columns(["doc_id", "text"]), cfg
+    )

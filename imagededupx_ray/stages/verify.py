@@ -67,17 +67,32 @@ class BroadcastVerify:
         )
 
 
-def broadcast_signatures(signatures_ds, cfg: DedupConfig = DEFAULT_CONFIG):
+def broadcast_signatures(
+    signatures_ds, cfg: DedupConfig = DEFAULT_CONFIG, only_ids: np.ndarray | None = None
+):
     """Compact the signature table into numpy arrays and ``ray.put`` them once
     (SURVEY.md §2.3 A5 broadcast pattern). The arrow→numpy conversion runs IN
     PARALLEL as a map_batches (each block ships one pre-packed binary cell);
     the driver only memcpy-concatenates buffers — driver serial time is what
-    caps scaling efficiency at small cluster sizes. ids are index-sorted via
-    a permutation; the matrix is not physically reordered."""
+    caps scaling efficiency at small cluster sizes. ``only_ids`` restricts the
+    broadcast to the docs that actually appear in candidate pairs (typically a
+    small fraction of the corpus — the unique majority never reaches verify).
+    ids are index-sorted via a permutation; the matrix is not physically
+    reordered."""
     nperm = cfg.num_perms
+    only_ref = ray.put(np.sort(only_ids.astype(np.int64))) if only_ids is not None else None
 
     def compact(batch: pa.Table) -> pa.Table:
         i, m, s, _ = signatures_to_numpy(batch, nperm)
+        if only_ref is not None:
+            want = ray.get(only_ref)
+            if len(want):
+                pos = np.searchsorted(want, i)
+                pos[pos >= len(want)] = 0
+                keep = want[pos] == i
+            else:
+                keep = np.zeros(len(i), dtype=bool)
+            i, m, s = i[keep], m[keep], s[keep]
         return pa.table(
             {
                 "n": pa.array([len(i)], type=pa.int64()),
@@ -108,9 +123,13 @@ _PROC_CACHE: dict = {}
 
 
 def verify_pairs_broadcast(
-    cand_pairs_ds, signatures_ds, cfg: DedupConfig = DEFAULT_CONFIG, concurrency=None
+    cand_pairs_ds,
+    signatures_ds,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    concurrency=None,
+    pair_ids: np.ndarray | None = None,
 ):
-    sig_ref = broadcast_signatures(signatures_ds, cfg)
+    sig_ref = broadcast_signatures(signatures_ds, cfg, only_ids=pair_ids)
     if concurrency is None:
         # task mode: the verifier (holding the zero-copy broadcast arrays) is
         # constructed once per worker process — no actor-pool cold start

@@ -91,3 +91,16 @@ def test_read_pages_csv_and_parquet(ray_session, tmp_path):
     out2 = read_pages(str(pq_path)).to_pandas()
     assert out2.url.tolist() == ["https://a/1"]
     assert out2.html.isna().all()
+
+
+def test_calibration_monotone_and_bounded():
+    from imagededupx_ray.functions import calibration as C
+
+    s = np.linspace(0.0, 1.0, 101)
+    for fn in (C.sigmoid_calibrate, C.power_calibrate, C.linear_calibrate,
+               C.log_calibrate, C.mixed_calibrate):
+        y = fn(s)
+        assert (np.diff(y) >= -1e-12).all(), fn.__name__  # monotone
+        assert y.min() >= -1e-9 and y.max() <= 1.0 + 1e-9, fn.__name__
+    # linear remap pins the reference interval
+    assert C.linear_calibrate(np.array([0.95, 1.0])).tolist() == [0.0, 1.0]
