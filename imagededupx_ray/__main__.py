@@ -47,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--store", required=True)
     m.add_argument("--snapshot", required=True)
     m.add_argument("--parent", default=None, help="defaults to the store's latest snapshot")
+    m.add_argument(
+        "--tombstones",
+        default=None,
+        help="file of urls (one per line) deleted in this snapshot",
+    )
 
     s = sub.add_parser("spans", help="substring spans for verified pairs of a dedup run")
     s.add_argument("--input", required=True, help="pages parquet directory")
@@ -87,8 +92,16 @@ def main(argv: list[str] | None = None) -> int:
             parent = getattr(args, "parent", None)
             if args.cmd == "merge" and parent is None:
                 parent = store.latest_snapshot()
+            tombstones = None
+            if getattr(args, "tombstones", None):
+                with open(args.tombstones) as f:
+                    tombstones = [l.strip() for l in f if l.strip()]
             clusters = build_snapshot(
-                store, rd.read_parquet(args.input), args.snapshot, parent=parent
+                store,
+                rd.read_parquet(args.input),
+                args.snapshot,
+                parent=parent,
+                tombstones=tombstones,
             )
             print(
                 json.dumps(

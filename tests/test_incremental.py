@@ -88,3 +88,86 @@ def test_config_change_refuses_resume(snapshots, tmp_path):
     store2 = SnapshotStore(store_inc.root, other)
     with pytest.raises(ValueError, match="refusing to resume"):
         store2.check_config("a")
+
+
+def test_crash_resume_reuses_stages(ray_session, fixture_corpus, tmp_path):
+    """Simulate a crash after the signatures stage: re-running must reuse the
+    persisted signatures (not re-sign) and produce the identical clusters."""
+    import json
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from imagededupx_ray.pipelines.incremental import build_snapshot
+    from imagededupx_ray.state.checkpoint import SnapshotStore
+
+    pages = rd.read_parquet(f"{fixture_corpus}/pages")
+    store = SnapshotStore(str(tmp_path / "store"), CFG)
+    full = build_snapshot(store, pages, "x", cfg=CFG).to_pandas()
+
+    # craft a "crashed" snapshot: copy docs_meta + signatures, drop the rest
+    crashed = SnapshotStore(str(tmp_path / "crashed"), CFG)
+    crashed.init_snapshot("x")
+    m_full = store.manifest("x")
+    for st in ("docs_meta", "signatures"):
+        shutil.copytree(store.stage_dir("x", st), crashed.stage_dir("x", st))
+        crashed._update_manifest("x", stage_update={st: m_full["stages"][st]})
+    assert not crashed.is_complete("x")
+
+    sig_wall_before = crashed.manifest("x")["stages"]["signatures"]["wall_sec"]
+    resumed = build_snapshot(crashed, pages, "x", cfg=CFG).to_pandas()
+    # signatures stage untouched (same recorded metrics => not recomputed)
+    assert crashed.manifest("x")["stages"]["signatures"]["wall_sec"] == sig_wall_before
+    assert crashed.is_complete("x")
+
+    lf = full.set_index("url")["cluster_id"].sort_index()
+    lr = resumed.set_index("url")["cluster_id"].sort_index()
+    assert (lf == lr).all()
+
+    # fully complete snapshot: rerun returns instantly with identical output
+    again = build_snapshot(crashed, pages, "x", cfg=CFG).to_pandas()
+    la = again.set_index("url")["cluster_id"].sort_index()
+    assert (la == lf).all()
+
+
+def test_tombstone_merge_equals_rebuild(ray_session, fixture_corpus, tmp_path):
+    """merge with tombstones == full rebuild on the corpus minus those urls,
+    including canonical reassignment when a group's min-id doc is deleted."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from imagededupx_ray.pipelines.incremental import build_snapshot
+    from imagededupx_ray.state.checkpoint import SnapshotStore
+
+    pages_tbl = pq.read_table(f"{fixture_corpus}/pages")
+    pages = rd.read_parquet(f"{fixture_corpus}/pages")
+
+    # tombstone: every 13th url — hits exact-dup members, near-dups, uniques
+    urls = pages_tbl["url"].to_pylist()
+    dead = sorted(urls)[::13]
+    assert len(dead) > 20
+
+    # uncapped buckets: deletion equivalence is exact only when pair
+    # emission is all-pairs (window-capped hot buckets emit different window
+    # adjacencies on rebuild — connectivity superset, not equality)
+    cfg = CFG.__class__(max_bucket_size=4096)
+
+    store = SnapshotStore(str(tmp_path / "inc"), cfg)
+    build_snapshot(store, pages, "base", cfg=cfg)
+    merged = build_snapshot(
+        store, pages.limit(0), "del", parent="base", cfg=cfg, tombstones=dead
+    ).to_pandas()
+
+    alive_pages = pages.filter(
+        lambda r: r["url"] not in set(dead)
+    )
+    store2 = SnapshotStore(str(tmp_path / "full"), cfg)
+    rebuilt = build_snapshot(store2, alive_pages, "full", cfg=cfg).to_pandas()
+
+    assert len(merged) == len(rebuilt) == len(urls) - len(dead)
+    assert not set(dead) & set(merged.url)
+    lm = merged.set_index("url")["cluster_id"].sort_index()
+    lr = rebuilt.set_index("url")["cluster_id"].sort_index()
+    assert (lm == lr).all()
