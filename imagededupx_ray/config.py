@@ -37,6 +37,13 @@ class DedupConfig:
     # (window pairs preserve connectivity for union-find clustering)
     max_bucket_size: int = 64
     bucket_window: int = 8
+    # salting (SURVEY.md §4.2 item 1): buckets with more than salt_threshold
+    # rows are re-keyed to salt_k sub-partitions so no single shuffle
+    # partition must hold a mega-bucket (boilerplate pages at web scale);
+    # connectivity across sub-buckets is restored by chaining the per-salt
+    # minima. None disables the extra counting pass.
+    salt_threshold: int | None = 100_000
+    salt_k: int = 32
     # verify thresholds (reference presets README.md:206-209 re-targeted to
     # jaccard; exact-ish tier via simhash hamming)
     jaccard_threshold: float = 0.7

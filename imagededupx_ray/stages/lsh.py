@@ -165,6 +165,32 @@ def _dedup_pairs_group(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": a[keep], "b": b[keep]})
 
 
+def _find_hot_buckets(lsh_rows, threshold: int) -> np.ndarray:
+    """Bucket ids with (approximately detected, then exactly counted) more
+    than ``threshold`` rows. Detection is MAP-SIDE — each block reports only
+    buckets locally big enough that a globally-hot bucket must trip it in
+    some block — so the common no-skew case costs one cheap scan, not a full
+    count shuffle."""
+    local_thr = max(2, threshold // 1024)
+
+    def local_candidates(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, counts = np.unique(b, return_counts=True)
+        big = counts >= local_thr
+        return pa.table(
+            {
+                "bucket": pa.array(uniq[big], type=pa.int64()),
+                "n": pa.array(counts[big], type=pa.int64()),
+            }
+        )
+
+    cand = lsh_rows.map_batches(local_candidates, batch_format="pyarrow").to_pandas()
+    if len(cand) == 0:
+        return np.empty(0, dtype=np.int64)
+    totals = cand.groupby("bucket")["n"].sum()
+    return np.sort(totals[totals > threshold].index.to_numpy().astype(np.int64))
+
+
 def lsh_candidate_pairs(
     signatures_ds, cfg: DedupConfig = DEFAULT_CONFIG, num_partitions: int | None = None
 ):
@@ -173,16 +199,111 @@ def lsh_candidate_pairs(
     Two task-based sort-shuffle groupbys, both on coarse power-of-two keys:
     pair emission (bucket & (P-1)) and cross-band pair dedup
     (hash(a) & (P-1)) — the reference's mirrored-pair set
-    (utils/util.py:222-230) as a vectorized distinct."""
+    (utils/util.py:222-230) as a vectorized distinct.
+
+    Salting (north rule; SURVEY.md §4.2 item 1): buckets above
+    cfg.salt_threshold rows are re-keyed by ``doc_id % salt_k`` so no single
+    shuffle partition must hold a mega-bucket; each salted sub-bucket emits
+    its window pairs independently and the per-sub-bucket minima are chained
+    so the bucket stays one connected component for union-find."""
     if num_partitions is None:
         num_partitions = suggest_num_partitions(per_cpu=2)
     p = _pow2(num_partitions)
     lsh_rows = signatures_ds.map_batches(
         explode_bands(cfg, partitions=p), batch_format="pyarrow", batch_size=4096
     )
+
+    chain_pairs_tbl = None
+    if cfg.salt_threshold is not None:
+        lsh_rows = lsh_rows.materialize()
+        hot = _find_hot_buckets(lsh_rows, cfg.salt_threshold)
+        if len(hot):
+            import ray
+
+            hot_ref = ray.put(hot)
+            k = np.int64(cfg.salt_k)
+
+            def salt(t: pa.Table) -> pa.Table:
+                h = ray.get(hot_ref)
+                b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+                d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                part = t["_part"].to_numpy(zero_copy_only=False).astype(np.int32).copy()
+                pos = np.searchsorted(h, b)
+                pos[pos >= len(h)] = 0
+                is_hot = h[pos] == b
+                if is_hot.any():
+                    salted = (
+                        H.splitmix64(
+                            (b[is_hot].astype(np.uint64) << np.uint64(6))
+                            ^ (d[is_hot] % k).astype(np.uint64)
+                        ).astype(np.int64)
+                        & np.int64(p - 1)
+                    ).astype(np.int32)
+                    part[is_hot] = salted
+                return pa.table(
+                    {
+                        "_part": pa.array(part, type=pa.int32()),
+                        "bucket": t["bucket"],
+                        "doc_id": t["doc_id"],
+                    }
+                )
+
+            # chain links: min doc per (bucket, salt) — tiny narrow aggregate
+            # over only the hot rows — consecutive minima pair up per bucket
+            def hot_mins(t: pa.Table) -> pa.Table:
+                h = ray.get(hot_ref)
+                b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+                d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                pos = np.searchsorted(h, b)
+                pos[pos >= len(h)] = 0
+                is_hot = h[pos] == b
+                if not is_hot.any():
+                    return pa.table(
+                        {
+                            "bucket": pa.array([], type=pa.int64()),
+                            "salt": pa.array([], type=pa.int64()),
+                            "m": pa.array([], type=pa.int64()),
+                        }
+                    )
+                df = pd.DataFrame(
+                    {"bucket": b[is_hot], "salt": d[is_hot] % int(k), "m": d[is_hot]}
+                )
+                g = df.groupby(["bucket", "salt"], as_index=False)["m"].min()
+                return pa.Table.from_pandas(g, preserve_index=False)
+
+            mins = (
+                lsh_rows.map_batches(hot_mins, batch_format="pyarrow")
+                .to_pandas()
+                .groupby(["bucket", "salt"], as_index=False)["m"]
+                .min()
+                .sort_values(["bucket", "salt"])
+            )
+            chain_a, chain_b = [], []
+            for _, grp in mins.groupby("bucket"):
+                ms = grp["m"].to_numpy()
+                if len(ms) > 1:
+                    lo = np.minimum(ms[:-1], ms[1:])
+                    hi = np.maximum(ms[:-1], ms[1:])
+                    chain_a.append(lo)
+                    chain_b.append(hi)
+            if chain_a:
+                chain_pairs_tbl = pa.table(
+                    {
+                        "a": pa.array(np.concatenate(chain_a), type=pa.int64()),
+                        "b": pa.array(np.concatenate(chain_b), type=pa.int64()),
+                    }
+                )
+            lsh_rows = lsh_rows.map_batches(salt, batch_format="pyarrow")
+
     pairs = lsh_rows.groupby("_part").map_groups(
         _emit_group(cfg), batch_format="pandas"
     )
+    if chain_pairs_tbl is not None:
+        import ray.data as rd
+
+        pairs = pairs.map_batches(lambda t: t, batch_format="pyarrow").union(
+            rd.from_arrow(chain_pairs_tbl)
+        )
 
     def decorate(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -104,3 +104,28 @@ def test_calibration_monotone_and_bounded():
         assert y.min() >= -1e-9 and y.max() <= 1.0 + 1e-9, fn.__name__
     # linear remap pins the reference interval
     assert C.linear_calibrate(np.array([0.95, 1.0])).tolist() == [0.0, 1.0]
+
+
+def test_eval_metrics_known_values():
+    from imagededupx_ray.functions import evalmetrics as E
+
+    res = pd.DataFrame(
+        {
+            "query_id": [0, 0, 0, 1, 1, 1],
+            "doc_id": [10, 11, 12, 20, 21, 22],
+            "rank": [1, 2, 3, 1, 2, 3],
+        }
+    )
+    qrels = {0: {11}, 1: {20, 22}}
+    assert E.mrr_at_k(res, qrels, 3) == (0.5 + 1.0) / 2
+    assert E.recall_at_k(res, qrels, 3) == (1.0 + 1.0) / 2
+    assert E.accuracy_at_k(res, qrels, 3) == 1.0
+    assert abs(E.map_at_k(res, qrels, 3) - ((0.5) + (1.0 + 2 / 3) / 2) / 2) < 1e-12
+    import numpy as _np
+
+    ndcg_q0 = (1 / _np.log2(3)) / 1.0
+    ndcg_q1 = (1.0 + 1 / _np.log2(4)) / (1.0 + 1 / _np.log2(3))
+    assert abs(E.ndcg_at_k(res, qrels, 3) - (ndcg_q0 + ndcg_q1) / 2) < 1e-12
+    # rank 1 perfect retrieval
+    qrels2 = {0: {10}, 1: {20}}
+    assert E.mrr_at_k(res, qrels2, 3) == 1.0

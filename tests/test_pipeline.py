@@ -172,3 +172,21 @@ def test_join_verify_equals_broadcast(dedup_result):
     pd.testing.assert_frame_equal(
         vj[["a", "b", "est_jaccard", "hamming"]], vb[["a", "b", "est_jaccard", "hamming"]]
     )
+
+
+def test_salted_lsh_preserves_clusters(ray_session, fixture_corpus):
+    """With salt_threshold forced tiny, the boilerplate site's hot buckets
+    are split across salted sub-partitions; chained sub-bucket minima must
+    keep every cluster identical to the unsalted run."""
+    import ray.data as rd
+
+    from imagededupx_ray.config import DedupConfig
+    from imagededupx_ray.pipelines.dedup import run_dedup
+
+    pages = rd.read_parquet(f"{fixture_corpus}/pages")
+    base = run_dedup(pages, CFG).clusters.to_pandas()
+    salted_cfg = DedupConfig(salt_threshold=40, salt_k=4)
+    salted = run_dedup(pages, salted_cfg).clusters.to_pandas()
+    lb = base.set_index("url")["cluster_id"].sort_index()
+    ls = salted.set_index("url")["cluster_id"].sort_index()
+    assert (lb == ls).all()
