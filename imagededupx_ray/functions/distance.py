@@ -89,6 +89,64 @@ def edit_distance(s1: str, s2: str) -> int:
     return int(prev[-1])
 
 
+def euclidean_distance_standardized(a: np.ndarray, b: np.ndarray) -> float:
+    """Standardized euclidean: per-component variance (ddof=1 over the two
+    rows) scales each squared difference (distance.py:74-77)."""
+    v1 = np.asarray(a, dtype=np.float64)
+    v2 = np.asarray(b, dtype=np.float64)
+    var = np.var(np.vstack([v1, v2]), axis=0, ddof=1)
+    return float(np.sqrt(((v1 - v2) ** 2 / (var + 1e-9)).sum()))
+
+
+def pearson_correlation(a: np.ndarray, b: np.ndarray) -> float:
+    """Pearson correlation coefficient of two vectors (distance.py:92-94)."""
+    v1 = np.asarray(a, dtype=np.float64)
+    v2 = np.asarray(b, dtype=np.float64)
+    return float(np.corrcoef(np.vstack([v1, v2]))[0][1])
+
+
+def edit_distance_normalized(s1: str, s2: str) -> float:
+    """Levenshtein distance normalized by max length (the reference's
+    edit_distance semantics, distance.py:80-89); 0.0 for two empty strings."""
+    m = max(len(s1), len(s2))
+    return edit_distance(s1, s2) / m if m else 0.0
+
+
+def is_str_match(s1: str, s2: str, threshold: float = 1.0) -> bool:
+    """Exact match at threshold 1.0, else normalized-edit-similarity >=
+    threshold (distance.py:106-111)."""
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError("threshold must be in [0, 1]")
+    if threshold == 1.0:
+        return s1 == s2
+    return (1.0 - edit_distance_normalized(s1, s2)) >= threshold
+
+
+def num_of_common_sub_str(s1: str, s2: str) -> int:
+    """Longest common substring length (distance.py:114-127 /
+    longest_match_size :113-118) — DP rows vectorized over the inner axis."""
+    if not s1 or not s2:
+        return 0
+    b = np.frombuffer(s2.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.zeros(len(b) + 1, dtype=np.int64)
+    best = 0
+    for ch in s1:
+        cur = np.zeros(len(b) + 1, dtype=np.int64)
+        eq = b == ord(ch)
+        cur[1:][eq] = prev[:-1][eq] + 1
+        m = cur.max()
+        if m > best:
+            best = int(m)
+        prev = cur
+    return best
+
+
+def longest_match_ratio(s1: str, s2: str) -> float:
+    """Longest common substring / min length (distance.py:121-126)."""
+    m = min(len(s1), len(s2))
+    return num_of_common_sub_str(s1, s2) / m if m else 0.0
+
+
 def max_min_normalize(x: np.ndarray) -> np.ndarray:
     """(x - min) / (max - min) (distance.py:175-181)."""
     x = np.asarray(x, dtype=np.float64)

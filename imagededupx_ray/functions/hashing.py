@@ -11,9 +11,10 @@ whole Arrow batches (SURVEY.md §2.2 M1/M2/M5/M8):
   bits; ours does the same over 5-gram shingle hashes with weight = term
   frequency, fully vectorized via unpackbits + add.reduceat.
 - MinHash (new, the sketch the reference lacks): 128 permutations
-  h_i(x) = (a_i*x + b_i) mod (2^61-1) over 32-bit-folded shingle hashes;
-  a_i, b_i < 2^32 so a*x+b < 2^64 is EXACT in uint64 arithmetic (no wrap
-  before the mod) — the pure-Python oracle in tests reproduces it bit-for-bit.
+  h_i(x) = splitmix64(x XOR c_i) with seeded 64-bit salts c_i — each h_i is a
+  bijection on the uint64 domain (genuinely min-wise independent; see
+  ``make_permutations`` for why a linear (a*x+b) mod p family was rejected) —
+  and the pure-Python oracle in tests reproduces it bit-for-bit.
 
 All functions are deterministic across processes and parallelism levels
 (content-derived hashes only; no PYTHONHASHSEED dependence).

@@ -52,12 +52,15 @@ def run_dedup(
     cfg: DedupConfig = DEFAULT_CONFIG,
     signature_concurrency: int | tuple[int, int] | None = None,
     verify_strategy: str = "broadcast",
+    exact_strategy: str = "auto",
 ) -> DedupResult:
     """Run the full pipeline. Returns all intermediate Datasets plus the final
     clusters Dataset (one row per input doc: doc_id, url, cluster_id,
     is_canonical; canonical = min doc_id per component)."""
     docs = extract_stage(pages_ds)
-    docs_unique, dup_map, docs_mat, dup_ref = exact_dedup(docs, return_extras=True)
+    docs_unique, dup_map, docs_mat, dup_ref = exact_dedup(
+        docs, return_extras=True, strategy=exact_strategy
+    )
     # signatures feed two consumers (LSH + verify): materialize once so the
     # actor-pool stage doesn't run twice
     signatures = signature_stage(
@@ -83,11 +86,21 @@ def run_dedup(
             cand_pairs, signatures, cfg, pair_ids=pair_ids
         )
     verified = verified.materialize()
-    # union-find over verified near-dup pairs ONLY; exact-dup members fold
-    # through the sha→canonical broadcast at assignment time, so no
-    # member→canonical edge list is ever materialized
-    root_map = dsu_components(verified.select_columns(["a", "b"]))
-    clusters = assign_clusters_via_canonical(docs_mat, dup_ref, root_map)
+    if dup_ref is not None:
+        # union-find over verified near-dup pairs ONLY; exact-dup members fold
+        # through the sha→canonical broadcast at assignment time, so no
+        # member→canonical edge list is ever materialized
+        root_map = dsu_components(verified.select_columns(["a", "b"]))
+        clusters = assign_clusters_via_canonical(docs_mat, dup_ref, root_map)
+    else:
+        # join-strategy exact dedup (extreme dup rates): no broadcast dup map
+        # exists, so exact-dup member→canonical links enter the edge list and
+        # assignment runs over docs_unique ∪ dup members
+        from imagededupx_ray.stages.cluster import assign_clusters
+
+        dup_map = dup_map.materialize()
+        root_map = dsu_components(cluster_edges(verified, dup_map))
+        clusters = assign_clusters(docs_unique, dup_map, root_map)
     return DedupResult(
         docs_unique=docs_unique,
         dup_map=dup_map,

@@ -247,33 +247,44 @@ def q1_pricing_summary(sf_dir: str):
 
 
 def orders_per_customer(sf_dir: str):
-    """customer ⋈ orders (hash join J1 analogue — content keys, not
-    positional df.iloc like faiss_bert_similarity.py:175)."""
+    """customer ⋈ orders as a BROADCAST map-side join (J1 analogue — content
+    keys, not positional df.iloc like faiss_bert_similarity.py:175): the
+    customer dimension table is small-side (``ray.put`` once, sorted-array
+    searchsorted lookup inside map_batches over the distributed orders
+    aggregate) — no all-to-all shuffle, no per-partition aggregator actors."""
     from ray.data.aggregate import Count, Sum
 
-    orders = (
+    orders_agg = (
         _read(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_totalprice"])
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_spent"))
     )
-    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"])
-    # small join: cap partitions (each hash-shuffle partition is an aggregator
-    # actor; 32 cold actors cost far more than shuffling a few MB through 8)
-    joined = cust.join(
-        orders,
-        "inner",
-        suggest_num_partitions(cap=8),
-        on=("c_custkey",),
-        right_on=("o_custkey",),
+    cust_df = (
+        _read(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"]).to_pandas()
     )
-    return joined.map_batches(
-        lambda t: t.set_column(
-            t.column_names.index("total_spent"),
-            "total_spent",
-            _round_col(t["total_spent"].to_numpy(zero_copy_only=False), 2),
-        ),
-        batch_format="pyarrow",
-    )
+    ck = cust_df["c_custkey"].to_numpy().astype(np.int64)
+    order = np.argsort(ck)
+    cust_ref = ray.put((ck[order], cust_df["c_mktsegment"].to_numpy()[order]))
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys, segs = ray.get(cust_ref)
+        ok_ids = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, ok_ids)
+        pos[pos >= len(keys)] = 0
+        hit = keys[pos] == ok_ids  # inner-join semantics: drop unmatched
+        return pa.table(
+            {
+                "c_custkey": pa.array(ok_ids[hit], type=pa.int64()),
+                "c_mktsegment": pa.array(segs[pos[hit]], type=pa.string()),
+                "n_orders": t["n_orders"].filter(pa.array(hit)),
+                "total_spent": _round_col(
+                    t["total_spent"].to_numpy(zero_copy_only=False)[hit], 2
+                ),
+            }
+        )
+
+    return orders_agg.map_batches(attach, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -351,9 +362,13 @@ def events_user_stats(sf_dir: str):
 
 def knn_cosine(sf_dir: str, n_queries: int = 10, k: int = 10):
     """Brute-force cosine top-k of the first ``n_queries`` vectors against the
-    whole embeddings table: broadcast query matrix, per-batch float64 matmul,
-    per-batch partial top-k, tiny global reduce (A4 FAISS IndexFlatIP
-    analogue, improved_faiss_detector.py:297-317)."""
+    whole embeddings table: broadcast query matrix (``ray.put`` once, zero-copy
+    ``ray.get`` per task), per-batch float64 matmul, per-batch partial top-k,
+    tiny global reduce (A4 FAISS IndexFlatIP analogue,
+    improved_faiss_detector.py:297-317). Task-mode map_batches — the scan
+    parallelizes across all cores. Equal-cosine ties break by neighbor_id
+    ascending at BOTH the per-batch and global reduce, matching the oracle's
+    ``ORDER BY cos DESC, neighbor_id``."""
     emb = _read(sf_dir, "embeddings")
     q_tbl = (
         emb.filter(expr=f"vec_id < {n_queries}")
@@ -365,62 +380,56 @@ def knn_cosine(sf_dir: str, n_queries: int = 10, k: int = 10):
     q_ids = q_tbl["vec_id"].to_numpy().astype(np.int64)
     q_ref = ray.put((q_ids, Q))
 
-    class PartialTopK:
-        def __init__(self, q_ref, k):
-            self.q_ids, self.Q = ray.get(q_ref)
-            self.k = k
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            col = batch["embedding"]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            M = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-            M = M.reshape(len(ids), -1)
-            M /= np.linalg.norm(M, axis=1, keepdims=True)
-            S = self.Q @ M.T  # (nq, nbatch)
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(self.q_ids)):
-                row = S[qi]
-                mask = ids != self.q_ids[qi]
-                cand = np.flatnonzero(mask)
-                if len(cand) == 0:
-                    continue
-                top = cand[np.argsort(row[cand])[::-1][: self.k]]
-                out_q.append(np.full(len(top), self.q_ids[qi], dtype=np.int64))
-                out_n.append(ids[top])
-                out_s.append(row[top])
-            if not out_q:
-                return pa.table(
-                    {
-                        "query_id": pa.array([], type=pa.int64()),
-                        "neighbor_id": pa.array([], type=pa.int64()),
-                        "cosine": pa.array([], type=pa.float64()),
-                    }
-                )
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q_ids_, Qm = ray.get(q_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        M = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        M = M.reshape(len(ids), -1)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        S = Qm @ M.T  # (nq, nbatch)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids_)):
+            row = S[qi]
+            cand = np.flatnonzero(ids != q_ids_[qi])
+            if len(cand) == 0:
+                continue
+            # ties by neighbor_id ascending: lexsort keys, primary = -cosine
+            top = cand[np.lexsort((ids[cand], -row[cand]))[:k]]
+            out_q.append(np.full(len(top), q_ids_[qi], dtype=np.int64))
+            out_n.append(ids[top])
+            out_s.append(row[top])
+        if not out_q:
             return pa.table(
                 {
-                    "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
-                    "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
-                    "cosine": pa.array(np.concatenate(out_s), type=pa.float64()),
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
                 }
             )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+                "cosine": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
 
     partials = emb.map_batches(
-        PartialTopK,
-        fn_constructor_kwargs={"q_ref": q_ref, "k": k},
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=1,
+        partial_topk, batch_format="pyarrow", batch_size=4096
     ).to_pandas()
     # global reduce: tiny (n_queries * k * n_blocks rows)
     out = (
-        partials.sort_values(["query_id", "cosine"], ascending=[True, False])
+        partials.sort_values(
+            ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+        )
         .groupby("query_id")
         .head(k)
         .reset_index(drop=True)
     )
-    out["cosine"] = out["cosine"].round(6)
+    out["cosine"] = _round_col(out["cosine"].to_numpy(), 6).to_numpy()
     return out
 
 

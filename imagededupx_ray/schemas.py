@@ -27,7 +27,7 @@ DOCS = pa.schema(
         ("text", pa.string()),
         ("lang", pa.string()),
         ("n_bytes", pa.int64()),
-        ("text_sha256", pa.binary()),
+        ("text_sha256", pa.string()),  # hex digest (joins/groupbys need a native key)
     ]
 )
 
@@ -42,8 +42,8 @@ SIGNATURES = pa.schema(
 
 LSH_ROWS = pa.schema(
     [
-        ("band", pa.uint8()),
-        ("bucket", pa.int64()),
+        ("_part", pa.int32()),  # coarse shuffle key = bucket & (P-1)
+        ("bucket", pa.int64()),  # band index mixed INTO the bucket hash
         ("doc_id", pa.int64()),
     ]
 )
@@ -67,6 +67,7 @@ VERIFIED_PAIRS = pa.schema(
 CLUSTERS = pa.schema(
     [
         ("doc_id", pa.int64()),
+        ("url", pa.string()),
         ("cluster_id", pa.int64()),  # min doc_id in component = canonical
         ("is_canonical", pa.bool_()),
     ]

@@ -226,9 +226,12 @@ def label_prop_components(
 def assign_clusters_via_canonical(docs_ds, dup_ref, root_map: dict[int, int]):
     """Final ``clusters`` table in ONE map over the full docs table:
     cluster(doc) = root(canonical(sha(doc))) — exact-dup members fold through
-    the broadcast {sha: (canonical, n)} map instead of a member→canonical edge
-    list, so the union-find only ever sees verified near-dup pairs."""
+    the broadcast (sorted S64 shas, canonicals) arrays instead of a
+    member→canonical edge list, so the union-find only ever sees verified
+    near-dup pairs. Lookup is a vectorized searchsorted, no per-row python."""
     import ray
+
+    from imagededupx_ray.stages.dedup import sha_to_s64
 
     keys = np.fromiter(root_map.keys(), dtype=np.int64, count=len(root_map))
     vals = np.fromiter(root_map.values(), dtype=np.int64, count=len(root_map))
@@ -237,14 +240,15 @@ def assign_clusters_via_canonical(docs_ds, dup_ref, root_map: dict[int, int]):
 
     def assign(batch: pa.Table) -> pa.Table:
         k, v = ray.get(map_ref)
-        dup = ray.get(dup_ref)
+        d_shas, d_canon, _ = ray.get(dup_ref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         canon = ids.copy()
-        if dup:
-            for i, s in enumerate(batch["text_sha256"].to_pylist()):
-                hit = dup.get(s)
-                if hit is not None:
-                    canon[i] = hit[0]
+        if len(d_shas):
+            s = sha_to_s64(batch["text_sha256"])
+            pos = np.searchsorted(d_shas, s)
+            pos[pos >= len(d_shas)] = 0
+            hit = d_shas[pos] == s
+            canon[hit] = d_canon[pos[hit]]
         cl = canon.copy()
         if len(k):
             pos = np.searchsorted(k, canon)

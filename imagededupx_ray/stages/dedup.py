@@ -10,13 +10,20 @@ The reference keeps first-inserted; ours keeps min(doc_id) = min(hash64(url))
 Implementation (scale notes): the doc rows themselves NEVER shuffle. The
 groupby runs over the narrow (text_sha256, doc_id) projection only (a few
 bytes/row); groups with >= 2 members — the duplicated minority of a web
-corpus — are broadcast once (``ray.put``) and winners are selected by a
-stateless filter over the original docs. An earlier version shuffled the
-full docs table (text included) through a coarse-partition groupby: ~20 s at
-600k docs where this version spends ~4 s. At extreme dup rates the broadcast
-is replaced by a hash join on text_sha256 (same dataflow as
-verify_pairs_join); the crossover is when the dup-group table stops fitting
-a worker heap.
+corpus — drive winner selection by a stateless filter over the original docs.
+An earlier version shuffled the full docs table (text included) through a
+coarse-partition groupby: ~20 s at 600k docs where this version spends ~4 s.
+
+Two winner-resolution strategies (selected by ``strategy`` or automatically
+by dup-group count):
+
+- ``broadcast``: the dup-group table ships once via ``ray.put`` as sorted
+  numpy arrays; per-batch lookup is a vectorized S64 searchsorted. Right
+  while the dup-group table fits a worker heap (= every sf/bench scale).
+- ``join``: the dup-group table stays a Dataset and winners resolve through
+  hash-partitioned ``Dataset.join`` on text_sha256 — the extreme-dup-rate
+  path (30-50% dup rate at 10^12 docs = billions of dup groups). Output is
+  identical to broadcast (tested: test_exact_dedup_join_equals_broadcast).
 """
 
 from __future__ import annotations
@@ -25,38 +32,72 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+# broadcast→join crossover: beyond this many dup groups the driver-built
+# broadcast arrays stop being "small side" (~50 bytes/group → ~1.6 GB at 32M)
+JOIN_FALLBACK_GROUPS = 32_000_000
+
+_HEXVAL = np.zeros(256, dtype=np.uint32)
+for _i, _c in enumerate("0123456789abcdef"):
+    _HEXVAL[ord(_c)] = _i
+    _HEXVAL[ord(_c.upper())] = _i
 
 
-def exact_dedup(docs_ds, num_partitions: int | None = None, return_extras: bool = False):
-    """docs → (docs_unique, dup_map) [+ (docs_materialized, dup_ref) when
-    ``return_extras``].
+def _string_buffers(col) -> tuple[np.ndarray, np.ndarray]:
+    """(uint8 data, int offsets) view of a string array (no python strings)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], dtype=odt)[col.offset : col.offset + len(col) + 1]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    return data, off
 
-    docs_unique: one row per distinct text (the min-doc_id winner) with its
-    full doc columns plus ``n_exact_dups``.
-    dup_map: (doc_id, url, text_sha256, canonical_doc_id) for every doc whose
-    text is duplicated (winners included, mapping to themselves) — the only
-    docs exact-dup clustering needs.
-    dup_ref: the broadcast {sha: (canonical_doc_id, n)} object ref, reusable
-    by downstream cluster assignment without another shuffle.
-    """
-    docs_ds = docs_ds.materialize()  # two consumers below; extract runs once
-    # winner resolution over the NARROW projection via a coarse-partition
-    # groupby: the shuffle key is an int32 sha prefix (a native sort-shuffle
-    # on the 64-char sha strings measured 5x slower), and only groups with
-    # >= 2 members leave the partition
-    p = 64
+
+def sha_prefix_part(col, p: int) -> np.ndarray:
+    """Vectorized ``int(sha_hex[:8], 16) & (p-1)`` over a column of hex
+    digests — the coarse partition key for sha-keyed groupbys (replaces a
+    per-row python int() loop)."""
+    data, off = _string_buffers(col)
+    n = len(off) - 1
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    idx = off[:-1, None].astype(np.int64) + np.arange(8, dtype=np.int64)[None, :]
+    vals = _HEXVAL[data[idx]]
+    word = np.zeros(n, dtype=np.uint32)
+    for j in range(8):
+        word = (word << np.uint32(4)) | vals[:, j]
+    return (word & np.uint32(p - 1)).astype(np.int32)
+
+
+def sha_to_s64(col) -> np.ndarray:
+    """String column of 64-char sha hex digests → numpy 'S64' array, straight
+    off the Arrow buffer when the layout is uniform (zero python strings)."""
+    data, off = _string_buffers(col)
+    n = len(off) - 1
+    if n == 0:
+        return np.empty(0, dtype="S64")
+    widths = np.diff(off)
+    if (widths == 64).all():
+        return data[off[0] : off[-1]].reshape(n, 64).copy().view("S64").reshape(n)
+    # non-uniform (shouldn't happen for sha columns) — object fallback
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.array(col.to_pylist(), dtype="S64")
+
+
+def _dup_groups_df(docs_ds, p: int = 64):
+    """Distributed dup-group resolution over the narrow (sha, doc_id)
+    projection: Dataset of (text_sha256, canonical_doc_id, n_exact_dups),
+    one row per sha with >= 2 members."""
 
     def decorate(batch: pa.Table) -> pa.Table:
-        import numpy as _np
-
-        part = _np.fromiter(
-            (int(s[:8], 16) & (p - 1) for s in batch["text_sha256"].to_pylist()),
-            dtype=_np.int32,
-            count=batch.num_rows,
-        )
         return pa.table(
             {
-                "_part": pa.array(part, type=pa.int32()),
+                "_part": pa.array(sha_prefix_part(batch["text_sha256"], p), type=pa.int32()),
                 "text_sha256": batch["text_sha256"],
                 "doc_id": batch["doc_id"],
             }
@@ -67,59 +108,151 @@ def exact_dedup(docs_ds, num_partitions: int | None = None, return_extras: bool 
         g = g[g["size"] >= 2].reset_index()
         return g.rename(columns={"min": "canonical_doc_id", "size": "n_exact_dups"})
 
-    dup_df = (
+    return (
         docs_ds.select_columns(["text_sha256", "doc_id"])
         .map_batches(decorate, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(dup_groups, batch_format="pandas")
-        .to_pandas()
     )
+
+
+def exact_dedup(
+    docs_ds,
+    num_partitions: int | None = None,
+    return_extras: bool = False,
+    strategy: str = "auto",
+):
+    """docs → (docs_unique, dup_map) [+ (docs_materialized, dup_ref) when
+    ``return_extras``].
+
+    docs_unique: one row per distinct text (the min-doc_id winner) with its
+    full doc columns plus ``n_exact_dups``.
+    dup_map: (doc_id, url, text_sha256, canonical_doc_id) for every doc whose
+    text is duplicated (winners included, mapping to themselves) — the only
+    docs exact-dup clustering needs.
+    dup_ref: the broadcast (sorted S64 shas, canonical ids, counts) object
+    ref, reusable by downstream cluster assignment without another shuffle
+    (None under the join strategy).
+    """
+    docs_ds = docs_ds.materialize()  # two consumers below; extract runs once
+    dup_groups_ds = _dup_groups_df(docs_ds)
+    if strategy == "auto":
+        dup_groups_ds = dup_groups_ds.materialize()
+        strategy = (
+            "join" if dup_groups_ds.count() > JOIN_FALLBACK_GROUPS else "broadcast"
+        )
+    if strategy == "join":
+        return _exact_dedup_join(docs_ds, dup_groups_ds, return_extras)
+
+    dup_df = dup_groups_ds.to_pandas()
     if "text_sha256" not in dup_df.columns:  # all-unique corpus: empty result
         dup_df = dup_df.reindex(
             columns=["text_sha256", "canonical_doc_id", "n_exact_dups"]
         )
+    shas = np.array(dup_df["text_sha256"].to_numpy(), dtype="S64")
+    order = np.argsort(shas)
     dup_ref = ray.put(
-        {
-            s: (int(c), int(n))
-            for s, c, n in zip(
-                dup_df["text_sha256"], dup_df["canonical_doc_id"], dup_df["n_exact_dups"]
-            )
-        }
+        (
+            shas[order],
+            dup_df["canonical_doc_id"].to_numpy()[order].astype(np.int64),
+            dup_df["n_exact_dups"].to_numpy()[order].astype(np.int64),
+        )
     )
 
-    def keep_winners(batch: pa.Table) -> pa.Table:
-        dup = ray.get(dup_ref)
+    def _lookup(batch: pa.Table):
+        """Per-row (ids, hit mask, canonical-at-row, count-at-row) via
+        vectorized searchsorted against the broadcast sorted sha arrays."""
+        d_shas, d_canon, d_counts = ray.get(dup_ref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        shas = batch["text_sha256"].to_pylist()
-        keep = np.ones(len(ids), dtype=bool)
-        n_dups = np.ones(len(ids), dtype=np.int64)
-        for i, s in enumerate(shas):
-            hit = dup.get(s)
-            if hit is not None:
-                keep[i] = ids[i] == hit[0]
-                n_dups[i] = hit[1]
+        if len(d_shas) == 0:
+            n = len(ids)
+            return ids, np.zeros(n, bool), np.full(n, -1, np.int64), np.ones(n, np.int64)
+        s = sha_to_s64(batch["text_sha256"])
+        pos = np.searchsorted(d_shas, s)
+        pos[pos >= len(d_shas)] = 0
+        hit = d_shas[pos] == s
+        canon_at = np.where(hit, d_canon[pos], -1)
+        count_at = np.where(hit, d_counts[pos], 1)
+        return ids, hit, canon_at, count_at
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        ids, hit, canon_at, count_at = _lookup(batch)
+        keep = ~hit | (ids == canon_at)
         return batch.filter(pa.array(keep)).append_column(
-            "n_exact_dups", pa.array(n_dups[keep], type=pa.int64())
+            "n_exact_dups", pa.array(count_at[keep], type=pa.int64())
         )
 
     def dup_members(batch: pa.Table) -> pa.Table:
-        dup = ray.get(dup_ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        shas = batch["text_sha256"].to_pylist()
-        sel = np.zeros(len(ids), dtype=bool)
-        canon = np.zeros(len(ids), dtype=np.int64)
-        for i, s in enumerate(shas):
-            hit = dup.get(s)
-            if hit is not None:
-                sel[i] = True
-                canon[i] = hit[0]
-        out = batch.select(["doc_id", "url", "text_sha256"]).filter(pa.array(sel))
+        _, hit, canon_at, _ = _lookup(batch)
+        out = batch.select(["doc_id", "url", "text_sha256"]).filter(pa.array(hit))
         return out.append_column(
-            "canonical_doc_id", pa.array(canon[sel], type=pa.int64())
+            "canonical_doc_id", pa.array(canon_at[hit], type=pa.int64())
         )
 
     docs_unique = docs_ds.map_batches(keep_winners, batch_format="pyarrow")
     dup_map = docs_ds.map_batches(dup_members, batch_format="pyarrow")
     if return_extras:
         return docs_unique, dup_map, docs_ds, dup_ref
+    return docs_unique, dup_map
+
+
+def _exact_dedup_join(docs_ds, dup_groups_ds, return_extras: bool):
+    """Join-strategy winner resolution: the dup-group table never collects.
+    Both joins are hash-partitioned on text_sha256; only the narrow dup-group
+    side and the doc rows that MATCH it shuffle (left side stays put for the
+    unique majority via the left-outer join's pass-through)."""
+    from imagededupx_ray.util import suggest_num_partitions
+
+    nparts = suggest_num_partitions()
+    dup_narrow = dup_groups_ds.map_batches(
+        lambda t: t.select(["text_sha256", "canonical_doc_id", "n_exact_dups"]),
+        batch_format="pyarrow",
+    )
+    joined = docs_ds.join(
+        dup_narrow,
+        join_type="left_outer",
+        num_partitions=nparts,
+        on=("text_sha256",),
+    )
+
+    def winners(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # fill nulls ARROW-side: a nullable int64 through to_numpy becomes
+        # float64 and mangles 63-bit ids above 2^53
+        canon = (
+            pa.compute.fill_null(batch["canonical_doc_id"], -1)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        n = (
+            pa.compute.fill_null(batch["n_exact_dups"], 1)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        hit = canon >= 0
+        keep = ~hit | (ids == canon)
+        n_dups = np.where(hit, n, 1).astype(np.int64)
+        out = batch.drop_columns(["canonical_doc_id", "n_exact_dups"]).filter(
+            pa.array(keep)
+        )
+        return out.append_column("n_exact_dups", pa.array(n_dups[keep], type=pa.int64()))
+
+    def members(batch: pa.Table) -> pa.Table:
+        hit = ~pa.compute.is_null(batch["canonical_doc_id"]).to_numpy(
+            zero_copy_only=False
+        )
+        out = batch.select(
+            ["doc_id", "url", "text_sha256", "canonical_doc_id"]
+        ).filter(pa.array(hit))
+        return out.set_column(
+            out.column_names.index("canonical_doc_id"),
+            "canonical_doc_id",
+            out["canonical_doc_id"].cast(pa.int64()),
+        )
+
+    joined = joined.materialize()
+    docs_unique = joined.map_batches(winners, batch_format="pyarrow")
+    dup_map = joined.map_batches(members, batch_format="pyarrow")
+    if return_extras:
+        return docs_unique, dup_map, docs_ds, None
     return docs_unique, dup_map

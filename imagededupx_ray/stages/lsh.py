@@ -169,9 +169,14 @@ def _find_hot_buckets(lsh_rows, threshold: int) -> np.ndarray:
     """Bucket ids with (approximately detected, then exactly counted) more
     than ``threshold`` rows. Detection is MAP-SIDE — each block reports only
     buckets locally big enough that a globally-hot bucket must trip it in
-    some block — so the common no-skew case costs one cheap scan, not a full
-    count shuffle."""
-    local_thr = max(2, threshold // 1024)
+    some block. For that guarantee to hold, ``local_thr`` must be
+    ``threshold // num_blocks`` (pigeonhole: a bucket spread over B blocks
+    with > threshold total rows has > threshold/B rows in some block), so it
+    is derived from the ACTUAL materialized block count, not a fixed
+    assumption — a uniformly-spread mega-bucket can otherwise slip under a
+    hardcoded divisor at >4M docs."""
+    num_blocks = max(1, lsh_rows.num_blocks())
+    local_thr = max(2, threshold // num_blocks)
 
     def local_candidates(t: pa.Table) -> pa.Table:
         b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)

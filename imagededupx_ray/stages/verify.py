@@ -52,9 +52,26 @@ class BroadcastVerify:
     def __call__(self, batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # candidate ids always exist in signatures (same pipeline run)
-        ia = self.order[np.searchsorted(self.ids_sorted, a)]
-        ib = self.order[np.searchsorted(self.ids_sorted, b)]
+        # candidate ids come from the same pipeline run, but clamp + verify
+        # membership anyway: an id above every broadcast id would IndexError
+        # and a missing id would silently read a wrong row
+        if len(self.ids_sorted) == 0:
+            a = a[:0]
+            b = b[:0]
+        pa_pos = np.searchsorted(self.ids_sorted, a)
+        pb_pos = np.searchsorted(self.ids_sorted, b)
+        pa_pos[pa_pos >= max(len(self.ids_sorted), 1)] = 0
+        pb_pos[pb_pos >= max(len(self.ids_sorted), 1)] = 0
+        ok = (
+            (self.ids_sorted[pa_pos] == a) & (self.ids_sorted[pb_pos] == b)
+            if len(a)
+            else np.empty(0, dtype=bool)
+        )
+        if not np.all(ok):
+            a, b = a[ok], b[ok]
+            pa_pos, pb_pos = pa_pos[ok], pb_pos[ok]
+        ia = self.order[pa_pos]
+        ib = self.order[pb_pos]
         est, ham = _pair_metrics(self.mh[ia], self.mh[ib], self.sim[ia], self.sim[ib])
         keep = (est >= self.cfg.jaccard_threshold) | (ham <= self.cfg.simhash_hamming_max)
         return pa.table(

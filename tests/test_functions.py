@@ -38,6 +38,36 @@ def test_edit_distance(s1, s2, want):
     assert D.edit_distance(s1, s2) == want
 
 
+def test_statistical_distances():
+    rng = np.random.default_rng(7)
+    v1, v2 = rng.normal(size=8), rng.normal(size=8)
+    assert np.isclose(D.pearson_correlation(v1, v2), np.corrcoef(v1, v2)[0][1])
+    assert np.isclose(D.pearson_correlation(v1, v1), 1.0)
+    var = np.var(np.vstack([v1, v2]), axis=0, ddof=1)
+    want = np.sqrt(((v1 - v2) ** 2 / (var + 1e-9)).sum())
+    assert np.isclose(D.euclidean_distance_standardized(v1, v2), want)
+
+
+def test_str_match_and_common_substr():
+    assert D.is_str_match("abc", "abc")
+    assert not D.is_str_match("abc", "abd")
+    # kitten/sitting: edit 3, maxlen 7 -> similarity 1 - 3/7 ≈ 0.571
+    assert D.is_str_match("kitten", "sitting", threshold=0.5)
+    assert not D.is_str_match("kitten", "sitting", threshold=0.9)
+    # longest common substring, vs a difflib oracle on random strings
+    import difflib
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        s1 = "".join(rng.choice(list("abcab ")) for _ in range(rng.integers(0, 30)))
+        s2 = "".join(rng.choice(list("abcab ")) for _ in range(rng.integers(0, 30)))
+        sq = difflib.SequenceMatcher(None, s1, s2, autojunk=False)
+        m = sq.find_longest_match(0, len(s1), 0, len(s2))
+        assert D.num_of_common_sub_str(s1, s2) == m.size, (s1, s2)
+    assert D.num_of_common_sub_str("", "abc") == 0
+    assert D.longest_match_ratio("xabcx", "abc") == 1.0
+
+
 def test_normalizers():
     x = np.array([1.0, 2.0, 3.0])
     assert np.allclose(D.max_min_normalize(x), [0, 0.5, 1])

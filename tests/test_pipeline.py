@@ -174,6 +174,36 @@ def test_join_verify_equals_broadcast(dedup_result):
     )
 
 
+def test_exact_dedup_join_equals_broadcast(ray_session, fixture_corpus):
+    """The extreme-dup-rate join fallback must produce the same docs_unique
+    and dup_map as the broadcast path, and the full pipeline the same cluster
+    assignment (same shape as test_join_verify_equals_broadcast)."""
+    import ray.data as rd
+
+    from imagededupx_ray.pipelines.dedup import run_dedup
+    from imagededupx_ray.stages.dedup import exact_dedup
+    from imagededupx_ray.stages.extract import extract_stage
+
+    pages = rd.read_parquet(f"{fixture_corpus}/pages")
+    docs = extract_stage(pages)
+    ub, mb = exact_dedup(docs, strategy="broadcast")
+    uj, mj = exact_dedup(docs, strategy="join")
+    cols = ["doc_id", "url", "text_sha256", "n_exact_dups"]
+    dub = ub.to_pandas()[cols].sort_values("doc_id").reset_index(drop=True)
+    duj = uj.to_pandas()[cols].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(dub, duj)
+    mcols = ["doc_id", "url", "text_sha256", "canonical_doc_id"]
+    dmb = mb.to_pandas()[mcols].sort_values("doc_id").reset_index(drop=True)
+    dmj = mj.to_pandas()[mcols].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(dmb, dmj)
+    # end-to-end: identical cluster assignment through the join-exact path
+    cb = run_dedup(pages, CFG, exact_strategy="broadcast").clusters.to_pandas()
+    cj = run_dedup(pages, CFG, exact_strategy="join").clusters.to_pandas()
+    lb = cb.set_index("url")["cluster_id"].sort_index()
+    lj = cj.set_index("url")["cluster_id"].sort_index()
+    assert (lb == lj).all()
+
+
 def test_salted_lsh_preserves_clusters(ray_session, fixture_corpus):
     """With salt_threshold forced tiny, the boilerplate site's hot buckets
     are split across salted sub-partitions; chained sub-bucket minima must
