@@ -13,9 +13,9 @@ Prints ONE JSON line:
    "dedup_docs_per_sec": ...}
 
 ``--scaling`` runs the headline pipeline in two FRESH processes
-(num_cpus=8 and num_cpus=32, same input) and reports both throughputs plus
-scaling efficiency = (t_8 / t_32) / 4 — the sandbox evidence for the
-north rule's N→4N cluster-size criterion.
+(num_cpus=8 and num_cpus=32 by default, same input) and reports both
+throughputs plus scaling efficiency = (t_8 / t_32) / 4 — the sandbox
+evidence for the north rule's N→4N cluster-size criterion.
 """
 
 from __future__ import annotations
@@ -29,11 +29,11 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 PAGES_PER_SF = 600_000  # sf0.1 -> 60k pages (~90 MB text), sf0.01 -> 6k
-# scaling runs use a 20x corpus (sf0.1 -> 1.2M pages) so compute dominates
-# the ~15s of fixed per-process cost (worker warmup, stage barriers, driver
-# reduce steps) — at 60k pages the whole job is overhead-bound and speedup is
-# meaningless at any cluster size
-SCALING_PAGES_PER_SF = int(os.environ.get("GRAFT_SCALING_PAGES_PER_SF", "12000000"))
+# scaling runs use a 40x corpus (sf0.1 -> 2.4M pages) so compute dominates
+# the few seconds of fixed per-process cost (worker warmup, stage barriers,
+# driver reduce steps) — at 60k pages the whole job is overhead-bound and
+# speedup is meaningless at any cluster size
+SCALING_PAGES_PER_SF = int(os.environ.get("GRAFT_SCALING_PAGES_PER_SF", "24000000"))
 
 
 def _sf_of(path: str) -> float:
@@ -125,7 +125,12 @@ def main() -> None:
         )
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # CPU-independent read fan-out sized to the bench corpus: Ray's default
+    # pads every read to >= 200 blocks, drowning the narrow shuffles in
+    # per-task overhead at this scale (measured 2-3x slower groupbys)
+    ctx.read_op_min_num_blocks = 64
 
     sf = _sf_of(SF_DIR)
     head = run_headline(sf)
@@ -159,7 +164,9 @@ def headline_only() -> None:
     )
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.read_op_min_num_blocks = 64
     head = run_headline(_sf_of(SF_DIR), SCALING_PAGES_PER_SF)
     print(json.dumps(head))
     ray.shutdown()
@@ -168,13 +175,10 @@ def headline_only() -> None:
 def scaling() -> None:
     """Same job, two parallelism levels (N and 4N), fresh processes — the
     north-rule cluster-size criterion evidenced in a single-node sandbox.
-    Default pair 4→16: above ~16 cores one box saturates shared DRAM
-    bandwidth (measured: 32 CPUs is SLOWER than 16), which a real 4N-node
-    cluster — whose bandwidth scales with nodes — does not suffer; below ~4,
-    Ray's own system processes skew the small side. Override with
-    GRAFT_SCALING_CPUS=8,32."""
+    Default pair 8→32 (the declared protocol in BASELINE.md). Override with
+    GRAFT_SCALING_CPUS=4,16."""
     lo, hi = (
-        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
     )
     results = {}
     for cpus in (lo, hi):

@@ -166,7 +166,7 @@ def minhash_matrix(
     counts: np.ndarray,
     salts: np.ndarray,
     perm_chunk: int = 32,
-    shingle_block: int = 4096,
+    shingle_block: int = 1024,
 ) -> np.ndarray:
     """(n_docs, num_perms) uint64 minhash matrix from flat shingle hashes.
 
@@ -207,7 +207,7 @@ def minhash_matrix(
 
 
 def simhash_vector(
-    shingles: np.ndarray, counts: np.ndarray, shingle_chunk: int = 8192
+    shingles: np.ndarray, counts: np.ndarray, shingle_chunk: int = 2048
 ) -> np.ndarray:
     """64-bit SimHash per doc: sign of per-bit sum of (2*bit-1) over shingle
     occurrences (duplicate shingles naturally contribute their term frequency,
@@ -231,9 +231,14 @@ def simhash_vector(
             while g1 < len(nonempty) and ne_cum[g1 + 1] - ne_cum[g0] <= shingle_chunk:
                 g1 += 1
             s0, s1 = int(ne_cum[g0]), int(ne_cum[g1])
+            # int16 accumulators: segment sums are bounded by the chunk span
+            # (normally <= shingle_chunk = 8192 < 2^15; a single mega-doc can
+            # exceed the chunk, so widen when the span does), and the
+            # 4x-narrower temporaries cut DRAM traffic
+            acc_dt = np.int16 if (s1 - s0) <= 32767 else np.int64
             bits = np.unpackbits(
                 shingles[s0:s1].astype(">u8").view(np.uint8).reshape(-1, 8), axis=1
-            ).astype(np.int64)  # (seg, 64) MSB-first
+            ).astype(acc_dt)  # (seg, 64) MSB-first
             local_starts = (ne_cum[g0:g1] - s0).astype(np.int64)
             ones[nonempty[g0:g1]] = np.add.reduceat(bits, local_starts, axis=0)
             g0 = g1

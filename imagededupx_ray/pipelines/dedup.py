@@ -30,9 +30,12 @@ from imagededupx_ray.stages.cluster import (
 )
 from imagededupx_ray.stages.dedup import exact_dedup
 from imagededupx_ray.stages.extract import extract_stage
-from imagededupx_ray.stages.lsh import lsh_candidate_pairs
+from imagededupx_ray.stages.lsh import lsh_candidate_pairs_from_raw, lsh_raw_pairs
 from imagededupx_ray.stages.signatures import signature_stage
-from imagededupx_ray.stages.verify import verify_pairs_broadcast, verify_pairs_join
+from imagededupx_ray.stages.verify import (
+    verify_pairs_broadcast_fused,
+    verify_pairs_join,
+)
 
 
 @dataclass
@@ -66,26 +69,32 @@ def run_dedup(
     signatures = signature_stage(
         docs_unique, cfg, concurrency=signature_concurrency
     ).materialize()
-    cand_pairs = lsh_candidate_pairs(signatures, cfg).materialize()
+    # RAW pairs (cross-band duplicates allowed): the distinct happens inside
+    # the verify exchange, saving a whole dedup shuffle
+    raw_pairs = lsh_raw_pairs(signatures, cfg).materialize()
+    cand_pairs = None  # derived lazily below for callers that want it
     if verify_strategy == "join":
+        cand_pairs = lsh_candidate_pairs_from_raw(raw_pairs, cfg).materialize()
         verified = verify_pairs_join(cand_pairs, signatures, cfg)
     else:
         # the verify broadcast only needs pair members' signatures — a small
-        # fraction of the corpus (cand_pairs is materialized and narrow)
+        # fraction of the corpus (raw_pairs is materialized and narrow;
+        # duplicates collapse inside np.unique)
         import numpy as _np
-        import pyarrow as _pa
 
         ids_l = []
-        for b in cand_pairs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        for b in raw_pairs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
             ids_l.append(b["a"].to_numpy(zero_copy_only=False).astype(_np.int64))
             ids_l.append(b["b"].to_numpy(zero_copy_only=False).astype(_np.int64))
         pair_ids = (
             _np.unique(_np.concatenate(ids_l)) if ids_l else _np.empty(0, _np.int64)
         )
-        verified = verify_pairs_broadcast(
-            cand_pairs, signatures, cfg, pair_ids=pair_ids
+        verified = verify_pairs_broadcast_fused(
+            raw_pairs, signatures, cfg, pair_ids=pair_ids
         )
     verified = verified.materialize()
+    if cand_pairs is None:
+        cand_pairs = lsh_candidate_pairs_from_raw(raw_pairs, cfg)
     if dup_ref is not None:
         # union-find over verified near-dup pairs ONLY; exact-dup members fold
         # through the sha→canonical broadcast at assignment time, so no

@@ -231,7 +231,7 @@ def assign_clusters_via_canonical(docs_ds, dup_ref, root_map: dict[int, int]):
     near-dup pairs. Lookup is a vectorized searchsorted, no per-row python."""
     import ray
 
-    from imagededupx_ray.stages.dedup import sha_to_s64
+    from imagededupx_ray.stages.dedup import i64_pair_to_key16, sha_to_i64_pair
 
     keys = np.fromiter(root_map.keys(), dtype=np.int64, count=len(root_map))
     vals = np.fromiter(root_map.values(), dtype=np.int64, count=len(root_map))
@@ -240,14 +240,14 @@ def assign_clusters_via_canonical(docs_ds, dup_ref, root_map: dict[int, int]):
 
     def assign(batch: pa.Table) -> pa.Table:
         k, v = ray.get(map_ref)
-        d_shas, d_canon, _ = ray.get(dup_ref)
+        d_keys, d_canon, _ = ray.get(dup_ref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         canon = ids.copy()
-        if len(d_shas):
-            s = sha_to_s64(batch["text_sha256"])
-            pos = np.searchsorted(d_shas, s)
-            pos[pos >= len(d_shas)] = 0
-            hit = d_shas[pos] == s
+        if len(d_keys):
+            s = i64_pair_to_key16(*sha_to_i64_pair(batch["text_sha256"]))
+            pos = np.searchsorted(d_keys, s)
+            pos[pos >= len(d_keys)] = 0
+            hit = d_keys[pos] == s
             canon[hit] = d_canon[pos[hit]]
         cl = canon.copy()
         if len(k):

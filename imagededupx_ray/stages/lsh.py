@@ -165,18 +165,17 @@ def _dedup_pairs_group(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": a[keep], "b": b[keep]})
 
 
-def _find_hot_buckets(lsh_rows, threshold: int) -> np.ndarray:
+def _find_hot_buckets(lsh_rows, threshold: int, num_blocks: int) -> np.ndarray:
     """Bucket ids with (approximately detected, then exactly counted) more
     than ``threshold`` rows. Detection is MAP-SIDE — each block reports only
     buckets locally big enough that a globally-hot bucket must trip it in
     some block. For that guarantee to hold, ``local_thr`` must be
     ``threshold // num_blocks`` (pigeonhole: a bucket spread over B blocks
-    with > threshold total rows has > threshold/B rows in some block), so it
-    is derived from the ACTUAL materialized block count, not a fixed
-    assumption — a uniformly-spread mega-bucket can otherwise slip under a
-    hardcoded divisor at >4M docs."""
-    num_blocks = max(1, lsh_rows.num_blocks())
-    local_thr = max(2, threshold // num_blocks)
+    with > threshold total rows has > threshold/B rows in some block);
+    ``num_blocks`` is the upstream signature-block count with a 2x safety
+    factor for map_batches block splitting — a uniformly-spread mega-bucket
+    can otherwise slip under a hardcoded divisor at >4M docs."""
+    local_thr = max(2, threshold // max(1, 2 * num_blocks))
 
     def local_candidates(t: pa.Table) -> pa.Table:
         b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -196,15 +195,14 @@ def _find_hot_buckets(lsh_rows, threshold: int) -> np.ndarray:
     return np.sort(totals[totals > threshold].index.to_numpy().astype(np.int64))
 
 
-def lsh_candidate_pairs(
+def lsh_raw_pairs(
     signatures_ds, cfg: DedupConfig = DEFAULT_CONFIG, num_partitions: int | None = None
 ):
-    """signatures → distinct candidate pairs (a < b).
-
-    Two task-based sort-shuffle groupbys, both on coarse power-of-two keys:
-    pair emission (bucket & (P-1)) and cross-band pair dedup
-    (hash(a) & (P-1)) — the reference's mirrored-pair set
-    (utils/util.py:222-230) as a vectorized distinct.
+    """signatures → RAW candidate pairs (a < b, may contain cross-band
+    duplicates): the emission half of the LSH shuffle. Use
+    ``lsh_candidate_pairs`` for the distinct set, or feed this straight into
+    ``verify_pairs_broadcast_fused`` which dedups inside the verify shuffle
+    (one exchange instead of two).
 
     Salting (north rule; SURVEY.md §4.2 item 1): buckets above
     cfg.salt_threshold rows are re-keyed by ``doc_id % salt_k`` so no single
@@ -214,14 +212,22 @@ def lsh_candidate_pairs(
     if num_partitions is None:
         num_partitions = suggest_num_partitions(per_cpu=2)
     p = _pow2(num_partitions)
+    # lsh_rows is NOT materialized: explode_bands is a cheap 1:1 kernel over
+    # the (already materialized) signatures, so the hot-bucket scan and the
+    # pair-emission shuffle each re-derive it as a fused map — two cheap
+    # recomputes beat writing the 20x-wider band-row table through the
+    # object store once (measured: the materialize was ~30% of LSH wall)
     lsh_rows = signatures_ds.map_batches(
         explode_bands(cfg, partitions=p), batch_format="pyarrow", batch_size=4096
     )
 
     chain_pairs_tbl = None
     if cfg.salt_threshold is not None:
-        lsh_rows = lsh_rows.materialize()
-        hot = _find_hot_buckets(lsh_rows, cfg.salt_threshold)
+        try:
+            sig_blocks = signatures_ds.num_blocks()
+        except Exception:
+            sig_blocks = suggest_num_partitions(per_cpu=2)
+        hot = _find_hot_buckets(lsh_rows, cfg.salt_threshold, sig_blocks)
         if len(hot):
             import ray
 
@@ -306,9 +312,16 @@ def lsh_candidate_pairs(
     if chain_pairs_tbl is not None:
         import ray.data as rd
 
-        pairs = pairs.map_batches(lambda t: t, batch_format="pyarrow").union(
-            rd.from_arrow(chain_pairs_tbl)
-        )
+        pairs = pairs.union(rd.from_arrow(chain_pairs_tbl))
+    # normalize to arrow blocks: map_groups emits pandas blocks but skipped
+    # empty partitions pass through as arrow — a mixed-type dataset breaks
+    # any multi-block iter_batches downstream
+    return pairs.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def decorate_pair_part(p: int):
+    """Batch fn: attach the pair-dedup coarse shuffle key
+    ``splitmix64(a ^ (b<<1)) & (p-1)``."""
 
     def decorate(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -326,8 +339,33 @@ def lsh_candidate_pairs(
             }
         )
 
+    return decorate
+
+
+def lsh_candidate_pairs_from_raw(
+    raw_pairs_ds, cfg: DedupConfig = DEFAULT_CONFIG, num_partitions: int | None = None
+):
+    """RAW pairs → distinct pairs via the pair-hash coarse-partition shuffle
+    (the reference's mirrored-pair set, utils/util.py:222-230, as a
+    vectorized distinct)."""
+    if num_partitions is None:
+        num_partitions = suggest_num_partitions(per_cpu=2)
+    p = _pow2(num_partitions)
     return (
-        pairs.map_batches(decorate, batch_format="pyarrow")
+        raw_pairs_ds.map_batches(decorate_pair_part(p), batch_format="pyarrow")
         .groupby("_part")
         .map_groups(_dedup_pairs_group, batch_format="pandas")
     )
+
+
+def lsh_candidate_pairs(
+    signatures_ds, cfg: DedupConfig = DEFAULT_CONFIG, num_partitions: int | None = None
+):
+    """signatures → DISTINCT candidate pairs (a < b).
+
+    Two task-based sort-shuffle groupbys, both on coarse power-of-two keys:
+    pair emission (bucket & (P-1)) and cross-band pair dedup
+    (hash(a) & (P-1)). The main pipeline skips this second shuffle by fusing
+    the distinct into the verify exchange (verify_pairs_broadcast_fused)."""
+    raw = lsh_raw_pairs(signatures_ds, cfg, num_partitions)
+    return lsh_candidate_pairs_from_raw(raw, cfg, num_partitions)

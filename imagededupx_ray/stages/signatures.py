@@ -43,14 +43,16 @@ class SignatureStage:
         mh_col = pa.FixedSizeListArray.from_arrays(
             pa.array(mh.reshape(-1), type=pa.uint64()), cfg.num_perms
         )
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "minhash": mh_col,
-                "simhash": pa.array(sv, type=pa.uint64()),
-                "n_shingles": pa.array(counts.astype(np.int32), type=pa.int32()),
-            }
-        )
+        cols = {
+            "doc_id": batch["doc_id"],
+            "minhash": mh_col,
+            "simhash": pa.array(sv, type=pa.uint64()),
+            "n_shingles": pa.array(counts.astype(np.int32), type=pa.int32()),
+        }
+        # passthrough key for snapshot stores (signatures keyed by text)
+        if "text_sha256" in batch.column_names:
+            cols["text_sha256"] = batch["text_sha256"]
+        return pa.table(cols)
 
 
 _PROC_CACHE: dict = {}
@@ -77,6 +79,7 @@ def signature_stage(
     cfg: DedupConfig = DEFAULT_CONFIG,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 1024,
+    passthrough_sha: bool = False,
 ):
     """docs (needs doc_id + text) → signatures Dataset.
 
@@ -89,7 +92,8 @@ def signature_stage(
     A1/A2); ``concurrency × num_cpus=1`` is clamped below the node's CPU count
     so read/shuffle stages aren't starved (SURVEY.md §4.2 item 4).
     """
-    src = docs_ds.select_columns(["doc_id", "text"])
+    cols = ["doc_id", "text"] + (["text_sha256"] if passthrough_sha else [])
+    src = docs_ds.select_columns(cols)
     if concurrency is None:
         return src.map_batches(
             _signature_task(cfg), batch_format="pyarrow", batch_size=batch_size
@@ -108,17 +112,30 @@ def signature_stage(
 
 def signatures_to_numpy(sig_table: pa.Table, num_perms: int):
     """Zero-copy-ish view of a signatures Arrow table as numpy arrays:
-    (doc_ids u64, minhash (n, num_perms) u64, simhash u64, n_shingles i32)."""
+    (doc_ids u64, minhash (n, num_perms) u64, simhash u64, n_shingles i32).
+    Accepts the minhash column either as (fixed_size_)list<uint64> (the batch
+    pipeline's layout) or as fixed-width binary (the join-safe packed layout
+    used by snapshot stores — acero joins reject list payload columns)."""
     ids = sig_table["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     mh_col = sig_table["minhash"]
     if isinstance(mh_col, pa.ChunkedArray):
         mh_col = mh_col.combine_chunks()
-    flat = mh_col.flatten()
-    mh = (
-        flat.to_numpy(zero_copy_only=False)
-        .astype(np.uint64, copy=False)
-        .reshape(-1, num_perms)
-    )
+    if pa.types.is_binary(mh_col.type) or pa.types.is_fixed_size_binary(mh_col.type):
+        if pa.types.is_fixed_size_binary(mh_col.type):
+            buf = np.frombuffer(mh_col.buffers()[1], dtype=np.uint64)
+            start = mh_col.offset * num_perms
+            mh = buf[start : start + len(mh_col) * num_perms].reshape(-1, num_perms)
+        else:
+            mh = np.frombuffer(b"".join(mh_col.to_pylist()), dtype=np.uint64).reshape(
+                -1, num_perms
+            )
+    else:
+        flat = mh_col.flatten()
+        mh = (
+            flat.to_numpy(zero_copy_only=False)
+            .astype(np.uint64, copy=False)
+            .reshape(-1, num_perms)
+        )
     sim = sig_table["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
     nsh = sig_table["n_shingles"].to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
     return ids, mh, sim, nsh

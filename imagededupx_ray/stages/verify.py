@@ -119,21 +119,31 @@ def broadcast_signatures(
             }
         )
 
-    ids_l, mh_l, sim_l = [], [], []
-    for b in signatures_ds.map_batches(
+    cells = signatures_ds.map_batches(
         compact, batch_format="pyarrow", batch_size=65536
-    ).iter_batches(batch_size=1, batch_format="pyarrow"):
-        for r in range(b.num_rows):
-            ids_l.append(np.frombuffer(b["ids"][r].as_py(), dtype=np.int64))
-            mh_l.append(
-                np.frombuffer(b["mh"][r].as_py(), dtype=np.uint64).reshape(-1, nperm)
-            )
-            sim_l.append(np.frombuffer(b["sim"][r].as_py(), dtype=np.uint64))
-    ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
-    mh = np.vstack(mh_l) if mh_l else np.empty((0, nperm), np.uint64)
-    sim = np.concatenate(sim_l) if sim_l else np.empty(0, np.uint64)
-    order = np.argsort(ids).astype(np.int64)
-    return ray.put((ids[order], order, mh, sim))
+    ).materialize()
+
+    @ray.remote
+    def assemble(*tbls):
+        """Concat the packed per-block cells into the broadcast arrays INSIDE
+        a worker — the big object is written to the object store once as the
+        task's return value; the driver only ever holds the ref (driver
+        serial time is what caps scaling efficiency)."""
+        ids_l, mh_l, sim_l = [], [], []
+        for t in tbls:
+            for r in range(t.num_rows):
+                ids_l.append(np.frombuffer(t["ids"][r].as_py(), dtype=np.int64))
+                mh_l.append(
+                    np.frombuffer(t["mh"][r].as_py(), dtype=np.uint64).reshape(-1, nperm)
+                )
+                sim_l.append(np.frombuffer(t["sim"][r].as_py(), dtype=np.uint64))
+        ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
+        mh = np.vstack(mh_l) if mh_l else np.empty((0, nperm), np.uint64)
+        sim = np.concatenate(sim_l) if sim_l else np.empty(0, np.uint64)
+        order = np.argsort(ids).astype(np.int64)
+        return (ids[order], order, mh, sim)
+
+    return assemble.remote(*cells.to_arrow_refs())
 
 
 _PROC_CACHE: dict = {}
@@ -169,6 +179,57 @@ def verify_pairs_broadcast(
         batch_size=65536,
         concurrency=clamp_actor_pool(concurrency),
         num_cpus=1,
+    )
+
+
+def verify_pairs_broadcast_fused(
+    raw_pairs_ds,
+    signatures_ds,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    pair_ids: np.ndarray | None = None,
+    num_partitions: int | None = None,
+):
+    """RAW (possibly duplicated) candidate pairs → verified pairs in ONE
+    exchange: the cross-band pair-distinct and the signature-compare both run
+    inside the same ``groupby(_part).map_groups`` — fusing what was a dedup
+    shuffle followed by a separate verify pass (SURVEY.md §4.2: minimize
+    all-to-all exchanges)."""
+    from imagededupx_ray.stages.lsh import _pow2, decorate_pair_part
+    from imagededupx_ray.util import suggest_num_partitions
+
+    if num_partitions is None:
+        num_partitions = suggest_num_partitions(per_cpu=2)
+    p = _pow2(num_partitions)
+    sig_ref = broadcast_signatures(signatures_ds, cfg, only_ids=pair_ids)
+    key = sig_ref.hex()
+
+    def dedup_and_verify(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        if len(a):
+            order = np.lexsort((b, a))
+            a, b = a[order], b[order]
+            keep = np.empty(len(a), dtype=bool)
+            keep[0] = True
+            keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            a, b = a[keep], b[keep]
+        v = _PROC_CACHE.get(key)
+        if v is None:
+            _PROC_CACHE.clear()
+            v = _PROC_CACHE[key] = BroadcastVerify(sig_ref, cfg)
+        out = v(
+            pa.table(
+                {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
+            )
+        )
+        return out.to_pandas()
+
+    return (
+        raw_pairs_ds.map_batches(decorate_pair_part(p), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(dedup_and_verify, batch_format="pandas")
+        # arrow-normalize: see lsh_raw_pairs (mixed block types break readers)
+        .map_batches(lambda t: t, batch_format="pyarrow")
     )
 
 
