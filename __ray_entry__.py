@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": Q.events_hourly,
         "events_user_stats": Q.events_user_stats,
         "knn_cosine": Q.knn_cosine,
+        "tfidf_cosine_topk": Q.tfidf_cosine_topk,
         "docs_quality": Q.docs_quality,
         "docs_fingerprint_md5": Q.docs_fingerprint_md5,
         "embedding_dup_pairs": Q.embedding_dup_pairs,
@@ -58,7 +59,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": Q.simhash_dup_pairs,
         "ann_cosine": Q.ann_cosine,
         "image_decode_features": Q.image_decode_features,
+        "image_perceptual_hashes": Q.image_perceptual_hashes,
+        "image_phash_dup_pairs": Q.image_phash_dup_pairs,
         "bm25_search": Q.bm25_search,
+        "tfidf_search": Q.tfidf_search,
+        "ensemble_search": Q.ensemble_search,
         "substring_spans_docs": Q.substring_spans_docs,
     }
 
@@ -125,6 +130,28 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(value), 4) AS total_value, "
             "epoch_us(MIN(ts)) AS first_ts_us, epoch_us(MAX(ts)) AS last_ts_us "
             "FROM events GROUP BY user_id"
+        ),
+        "tfidf_cosine_topk": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), "
+            "'\\s+')) AS tok FROM documents WHERE trim(text) <> ''), "
+            "tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf "
+            "FROM toks GROUP BY 1, 2), "
+            "df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df "
+            "FROM toks GROUP BY 1), "
+            "nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM toks), "
+            "w AS (SELECT doc_id, tok, tf * ln((SELECT n FROM nn) / df) AS wt "
+            "FROM tf JOIN df USING (tok)), "
+            "nrm AS (SELECT doc_id, SQRT(SUM(wt * wt)) AS nrm FROM w GROUP BY doc_id), "
+            "s AS (SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id, "
+            "SUM(q.wt * d.wt) / (ANY_VALUE(qq.nrm) * ANY_VALUE(dd.nrm)) AS cos "
+            "FROM w q JOIN w d ON q.tok = d.tok AND q.doc_id < 10 "
+            "AND d.doc_id <> q.doc_id "
+            "JOIN nrm qq ON qq.doc_id = q.doc_id JOIN nrm dd ON dd.doc_id = d.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine FROM "
+            "(SELECT *, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) "
+            "WHERE rn <= 10"
         ),
         "docs_quality": (
             "SELECT doc_id, length(text) AS n_chars, "

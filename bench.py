@@ -29,11 +29,11 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 PAGES_PER_SF = 600_000  # sf0.1 -> 60k pages (~90 MB text), sf0.01 -> 6k
-# scaling runs use a 40x corpus (sf0.1 -> 2.4M pages) so compute dominates
+# scaling runs use a 20x corpus (sf0.1 -> 1.2M pages) so compute dominates
 # the few seconds of fixed per-process cost (worker warmup, stage barriers,
 # driver reduce steps) — at 60k pages the whole job is overhead-bound and
 # speedup is meaningless at any cluster size
-SCALING_PAGES_PER_SF = int(os.environ.get("GRAFT_SCALING_PAGES_PER_SF", "24000000"))
+SCALING_PAGES_PER_SF = int(os.environ.get("GRAFT_SCALING_PAGES_PER_SF", "12000000"))
 
 
 def _sf_of(path: str) -> float:

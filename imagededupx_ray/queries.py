@@ -195,6 +195,159 @@ def token_jaccard_pairs(sf_dir: str, threshold: float = 0.4):
     )
 
 
+def tfidf_cosine_topk(sf_dir: str, n_queries: int = 10, k: int = 10):
+    """TF-IDF cosine top-k retrieval (M3 — the reference's TfidfSimilarity,
+    utils/tfidf.py:63-71 / literal_similarity.py TfidfSimilarity): weights
+    w(d, t) = tf(d, t) · ln(N / df(t)) over whitespace unigrams, cosine of
+    the first ``n_queries`` docs against the corpus, top-k by (cos desc,
+    neighbor asc). Distributed: one pass builds the (vocab-bounded) df
+    broadcast, a second scores every doc against the broadcast query vectors
+    with partial top-k per batch. Neighbors must SHARE at least one token
+    with the query (the SQL twin's join semantics)."""
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def tok_tf(batch: pa.Table):
+        flat, offsets = tokenize_batch(batch["text"])
+        th = H.token_hash_flat(flat).astype(np.int64)
+        n_tok = np.diff(offsets)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.repeat(ids, n_tok)
+        g = pd.DataFrame({"d": d, "t": th}).groupby(["d", "t"]).size().reset_index()
+        g.columns = ["d", "t", "tf"]
+        return g
+
+    # pass 1a: distinct (doc, token) → df per token (coarse-partition groupby,
+    # vocab-bounded result broadcast)
+    def distinct_tokens(batch: pa.Table) -> pa.Table:
+        g = tok_tf(batch)
+        part = (g["t"].to_numpy() & 63).astype(np.int32)
+        return pa.table(
+            {
+                "_part": pa.array(part, type=pa.int32()),
+                "t": pa.array(g["t"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    def df_count(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("t").size().reset_index()
+        g.columns = ["t", "df"]
+        return g
+
+    df_tbl = (
+        docs.map_batches(distinct_tokens, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(df_count, batch_format="pandas")
+        .to_pandas()
+    )
+    toks_sorted = np.sort(df_tbl["t"].to_numpy().astype(np.int64))
+    order = np.argsort(df_tbl["t"].to_numpy().astype(np.int64))
+    dfs_sorted = df_tbl["df"].to_numpy().astype(np.float64)[order]
+    # N = docs with at least one token (the SQL twin's corpus)
+    n_docs = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "n": pa.array(
+                    [
+                        int(
+                            pc.sum(
+                                pc.cast(
+                                    pc.not_equal(pc.utf8_trim_whitespace(t["text"]), ""),
+                                    pa.int64(),
+                                )
+                            ).as_py()
+                            or 0
+                        )
+                    ],
+                    type=pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()["n"].sum()
+    df_ref = ray.put((toks_sorted, dfs_sorted, float(n_docs)))
+
+    # query vectors: tiny driver-side build from the first n_queries docs
+    q_tbl = docs.filter(expr=f"doc_id < {n_queries}").to_pandas()
+    q_vecs = []
+    toks_s, dfs_s, N = toks_sorted, dfs_sorted, float(n_docs)
+    for _, row in q_tbl.sort_values("doc_id").iterrows():
+        g = tok_tf(
+            pa.table({"doc_id": pa.array([int(row.doc_id)]), "text": pa.array([row.text])})
+        )
+        if not len(g):
+            continue
+        t = g["t"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(toks_s, t)
+        wt = g["tf"].to_numpy().astype(np.float64) * np.log(N / dfs_s[pos])
+        o = np.argsort(t)
+        q_vecs.append((int(row.doc_id), t[o], wt[o], float(np.sqrt((wt**2).sum()))))
+    q_ref = ray.put(q_vecs)
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks_sorted_, dfs_sorted_, N_ = ray.get(df_ref)
+        qv = ray.get(q_ref)
+        g = tok_tf(batch)
+        if not len(g):
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        d = g["d"].to_numpy().astype(np.int64)
+        t = g["t"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(toks_sorted_, t)
+        wt = g["tf"].to_numpy().astype(np.float64) * np.log(N_ / dfs_sorted_[pos])
+        # per-doc segments (groupby output is sorted by (d, t))
+        uniq_d, seg_starts = np.unique(d, return_index=True)
+        norms = np.sqrt(np.add.reduceat(wt * wt, seg_starts))
+        out_q, out_n, out_c = [], [], []
+        for q_id, q_t, q_w, q_norm in qv:
+            qpos = np.searchsorted(q_t, t)
+            qpos[qpos >= len(q_t)] = 0
+            hit = q_t[qpos] == t
+            prod = np.where(hit, wt * q_w[qpos], 0.0)
+            dots = np.add.reduceat(prod, seg_starts)
+            shares = np.add.reduceat(hit.astype(np.int64), seg_starts) > 0
+            cand = shares & (uniq_d != q_id)
+            if not cand.any():
+                continue
+            cos = dots[cand] / (norms[cand] * q_norm)
+            nid = uniq_d[cand]
+            top = np.lexsort((nid, -cos))[:k]
+            out_q.append(np.full(len(top), q_id, dtype=np.int64))
+            out_n.append(nid[top])
+            out_c.append(cos[top])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), type=pa.float64()),
+            }
+        )
+
+    partials = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    out = (
+        partials.sort_values(
+            ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+        )
+        .groupby("query_id")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["cosine"] = _round_col(out["cosine"].to_numpy(), 6).to_numpy()
+    return out
+
+
 # --------------------------------------------------------------------------
 # TPC-H-ish relational coverage (grouped aggregates, joins, sort+limit)
 # --------------------------------------------------------------------------
@@ -580,49 +733,33 @@ def docs_winnow_fingerprints(sf_dir: str):
 def simhash_dup_pairs(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG):
     """All doc pairs within simhash hamming distance <= cfg.simhash_hamming_max
     (the SimHash dedup tier; reference hamming similarity
-    literal_similarity.py:119-125). Blocked popcount over the full pair grid —
-    64-bit signatures make this a cheap uint64 kernel; LSH-over-simhash-bands
-    is the 10^12 path."""
+    literal_similarity.py:119-125). Hamming-band LSH — the code splits into
+    hamming_max+1 bit blocks, a within-distance pair must match exactly in
+    some block (pigeonhole), so banding → bucket groupby → popcount verify is
+    EXACT and replaces the former driver O(n²) pair grid; equality vs brute
+    force is gated in tests (test_simhash_pairs_match_bruteforce)."""
     from imagededupx_ray.stages.extract import extract_stage
     from imagededupx_ray.stages.signatures import signature_stage, signatures_to_numpy
-    from imagededupx_ray.functions.hashing import popcount64
+    from imagededupx_ray.stages.simhash_lsh import hamming_band_pairs
 
     sigs = signature_stage(extract_stage(_documents_as_pages(sf_dir)), cfg)
-    parts = []
-    for b in sigs.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        ids, _, sim, nsh = signatures_to_numpy(b, cfg.num_perms)
-        parts.append((ids[nsh > 0], sim[nsh > 0]))
-    ids = np.concatenate([p[0] for p in parts])
-    sim = np.concatenate([p[1] for p in parts])
-    ref = ray.put((ids, sim))
-    block = 2048
-    starts = list(range(0, len(ids), block))
-    hmax = cfg.simhash_hamming_max
 
-    def pairs_for_block(batch: pa.Table) -> pa.Table:
-        all_ids, all_sim = ray.get(ref)
-        out_a, out_b, out_h = [], [], []
-        for s in batch["start"].to_pylist():
-            e = min(s + block, len(all_ids))
-            ham = popcount64(all_sim[s:e, None] ^ all_sim[None, :])
-            ii, jj = np.nonzero(ham <= hmax)
-            keep = all_ids[ii + s] < all_ids[jj]
-            out_a.append(all_ids[ii[keep] + s])
-            out_b.append(all_ids[jj[keep]])
-            out_h.append(ham[ii[keep], jj[keep]])
+    def codes(batch: pa.Table) -> pa.Table:
+        ids, _, sim, nsh = signatures_to_numpy(batch, cfg.num_perms)
+        keep = nsh > 0
         return pa.table(
             {
-                "a": pa.array(np.concatenate(out_a) if out_a else [], type=pa.int64()),
-                "b": pa.array(np.concatenate(out_b) if out_b else [], type=pa.int64()),
-                "hamming": pa.array(
-                    np.concatenate(out_h).astype(np.int64) if out_h else [],
-                    type=pa.int64(),
-                ),
+                "doc_id": pa.array(ids[keep], type=pa.int64()),
+                "simhash": pa.array(sim[keep].view(np.int64), type=pa.int64()),
             }
         )
 
-    return rd.from_items([{"start": s} for s in starts]).map_batches(
-        pairs_for_block, batch_format="pyarrow", batch_size=1
+    code_ds = sigs.map_batches(codes, batch_format="pyarrow").materialize()
+    return hamming_band_pairs(
+        code_ds,
+        id_col="doc_id",
+        code_col="simhash",
+        hamming_max=cfg.simhash_hamming_max,
     )
 
 
@@ -630,16 +767,63 @@ def simhash_dup_pairs(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG):
 # embedding similarity family (ANN + near-dup)
 # --------------------------------------------------------------------------
 
+def _broadcast_embeddings(emb_ds):
+    """(vec_id, embedding) → ObjectRef[(ids, row-normalized float64 matrix)]:
+    per-block normalize + pack runs distributed; a Ray task concatenates and
+    writes the broadcast once — the driver never holds the table (same
+    assemble pattern as the signature broadcast in stages/verify.py)."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        M = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        M = M.reshape(len(ids), -1)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pa.table(
+            {
+                "dim": pa.array([M.shape[1]], type=pa.int64()),
+                "ids": pa.array([ids.tobytes()], type=pa.large_binary()),
+                "mat": pa.array([np.ascontiguousarray(M).tobytes()], type=pa.large_binary()),
+            }
+        )
+
+    cells = (
+        emb_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(pack, batch_format="pyarrow", batch_size=65536)
+        .materialize()
+    )
+
+    @ray.remote
+    def assemble(*tbls):
+        ids_l, m_l = [], []
+        dim = 0
+        for t in tbls:
+            for r in range(t.num_rows):
+                dim = int(t["dim"][r].as_py())
+                ids_l.append(np.frombuffer(t["ids"][r].as_py(), dtype=np.int64))
+                m_l.append(
+                    np.frombuffer(t["mat"][r].as_py(), dtype=np.float64).reshape(-1, dim)
+                )
+        ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
+        M = np.vstack(m_l) if m_l else np.empty((0, dim), np.float64)
+        order = np.argsort(ids)  # deterministic row order at any parallelism
+        return ids[order], M[order]
+
+    return assemble.remote(*cells.to_arrow_refs())
+
+
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
     """Embedding-cosine near-duplicate pairs (>= threshold), exact blocked
-    matmul against the broadcast matrix — the embedding tier of dedup."""
-    emb = _read(sf_dir, "embeddings").to_pandas()
-    ids = emb["vec_id"].to_numpy().astype(np.int64)
-    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids, M))
+    matmul against the broadcast row-normalized matrix — the embedding tier
+    of dedup. The matrix assembles distributed (no whole-table driver
+    pandas); upper-triangle row blocks fan out as tasks."""
+    emb_ds = _read(sf_dir, "embeddings")
+    n = emb_ds.count()
+    ref = _broadcast_embeddings(emb_ds)
     block = 1024
-    starts = list(range(0, len(ids), block))
+    starts = list(range(0, n, block))
 
     def pairs_for_block(batch: pa.Table) -> pa.Table:
         all_ids, Mn = ray.get(ref)
@@ -693,6 +877,33 @@ def image_decode_features(sf_dir: str):
     )
 
 
+def image_perceptual_hashes(sf_dir: str):
+    """Real perceptual hashes (pHash DCT / dHash / aHash / wHash / colorhash,
+    reference utils/imagehash.py:159-347) over deterministic RAW rasters via
+    the actor-pool stage; rows-only — kernel parity vs per-pixel oracles is
+    gated in tests/test_imagehash.py."""
+    from imagededupx_ray.stages.multimodal import perceptual_hashes, synthetic_raw_images
+
+    return perceptual_hashes(rd.from_arrow(synthetic_raw_images(200)))
+
+
+def image_phash_dup_pairs(sf_dir: str, hamming_max: int = 10):
+    """Image near-dup pairs: phash-band LSH (4x16-bit bands over the 64-bit
+    code → bucket groupby → popcount verify) — the namesake image-dedup
+    pipeline at LSH scale; planted near-dups in the synthetic rasters are
+    the expected output (rows-only)."""
+    from imagededupx_ray.stages.multimodal import perceptual_hashes, synthetic_raw_images
+    from imagededupx_ray.stages.simhash_lsh import hamming_band_pairs
+
+    hashes = perceptual_hashes(rd.from_arrow(synthetic_raw_images(200)))
+    return hamming_band_pairs(
+        hashes.select_columns(["image_id", "phash"]),
+        id_col="image_id",
+        code_col="phash",
+        hamming_max=hamming_max,
+    )
+
+
 def bm25_search(sf_dir: str, k: int = 10):
     """BM25 Okapi top-k over documents for fixed deterministic queries
     (reference A3 rank_bm25 rebuilt distributed; rows-only — exact-score
@@ -706,6 +917,43 @@ def bm25_search(sf_dir: str, k: int = 10):
         "sort order join part",
     ]
     out = bm25_topk(docs, queries_, k=k)
+    out["score"] = out["score"].round(6)
+    return out
+
+
+ENSEMBLE_QUERIES = [
+    "key value hash table scan",
+    "window stream batch merge",
+    "sort order join part",
+]
+
+
+def ensemble_search(sf_dir: str, k: int = 10):
+    """End-to-end ensemble retrieval: BM25 and TF-IDF-cosine both rank the
+    corpus for the same queries, fused by Reciprocal Rank Fusion c=60 — the
+    reference's EnsembleSimilarity (ensemble_similarity.py:27-170) with two
+    REAL distributed retrievers; rows-only (golden-gated in
+    tests/test_ensemble.py)."""
+    from imagededupx_ray.functions.fusion import reciprocal_rank_fusion
+    from imagededupx_ray.stages.bm25 import bm25_topk
+    from imagededupx_ray.stages.tfidf import tfidf_topk
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"]).materialize()
+    r_bm25 = bm25_topk(docs, ENSEMBLE_QUERIES, k=30)
+    r_tfidf = tfidf_topk(docs, ENSEMBLE_QUERIES, k=30)
+    fused = reciprocal_rank_fusion([r_bm25, r_tfidf], k=k)
+    fused["score"] = fused["score"].round(6)
+    return fused
+
+
+def tfidf_search(sf_dir: str, k: int = 10):
+    """TF-IDF cosine top-k for fixed string queries (M3 retrieval tier;
+    rows-only — the doc-as-query variant tfidf_cosine_topk is the
+    hash-gated twin)."""
+    from imagededupx_ray.stages.tfidf import tfidf_topk
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = tfidf_topk(docs, ENSEMBLE_QUERIES, k=k)
     out["score"] = out["score"].round(6)
     return out
 

@@ -202,24 +202,54 @@ def label_prop_components(
         edges = _dedup_edges(
             joined.map_batches(small_emit, batch_format="pyarrow").union(self_edges)
         ).materialize()
-        # ---- convergence: checksum of the sorted edge multiset
-        tbls = list(edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-        if not tbls:
+        # ---- convergence: DISTRIBUTED count + order-independent checksum —
+        # a tiny per-block aggregate streams to the driver (O(blocks) rows),
+        # never the edge set itself
+        sig = _edge_multiset_signature(edges)
+        if sig[0] == 0:
             return {}
-        tbl = pa.concat_tables(tbls)
-        u = tbl["u"].to_numpy(zero_copy_only=False).astype(np.int64)
-        v = tbl["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((v, u))
-        sig = (tbl.num_rows, int(u[order][::7].sum()), int(v[order][::7].sum()))
         if sig == prev_sig:
             break
         prev_sig = sig
-    # final star edges: u -> root v
+    # final star edges: u -> root v (the result itself — pair-bounded)
     out: dict[int, int] = {}
-    for uu, vv in zip(u.tolist(), v.tolist()):
-        if uu != vv:
-            out[uu] = min(vv, out.get(uu, vv))
+    for batch in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        for uu, vv in zip(
+            batch["u"].to_numpy(zero_copy_only=False).astype(np.int64).tolist(),
+            batch["v"].to_numpy(zero_copy_only=False).astype(np.int64).tolist(),
+        ):
+            if uu != vv:
+                out[uu] = min(vv, out.get(uu, vv))
     return out
+
+
+def _edge_multiset_signature(edges_ds) -> tuple:
+    """(count, wrapped hash-sum) of the edge multiset, computed as a
+    map-side per-block reduction — order-independent and collision-safe
+    enough for a convergence test (64-bit sum of splitmix64(u ^ v<<1))."""
+    from imagededupx_ray.functions.hashing import splitmix64
+
+    def block_sig(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(u.astype(np.uint64) ^ (v.astype(np.uint64) << np.uint64(1)))
+        with np.errstate(over="ignore"):
+            s = int(h.sum(dtype=np.uint64))
+        return pa.table(
+            {
+                "n": pa.array([len(u)], type=pa.int64()),
+                "s": pa.array([s & ((1 << 63) - 1)], type=pa.int64()),
+            }
+        )
+
+    n_total = 0
+    s_total = 0
+    for b in edges_ds.map_batches(block_sig, batch_format="pyarrow").iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow"
+    ):
+        n_total += int(pa.compute.sum(b["n"]).as_py() or 0)
+        s_total = (s_total + int(pa.compute.sum(b["s"]).as_py() or 0)) & ((1 << 63) - 1)
+    return (n_total, s_total)
 
 
 # -------------------------------------------------------------- assignment

@@ -147,6 +147,16 @@ def _emit_group(cfg: DedupConfig):
             cfg.max_bucket_size,
             cfg.bucket_window,
         )
+        # local distinct: near-identical docs share most bands, so the same
+        # pair is re-emitted by every band that lands in this partition —
+        # one cheap lexsort here shrinks the downstream exchange
+        if len(a):
+            order = np.lexsort((b, a))
+            a, b = a[order], b[order]
+            keep = np.empty(len(a), dtype=bool)
+            keep[0] = True
+            keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            a, b = a[keep], b[keep]
         return pd.DataFrame({"a": a, "b": b})
 
     return fn

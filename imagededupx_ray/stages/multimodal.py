@@ -151,3 +151,121 @@ def synthetic_images(n: int, seed: int = 42) -> pa.Table:
             "format": pa.array(["fake"] * n, type=pa.string()),
         }
     )
+
+
+# ---------------------------------------------------------------- RAW rasters
+# Self-describing uncompressed raster: b"RAW1" + u16le width + u16le height +
+# u8 channels + row-major pixel bytes. The one image format that needs no
+# codec library — the perceptual-hash stage computes REAL pHash/dHash/aHash/
+# wHash kernels over these (decode for jpeg/png stays behind the PIL gate).
+RAW_MAGIC = b"RAW1"
+
+
+def encode_raw_image(arr: np.ndarray) -> bytes:
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    import struct
+
+    return RAW_MAGIC + struct.pack("<HHB", w, h, c) + a.tobytes()
+
+
+def decode_raw_image(payload: bytes) -> np.ndarray:
+    import struct
+
+    if payload[:4] != RAW_MAGIC:
+        raise ValueError("not a RAW1 payload")
+    w, h, c = struct.unpack("<HHB", payload[4:9])
+    a = np.frombuffer(payload[9 : 9 + w * h * c], dtype=np.uint8).reshape(h, w, c)
+    return a[:, :, 0] if c == 1 else a
+
+
+class PerceptualHashStage:
+    """Actor-pool stage: RAW raster payloads → real perceptual hashes
+    (pHash DCT / dHash / aHash / wHash [+ colorhash for RGB]) — the
+    reference's namesake operators (utils/imagehash.py:159-297) as numpy
+    kernels. Non-RAW payloads hash via the PIL path when importable, else
+    raise (clearly-marked stub boundary)."""
+
+    def __init__(self, allow_fake: bool = True):
+        self._pil = _try_import_pil()
+        self.allow_fake = allow_fake
+
+    def _to_array(self, payload: bytes):
+        if payload[:4] == RAW_MAGIC:
+            return decode_raw_image(payload)
+        if self._pil is not None:
+            import io
+
+            with self._pil.open(io.BytesIO(payload)) as im:
+                return np.asarray(im.convert("RGB"))
+        if self.allow_fake:
+            # deterministic fake raster so the plumbing stays exercisable
+            h = hashlib.blake2b(payload, digest_size=32).digest()
+            rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+            return rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+        raise NotImplementedError("no codec for non-RAW payload (install Pillow)")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from imagededupx_ray.functions import imagehash as IH
+
+        payloads = batch["payload"].to_pylist()
+        grays, rgbs = [], []
+        for p in payloads:
+            a = self._to_array(p or b"\x00" * 16)
+            grays.append(IH.to_grayscale(a))
+            rgbs.append(a if a.ndim == 3 else np.repeat(a[:, :, None], 3, axis=2))
+        hashes = IH.hash_batch(grays, rgbs)
+        cols = {"image_id": batch["image_id"]}
+        for k, v in hashes.items():
+            cols[k] = pa.array(v, type=pa.int64())
+        return pa.table(cols)
+
+
+def perceptual_hashes(
+    images_ds,
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 64,
+):
+    """images (image_id, payload, format) → perceptual hash table via an
+    actor pool (decoder state held per actor)."""
+    from imagededupx_ray.util import clamp_actor_pool
+
+    return images_ds.map_batches(
+        PerceptualHashStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=clamp_actor_pool(concurrency),
+        num_cpus=1,
+    )
+
+
+def synthetic_raw_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table:
+    """Deterministic RAW rasters with planted near-duplicates: every
+    ``dup_every``-th image is a lightly-noised copy of its predecessor
+    (hamming-close under every perceptual hash), the rest are independent."""
+    rng = np.random.default_rng(seed)
+    payloads = []
+    prev = None
+    for i in range(n):
+        if prev is not None and i % dup_every == dup_every - 1:
+            noise = rng.integers(-6, 7, size=prev.shape)
+            img = np.clip(prev.astype(np.int64) + noise, 0, 255).astype(np.uint8)
+        else:
+            h, w = int(rng.integers(48, 96)), int(rng.integers(48, 96))
+            # smooth random field: perceptual hashes of pure noise are
+            # uninformative; blur white noise into soft structure
+            base = rng.random((h // 8 + 1, w // 8 + 1))
+            from imagededupx_ray.functions.imagehash import resize_area
+
+            img = (resize_area(base, h, w) * 255).astype(np.uint8)
+        payloads.append(encode_raw_image(img))
+        prev = img
+    return pa.table(
+        {
+            "image_id": pa.array(np.arange(n), type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "format": pa.array(["raw"] * n, type=pa.string()),
+        }
+    )
