@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": Q.embedding_dup_pairs,
         # non-SQL-expressible (rows-only check; gated by pytest oracle instead)
         "dedup_clusters": Q.dedup_clusters,
+        "dedup_cluster_report": Q.dedup_cluster_report,
         "minhash_signatures": Q.minhash_signatures,
         "lsh_pairs": Q.lsh_pairs,
         "docs_langid": Q.docs_langid,

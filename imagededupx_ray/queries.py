@@ -617,6 +617,52 @@ def dedup_clusters(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG):
     return res.clusters
 
 
+def dedup_cluster_report(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG, top: int = 100):
+    """Size-ordered duplicate-community report: the reference's
+    community_detection output semantics (utils/util.py:237-305 — communities
+    sorted by size, centroid/canonical first) over the full dedup pipeline.
+    Distributed size aggregate → top-N sort; only the N-row report plus the
+    N canonical urls ever reach the driver. Rows-only (blake2b cluster ids)."""
+    from ray.data.aggregate import Count
+
+    from imagededupx_ray.pipelines.dedup import run_dedup
+
+    res = run_dedup(_documents_as_pages(sf_dir), cfg)
+    clusters = res.clusters.materialize()
+    report = (
+        clusters.groupby("cluster_id")
+        .aggregate(Count(alias_name="n_members"))
+        .sort(["n_members", "cluster_id"], descending=[True, False])
+        .limit(top)
+        .to_pandas()
+    )
+    want = np.sort(report["cluster_id"].to_numpy().astype(np.int64))
+    want_ref = ray.put(want)
+
+    def canon_urls(t: pa.Table) -> pa.Table:
+        w = ray.get(want_ref)
+        ids = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_can = t["is_canonical"].to_numpy(zero_copy_only=False)
+        if len(w) == 0:
+            keep = np.zeros(len(ids), dtype=bool)
+        else:
+            pos = np.searchsorted(w, ids)
+            pos[pos >= len(w)] = 0
+            keep = (w[pos] == ids) & is_can
+        return pa.table(
+            {
+                "cluster_id": pa.array(ids[keep], type=pa.int64()),
+                "canonical_url": t["url"].filter(pa.array(keep)),
+            }
+        )
+
+    urls = clusters.map_batches(canon_urls, batch_format="pyarrow").to_pandas()
+    out = report.merge(urls, on="cluster_id", how="left")
+    return out.sort_values(
+        ["n_members", "cluster_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
 def minhash_signatures(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG):
     """Signature table over documents-as-pages (first 4 minhash components
     surfaced as scalar columns for a stable, narrow result)."""

@@ -107,6 +107,20 @@ def test_image_decode_stage(ray_session):
     assert np.array_equal(feats, feats2)
 
 
+def test_cluster_report_size_ordered(ray_session):
+    """Report = size-desc communities with the canonical member's url
+    (reference community_detection output semantics, utils/util.py:237-305)."""
+    from imagededupx_ray.queries import dedup_cluster_report
+
+    r = dedup_cluster_report("/root/testdata/sf0.001", top=50)
+    assert len(r) == 50
+    sizes = r["n_members"].to_numpy()
+    assert (sizes[:-1] >= sizes[1:]).all()
+    assert r["canonical_url"].notna().all()
+    # canonical = min doc id of the component = the cluster id's doc
+    assert (r["n_members"] >= 1).all()
+
+
 def test_simhash_pairs_match_bruteforce(ray_session):
     """simhash_dup_pairs equals a direct popcount check over the signature
     table (same pipeline semantics, independent pairing code)."""
