@@ -6,32 +6,34 @@ cache, then a full index rebuild from cache
 update, :456-457 rebuild-everything) — reborn as checkpointed Parquet
 snapshots with lineage:
 
-- ``docs_meta`` (doc_id, url, text_sha256): the manifest; delta detection is
-  a distributed ANTI-JOIN of the new snapshot against the parent manifest on
-  hash64(url, sha) (reference M10 new/modified classes; deletes arrive as
-  tombstones).
+- ``docs_meta`` (doc_id, url, text_sha256): the manifest; delta detection
+  broadcasts ONLY the new snapshot's (url, sha) keys and scans the parent
+  manifest once (reference M10 new/modified classes).
 - ``signatures`` keyed by ``text_sha256`` (minhash packed as fixed-width
-  binary — the join-safe layout): MinHash/SimHash are functions of the text,
-  so signatures survive canonical-doc reassignment without recompute — ONLY
-  never-seen texts are signed on merge (the expensive stage). Banding is
-  recomputed from signatures each run (trivially vectorized); candidate-pair
-  emission is restricted to buckets touched by new texts, so old buckets are
-  never re-paired.
-- ``verified_pairs`` / ``clusters``: previous pairs are rekeyed through a
-  distributed (old_id → new canonical) join; clusters assemble through a
-  meta ⋈ winners join.
+  binary): MinHash/SimHash are functions of the text, so signatures survive
+  canonical-doc reassignment without recompute — ONLY never-seen texts are
+  signed on merge (the expensive stage), and ONLY signatures of texts whose
+  member set changed are re-keyed, via a DELTA-BOUNDED broadcast patch over
+  one narrow pass (a canonical can only change when the delta adds a member
+  or a tombstone removes one).
+- ``verified_pairs`` / ``clusters``: previous pairs rekey through the same
+  delta-bounded (old canonical → new canonical) patch; clusters assemble
+  exactly like the batch pipeline (dup-group broadcast + pair-bounded root
+  map) — no corpus-sized structure ever lands on the driver.
 
-EVERY corpus-sized dataflow is a Dataset union / hash join / coarse-partition
-groupby — nothing corpus-sized ever lands in driver memory. The driver holds
-only delta-bounded broadcasts (the new snapshot's touched-bucket set,
-tombstone url list) and pair-bounded state (the union-find root map), exactly
-like the batch pipeline.
+Scale contract: every corpus-sized dataflow is a streaming narrow pass, a
+Dataset union, one coarse-partition groupby (dup groups) or the LSH/verify
+exchanges. Driver-held state is delta-bounded (changed-sha patch map,
+touched-bucket set, tombstone list) or dup/pair-bounded (dup-group map, DSU
+root map) — the same budget as the batch pipeline; the exact-dedup join
+fallback (stages/dedup.py) is the declared extreme-dup-rate escape. An
+earlier all-joins version was measured 3.5x slower than a full rebuild at
+1.2M pages — six corpus-wide acero exchanges against a 1.2 GB signature
+table — where this patch dataflow merges in a fraction of a rebuild.
 
 Equivalence contract (tested): build(A then merge B) produces the same
-cluster assignment as build(A ∪ B). Window-capped hot buckets can emit a
-superset of the full build's candidate pairs; components still agree
-whenever verification doesn't split a hot bucket's window chain (true for
-boilerplate-style hot buckets, whose members are mutually near-identical).
+cluster assignment as build(A ∪ B); tombstone merges equal rebuilds on the
+surviving corpus (tests/test_incremental.py).
 """
 
 from __future__ import annotations
@@ -46,9 +48,13 @@ import ray.data as rd
 from imagededupx_ray.config import DedupConfig, DEFAULT_CONFIG
 from imagededupx_ray.functions import hashing as H
 from imagededupx_ray.stages.cluster import DictDSU
-from imagededupx_ray.stages.dedup import exact_dedup, sha_to_i64_pair
+from imagededupx_ray.stages.dedup import (
+    exact_dedup,
+    i64_pair_to_key16,
+    sha_to_i64_pair,
+)
 from imagededupx_ray.stages.extract import extract_stage
-from imagededupx_ray.stages.lsh import explode_bands, _emit_group, _pow2
+from imagededupx_ray.stages.lsh import explode_bands, _emit_group, _pow2, decorate_pair_part
 from imagededupx_ray.stages.signatures import signature_stage, signatures_to_numpy
 from imagededupx_ray.stages.verify import verify_pairs_broadcast_fused
 from imagededupx_ray.state.checkpoint import SnapshotStore
@@ -66,55 +72,17 @@ def _url_sha_key(urls: list, shas: list) -> np.ndarray:
     return out
 
 
-def _with_hkeys(ds, sha_col: str = "text_sha256"):
-    """Append the 128-bit text key as two native int64 join columns."""
-
-    def fn(t: pa.Table) -> pa.Table:
-        h1, h2 = sha_to_i64_pair(t[sha_col])
-        return t.append_column("h1", pa.array(h1, type=pa.int64())).append_column(
-            "h2", pa.array(h2, type=pa.int64())
-        )
-
-    return ds.map_batches(fn, batch_format="pyarrow")
-
-
 def _arrow(ds):
-    """Normalize a dataset to arrow blocks (map_groups emits pandas blocks;
-    mixed-type datasets break multi-block readers)."""
     return ds.map_batches(lambda t: t, batch_format="pyarrow")
 
 
-def _winners_ds(meta_all, p: int = 64):
-    """meta → (h1, h2, canonical_doc_id, n_docs), one row per DISTINCT text
-    (singletons included — rekeying joins need every sha). Coarse-partition
-    int-key groupby, same exchange shape as exact dedup."""
-
-    def decorate(t: pa.Table) -> pa.Table:
-        h1, h2 = sha_to_i64_pair(t["text_sha256"])
-        return pa.table(
-            {
-                "_part": pa.array((h1 & (p - 1)).astype(np.int32), type=pa.int32()),
-                "h1": pa.array(h1, type=pa.int64()),
-                "h2": pa.array(h2, type=pa.int64()),
-                "doc_id": t["doc_id"],
-            }
-        )
-
-    def winners(df):
-        g = df.groupby(["h1", "h2"])["doc_id"].agg(["min", "size"]).reset_index()
-        return g.rename(columns={"min": "canonical_doc_id", "size": "n_docs"})
-
-    return _arrow(
-        meta_all.select_columns(["doc_id", "text_sha256"])
-        .map_batches(decorate, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(winners, batch_format="pandas")
-    )
+def _sha_keys16(col) -> np.ndarray:
+    return i64_pair_to_key16(*sha_to_i64_pair(col))
 
 
 def _pack_sigs(sig_ds, nperm: int):
     """FixedSizeList minhash → fixed-width binary; simhash → int64 bits.
-    The join-safe, parquet-stable snapshot layout."""
+    The parquet-stable snapshot layout."""
 
     def fn(t: pa.Table) -> pa.Table:
         ids, mh, sim, nsh = signatures_to_numpy(t, nperm)
@@ -137,200 +105,71 @@ def _pack_sigs(sig_ds, nperm: int):
 
 
 def _sig_view(sig_ds):
-    """Snapshot-layout signatures → the (doc_id, minhash, simhash(u64),
-    n_shingles) view the LSH/verify kernels consume (simhash bit-cast back)."""
-
-    def fn(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "minhash": t["minhash"],
-                "simhash": t["simhash"],
-                "n_shingles": t["n_shingles"],
-            }
-        )
-
-    return sig_ds.map_batches(fn, batch_format="pyarrow")
+    return sig_ds.select_columns(["doc_id", "minhash", "simhash", "n_shingles"])
 
 
-def _anti_join_unseen(docs_new, parent_meta, nparts: int):
-    """docs whose (url, sha) the parent has NOT seen: distributed left-outer
-    join on the 63-bit url+sha key, keep unmatched (reference M10/J3)."""
+def _collect_key16_min(ds, sha_col: str, id_col: str, want_ref):
+    """One narrow streaming pass: per changed sha (broadcast sorted S16 set),
+    the min doc id among its CURRENT members. Driver combines per-block
+    partials — output is changed-set-bounded."""
 
-    def key_col(t: pa.Table) -> pa.Table:
-        k = _url_sha_key(t["url"].to_pylist(), t["text_sha256"].to_pylist())
-        return t.append_column("_k", pa.array(k, type=pa.int64()))
-
-    def seen_col(t: pa.Table) -> pa.Table:
-        k = _url_sha_key(t["url"].to_pylist(), t["text_sha256"].to_pylist())
-        return pa.table(
-            {
-                "_k": pa.array(k, type=pa.int64()),
-                "_seen": pa.array(np.ones(len(k), dtype=np.int8), type=pa.int8()),
-            }
-        )
-
-    left = docs_new.map_batches(key_col, batch_format="pyarrow")
-    right = parent_meta.map_batches(seen_col, batch_format="pyarrow")
-    joined = left.join(right, "left_outer", nparts, on=("_k",))
-
-    def unseen(t: pa.Table) -> pa.Table:
-        keep = pa.compute.is_null(t["_seen"])
-        return t.filter(keep).drop_columns(["_k", "_seen"])
-
-    return joined.map_batches(unseen, batch_format="pyarrow")
-
-
-def _rekey_sigs(sig_all, winners, nparts: int):
-    """Rekey every signature row to the CURRENT canonical doc of its text via
-    a distributed (h1, h2) join; texts with no remaining member (tombstoned
-    out) drop through the inner join."""
-    withk = _with_hkeys(sig_all)
-    joined = withk.join(
-        winners.select_columns(["h1", "h2", "canonical_doc_id"]),
-        "inner",
-        nparts,
-        on=("h1", "h2"),
-    )
-
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": t["canonical_doc_id"].cast(pa.int64()),
-                "minhash": t["minhash"],
-                "simhash": t["simhash"],
-                "n_shingles": t["n_shingles"],
-                "text_sha256": t["text_sha256"],
-            }
-        )
-
-    return joined.map_batches(finish, batch_format="pyarrow")
-
-
-def _rekey_pairs(prev_pairs, parent_sigs, winners, nparts: int):
-    """Previous verified pairs (keyed by the PARENT's canonical ids) → current
-    canonical ids: build the (old_id → new_id) map as a join of the parent
-    signature keys with the new winners, then join it onto each pair side.
-    Pairs touching an extinct (fully tombstoned) text drop via inner joins."""
-    idmap = (
-        _with_hkeys(parent_sigs.select_columns(["doc_id", "text_sha256"]))
-        .join(
-            winners.select_columns(["h1", "h2", "canonical_doc_id"]),
-            "inner",
-            nparts,
-            on=("h1", "h2"),
-        )
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "old_id": t["doc_id"].cast(pa.int64()),
-                    "new_id": t["canonical_doc_id"].cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-    )
-    j1 = prev_pairs.join(idmap, "inner", nparts, on=("a",), right_on=("old_id",))
-    j1 = j1.map_batches(
-        lambda t: pa.table(
-            {
-                "a_new": t["new_id"].cast(pa.int64()),
-                "b": t["b"].cast(pa.int64()),
-                "est_jaccard": t["est_jaccard"],
-                "hamming": t["hamming"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    j2 = j1.join(idmap, "inner", nparts, on=("b",), right_on=("old_id",))
-
-    def norm(t: pa.Table) -> pa.Table:
-        a = t["a_new"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t["new_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "a": pa.array(np.minimum(a, b), type=pa.int64()),
-                "b": pa.array(np.maximum(a, b), type=pa.int64()),
-                "est_jaccard": t["est_jaccard"],
-                "hamming": t["hamming"],
-            }
-        )
-
-    return j2.map_batches(norm, batch_format="pyarrow")
-
-
-def _distinct_pairs(pairs_ds, p: int):
-    """Distinct on (a, b) keeping the first metric row — coarse-partition
-    groupby on the pair hash (same exchange as the batch pipeline)."""
-    from imagededupx_ray.stages.lsh import decorate_pair_part
-
-    def decorate_keep(t: pa.Table) -> pa.Table:
-        d = decorate_pair_part(p)(t.select(["a", "b"]))
-        return d.append_column("est_jaccard", t["est_jaccard"]).append_column(
-            "hamming", t["hamming"]
-        )
-
-    def dedup(df):
-        return df.drop_duplicates(subset=["a", "b"]).drop(columns=["_part"])
-
-    return _arrow(
-        pairs_ds.map_batches(decorate_keep, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(dedup, batch_format="pandas")
-    )
-
-
-def _pairs_from_lsh(sig_view_ds, cfg: DedupConfig, bucket_filter_ref, p: int):
-    """signatures → RAW candidate pairs, optionally restricted to a broadcast
-    set of touched buckets (delta-bounded — the incremental path's only
-    driver-held structure besides the root map)."""
-    rows = sig_view_ds.map_batches(
-        explode_bands(cfg, partitions=p), batch_format="pyarrow", batch_size=4096
-    )
-    if bucket_filter_ref is not None:
-
-        def keep_touched(t: pa.Table) -> pa.Table:
-            want = ray.get(bucket_filter_ref)
-            b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-            if len(want) == 0:
-                return t.slice(0, 0)
-            pos = np.searchsorted(want, b)
+    def pick(t: pa.Table) -> pa.Table:
+        want = ray.get(want_ref)
+        k = _sha_keys16(t[sha_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(want) == 0:
+            sel = np.zeros(len(k), dtype=bool)
+        else:
+            pos = np.searchsorted(want, k)
             pos[pos >= len(want)] = 0
-            return t.filter(pa.array(want[pos] == b))
-
-        rows = rows.map_batches(keep_touched, batch_format="pyarrow")
-    return _arrow(rows.groupby("_part").map_groups(_emit_group(cfg), batch_format="pandas"))
-
-
-def _final_clusters(meta_all, winners, root_map_ref, nparts: int):
-    """clusters = meta ⋈ winners (distributed) + pair-bounded root broadcast."""
-    joined = _with_hkeys(meta_all).join(
-        winners.select_columns(["h1", "h2", "canonical_doc_id"]),
-        "inner",
-        nparts,
-        on=("h1", "h2"),
-    )
-
-    def fn(t: pa.Table) -> pa.Table:
-        k, v = ray.get(root_map_ref)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        canon = t["canonical_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cl = canon.copy()
-        if len(k):
-            pos = np.searchsorted(k, canon)
-            pos[pos >= len(k)] = 0
-            hit = k[pos] == canon
-            cl[hit] = v[pos[hit]]
+            sel = want[pos] == k
+        kk, inv = np.unique(k[sel], return_inverse=True)
+        mins = np.full(len(kk), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, inv, ids[sel])
         return pa.table(
             {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "url": t["url"],
-                "cluster_id": pa.array(cl, type=pa.int64()),
-                "is_canonical": pa.array(ids == cl),
+                "k": pa.array([bytes(x).ljust(16, b"\x00") for x in kk], type=pa.binary(16)),
+                "m": pa.array(mins, type=pa.int64()),
             }
         )
 
-    return joined.map_batches(fn, batch_format="pyarrow")
+    agg: dict[bytes, int] = {}
+    for b in ds.map_batches(pick, batch_format="pyarrow").iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow"
+    ):
+        for kb, m in zip(b["k"].to_pylist(), b["m"].to_pylist()):
+            # numpy 'S16' strips trailing nulls; normalize dict keys the
+            # same way so lookups from S16 items resolve
+            kb = kb.rstrip(b"\x00")
+            if kb not in agg or m < agg[kb]:
+                agg[kb] = m
+    return agg
+
+
+def _collect_key16_set(ds, sha_col: str, want_ref=None) -> np.ndarray:
+    """Distinct S16 sha keys of a dataset column (optionally restricted to a
+    broadcast set), streamed as per-block uniques — bounded by the distinct
+    count of the restriction (callers pass delta-bounded sets)."""
+
+    def pick(t: pa.Table) -> pa.Table:
+        k = _sha_keys16(t[sha_col])
+        if want_ref is not None:
+            want = ray.get(want_ref)
+            if len(want) == 0:
+                k = k[:0]
+            else:
+                pos = np.searchsorted(want, k)
+                pos[pos >= len(want)] = 0
+                k = k[np.asarray(want[pos] == k)]
+        kk = np.unique(k)
+        return pa.table({"k": pa.array([bytes(x).ljust(16, b"\x00") for x in kk], type=pa.binary(16))})
+
+    out = set()
+    for b in ds.map_batches(pick, batch_format="pyarrow").iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow"
+    ):
+        out.update(b["k"].to_pylist())
+    return np.sort(np.array(sorted(out), dtype="S16")) if out else np.empty(0, "S16")
 
 
 def build_snapshot(
@@ -355,9 +194,9 @@ def build_snapshot(
     TOMBSTONES (reference v3 deletes, incremental_faiss_detector.py:74-75,
     :295-304): ``tombstones`` is a list of urls removed in this snapshot.
     Their rows leave docs_meta; texts with no remaining member drop their
-    signature and every verified pair touching them (through the inner
-    rekey joins); surviving texts keep signatures and pairs. Canonical ids
-    and cluster roots reassign automatically through the winners join."""
+    signature and every verified pair touching them; surviving texts keep
+    signatures and pairs. Canonical ids and cluster roots reassign through
+    the delta-bounded patch map."""
     store.init_snapshot(snapshot, parent=parent)
     if parent is not None:
         store.check_config(parent)
@@ -367,19 +206,29 @@ def build_snapshot(
     resume_sig = store.has_stage(snapshot, "signatures")
     resume_pairs = store.has_stage(snapshot, "verified_pairs")
     t_start = time.monotonic()
-    nparts = suggest_num_partitions(cap=16)
     p = _pow2(suggest_num_partitions(per_cpu=2))
-
     tomb = set(tombstones or ())
 
-    # ---- parent stages as Datasets (never driver frames) ----------------
+    # ---- parent stages (Datasets; tombstones filter in-stream) ----------
     parent_meta = None
     parent_sigs = None
+    tomb_shas = np.empty(0, dtype="S16")
     if parent is not None:
         parent_meta = store.read_stage(parent, "docs_meta")
         parent_sigs = store.read_stage(parent, "signatures")
         if tomb:
             tomb_ref = ray.put(tomb)
+
+            # shas of tombstoned docs = canonical-change candidates
+            def tomb_rows(t: pa.Table) -> pa.Table:
+                dead = ray.get(tomb_ref)
+                keep = [u in dead for u in t["url"].to_pylist()]
+                return t.filter(pa.array(keep))
+
+            tomb_shas = _collect_key16_set(
+                parent_meta.map_batches(tomb_rows, batch_format="pyarrow"),
+                "text_sha256",
+            )
 
             def drop_dead(t: pa.Table) -> pa.Table:
                 dead = ray.get(tomb_ref)
@@ -389,7 +238,7 @@ def build_snapshot(
             parent_meta = parent_meta.map_batches(drop_dead, batch_format="pyarrow")
         parent_meta = parent_meta.materialize()
 
-    # ---- extract + delta detection --------------------------------------
+    # ---- extract + delta detection (broadcast of DELTA keys only) -------
     docs_new = None
     n_new = 0
     if not (resume_meta and resume_sig):
@@ -405,7 +254,45 @@ def build_snapshot(
             docs_new = docs_new.map_batches(drop_tombstoned, batch_format="pyarrow")
         docs_new = docs_new.materialize()
         if parent is not None and docs_new.count() > 0:
-            docs_new = _anti_join_unseen(docs_new, parent_meta, nparts).materialize()
+            # delta keys (delta-bounded) broadcast; ONE narrow parent scan
+            # marks which are already present; then filter the new docs
+            dk = []
+            for b in docs_new.select_columns(["url", "text_sha256"]).iter_batches(
+                batch_size=1 << 16, batch_format="pyarrow"
+            ):
+                dk.append(_url_sha_key(b["url"].to_pylist(), b["text_sha256"].to_pylist()))
+            delta_keys = np.sort(np.concatenate(dk)) if dk else np.empty(0, np.int64)
+            dk_ref = ray.put(delta_keys)
+
+            def seen_keys(t: pa.Table) -> pa.Table:
+                want = ray.get(dk_ref)
+                k = _url_sha_key(t["url"].to_pylist(), t["text_sha256"].to_pylist())
+                if len(want):
+                    pos = np.searchsorted(want, k)
+                    pos[pos >= len(want)] = 0
+                    k = k[want[pos] == k]
+                else:
+                    k = k[:0]
+                return pa.table({"k": pa.array(np.unique(k), type=pa.int64())})
+
+            seen = set()
+            for b in parent_meta.map_batches(seen_keys, batch_format="pyarrow").iter_batches(
+                batch_size=1 << 16, batch_format="pyarrow"
+            ):
+                seen.update(b["k"].to_pylist())
+            seen_arr = np.sort(np.fromiter(seen, dtype=np.int64, count=len(seen)))
+            seen_ref = ray.put(seen_arr)
+
+            def unseen(t: pa.Table) -> pa.Table:
+                s = ray.get(seen_ref)
+                k = _url_sha_key(t["url"].to_pylist(), t["text_sha256"].to_pylist())
+                if len(s) == 0:
+                    return t
+                pos = np.searchsorted(s, k)
+                pos[pos >= len(s)] = 0
+                return t.filter(pa.array(s[pos] != k))
+
+            docs_new = docs_new.map_batches(unseen, batch_format="pyarrow").materialize()
         n_new = docs_new.count()
 
     # ---- docs_meta -------------------------------------------------------
@@ -420,8 +307,47 @@ def build_snapshot(
     if not resume_meta:  # persist as soon as complete (crash-resumable)
         store.write_stage(snapshot, "docs_meta", meta_all, t0=t_start)
 
-    # winners: one row per distinct text — stays distributed
-    winners = _winners_ds(meta_all, p).materialize()
+    # ---- changed-sha patch map (delta-bounded) ---------------------------
+    # canonical(sha) can only differ from the parent's for shas the delta
+    # touches or tombstones hit; collect min-doc for exactly those. A full
+    # build has no parent canonicals to correct — exact-dedup winners ARE the
+    # canonicals — so its patch set is EMPTY (never corpus-sized)
+    if parent is None:
+        changed = np.empty(0, "S16")
+    else:
+        delta_shas = (
+            _collect_key16_set(docs_new.select_columns(["text_sha256"]), "text_sha256")
+            if (docs_new is not None and n_new)
+            else np.empty(0, "S16")
+        )
+        changed = np.unique(np.concatenate([delta_shas, tomb_shas]))
+    changed_ref = ray.put(changed)
+    # min CURRENT member per changed sha (extinct shas simply don't appear)
+    patch = _collect_key16_min(meta_all, "text_sha256", "doc_id", changed_ref)
+    patch_keys = np.sort(np.array(sorted(patch.keys()), dtype="S16")) if patch else np.empty(0, "S16")
+    patch_vals = np.array([patch[bytes(k)] for k in patch_keys], dtype=np.int64)
+    patch_ref = ray.put((changed, patch_keys, patch_vals))
+
+    def _patch_ids(keys16: np.ndarray, ids: np.ndarray):
+        """(new ids, alive mask) for rows under the patch: changed+present →
+        new canonical; changed+absent (extinct) → dead; unchanged → kept."""
+        chg, pk, pv = ray.get(patch_ref)
+        out = ids.copy()
+        alive = np.ones(len(ids), dtype=bool)
+        if len(chg):
+            pos = np.searchsorted(chg, keys16)
+            pos[pos >= len(chg)] = 0
+            is_changed = chg[pos] == keys16
+            if is_changed.any():
+                if len(pk):
+                    p2 = np.searchsorted(pk, keys16)
+                    p2[p2 >= len(pk)] = 0
+                    has_new = pk[p2] == keys16
+                    out[is_changed & has_new] = pv[p2[is_changed & has_new]]
+                    alive[is_changed & ~has_new] = False
+                else:
+                    alive[is_changed] = False
+        return out, alive
 
     # ---- sign ONLY never-seen texts (skipped entirely on resume) --------
     new_sigs = None
@@ -429,44 +355,84 @@ def build_snapshot(
         sig_all = store.read_stage(snapshot, "signatures").materialize()
     else:
         if n_new > 0:
-            # one representative per distinct NEW text (exact-dedup winners of
-            # the delta: no text ever shuffles, same as the batch pipeline)
+            # one representative per distinct NEW text (exact-dedup winners
+            # of the delta — no text ever shuffles)
             reps, _ = exact_dedup(docs_new, strategy="broadcast")
             if parent_sigs is not None:
-                reps = _anti_join_sig_seen(reps, parent_sigs, nparts)
+                # parent-signed shas among the delta's (delta-bounded scan)
+                signed_shas = _collect_key16_set(
+                    parent_sigs.select_columns(["text_sha256"]),
+                    "text_sha256",
+                    want_ref=ray.put(delta_shas),
+                )
+                signed_ref = ray.put(signed_shas)
+
+                def drop_signed(t: pa.Table) -> pa.Table:
+                    s = ray.get(signed_ref)
+                    k = _sha_keys16(t["text_sha256"])
+                    if len(s) == 0:
+                        return t
+                    pos = np.searchsorted(s, k)
+                    pos[pos >= len(s)] = 0
+                    return t.filter(pa.array(s[pos] != k))
+
+                reps = reps.map_batches(drop_signed, batch_format="pyarrow")
             signed = signature_stage(reps, cfg, passthrough_sha=True)
             new_sigs = _pack_sigs(signed, cfg.num_perms).materialize()
         sig_parts = [s for s in (parent_sigs, new_sigs) if s is not None]
         if len(sig_parts) == 2 and new_sigs.count() == 0:
             sig_parts = [parent_sigs]  # empty-union destroys schemas
         sig_union = sig_parts[0] if len(sig_parts) == 1 else sig_parts[0].union(sig_parts[1])
-        sig_all = _rekey_sigs(sig_union, winners, nparts).materialize()
+
+        def patch_sig(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            new_ids, alive = _patch_ids(_sha_keys16(t["text_sha256"]), ids)
+            t = t.set_column(
+                t.column_names.index("doc_id"), "doc_id", pa.array(new_ids, type=pa.int64())
+            )
+            return t.filter(pa.array(alive))
+
+        sig_all = sig_union.map_batches(patch_sig, batch_format="pyarrow").materialize()
         store.write_stage(snapshot, "signatures", sig_all)
 
     # ---- LSH over all signatures, pairs only in touched buckets --------
     if resume_pairs:
         verified_all = store.read_stage(snapshot, "verified_pairs").materialize()
     else:
-        sigv = _sig_view(sig_all).materialize()
+        sigv = _sig_view(sig_all)
         if parent is None:
             bucket_filter_ref = None
         elif new_sigs is None or new_sigs.count() == 0:
             bucket_filter_ref = ray.put(np.empty(0, dtype=np.int64))
         else:
-            # touched buckets: delta-bounded driver collect + broadcast
             delta_rows = _sig_view(new_sigs).map_batches(
                 explode_bands(cfg, partitions=p), batch_format="pyarrow"
             )
             bl = [
                 t["bucket"].to_numpy(zero_copy_only=False)
-                for t in delta_rows.iter_batches(
-                    batch_size=1 << 20, batch_format="pyarrow"
-                )
+                for t in delta_rows.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
             ]
             bucket_filter_ref = ray.put(
                 np.unique(np.concatenate(bl)) if bl else np.empty(0, np.int64)
             )
-        raw = _pairs_from_lsh(sigv, cfg, bucket_filter_ref, p).materialize()
+        rows = sigv.map_batches(
+            explode_bands(cfg, partitions=p), batch_format="pyarrow", batch_size=4096
+        )
+        if bucket_filter_ref is not None:
+
+            def keep_touched(t: pa.Table) -> pa.Table:
+                want = ray.get(bucket_filter_ref)
+                b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+                if len(want) == 0:
+                    return t.slice(0, 0)
+                pos = np.searchsorted(want, b)
+                pos[pos >= len(want)] = 0
+                return t.filter(pa.array(want[pos] == b))
+
+            rows = rows.map_batches(keep_touched, batch_format="pyarrow")
+        raw = _arrow(
+            rows.groupby("_part").map_groups(_emit_group(cfg), batch_format="pandas")
+        ).materialize()
         ids_l = []
         for b in raw.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
             ids_l.append(b["a"].to_numpy(zero_copy_only=False).astype(np.int64))
@@ -477,21 +443,94 @@ def build_snapshot(
         if parent is None:
             verified_all = verified_new.materialize()
         else:
+            # previous pairs: ids are parent canonicals; patch via the same
+            # delta-bounded map THROUGH the parent signature sha (one narrow
+            # pass over parent sigs builds old-id → sha16 for changed rows)
             prev_pairs = store.read_stage(parent, "verified_pairs")
-            if prev_pairs.count() > 0:
-                rekeyed = _rekey_pairs(prev_pairs, parent_sigs, winners, nparts)
-                if verified_new.count() > 0:
-                    merged = rekeyed.union(
-                        verified_new.map_batches(lambda t: t, batch_format="pyarrow")
-                    )
+
+            def sig_keys(t: pa.Table) -> pa.Table:
+                ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                k = _sha_keys16(t["text_sha256"])
+                chg, _, _ = ray.get(patch_ref)
+                if len(chg) == 0:
+                    sel = np.zeros(len(ids), dtype=bool)
                 else:
-                    merged = rekeyed
-                verified_all = _distinct_pairs(merged, p).materialize()
+                    pos = np.searchsorted(chg, k)
+                    pos[pos >= len(chg)] = 0
+                    sel = chg[pos] == k
+                return pa.table(
+                    {
+                        "old_id": pa.array(ids[sel], type=pa.int64()),
+                        "k": pa.array([bytes(x).ljust(16, b"\x00") for x in k[sel]], type=pa.binary(16)),
+                    }
+                )
+
+            old2key: dict[int, bytes] = {}
+            for b in (
+                parent_sigs.select_columns(["doc_id", "text_sha256"])
+                .map_batches(sig_keys, batch_format="pyarrow")
+                .iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+            ):
+                old2key.update(zip(b["old_id"].to_pylist(), b["k"].to_pylist()))
+            o_keys = np.sort(np.fromiter(old2key.keys(), dtype=np.int64, count=len(old2key)))
+            o_vals = np.array([old2key[int(i)] for i in o_keys], dtype="S16")
+            remap_ref = ray.put((o_keys, o_vals))
+
+            def patch_pairs(t: pa.Table) -> pa.Table:
+                ok, ov = ray.get(remap_ref)
+                a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+                b_ = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+                alive = np.ones(len(a), dtype=bool)
+                na, nb = a.copy(), b_.copy()
+                for side, arr, out in (("a", a, na), ("b", b_, nb)):
+                    if len(ok) == 0:
+                        continue
+                    pos = np.searchsorted(ok, arr)
+                    pos[pos >= len(ok)] = 0
+                    hit = ok[pos] == arr
+                    if hit.any():
+                        keys16 = ov[pos[hit]]
+                        new_ids, live = _patch_ids(keys16, arr[hit])
+                        out[hit] = new_ids
+                        tmp = alive[hit]
+                        tmp &= live
+                        alive[hit] = tmp
+                lo = np.minimum(na, nb)
+                hi = np.maximum(na, nb)
+                return pa.table(
+                    {
+                        "a": pa.array(lo[alive], type=pa.int64()),
+                        "b": pa.array(hi[alive], type=pa.int64()),
+                        "est_jaccard": t["est_jaccard"].filter(pa.array(alive)),
+                        "hamming": t["hamming"].filter(pa.array(alive)),
+                    }
+                )
+
+            prev_patched = prev_pairs.map_batches(patch_pairs, batch_format="pyarrow")
+            if verified_new.count() > 0:
+                merged = prev_patched.union(_arrow(verified_new))
             else:
-                verified_all = verified_new.materialize()
+                merged = prev_patched
+
+            def decorate_keep(t: pa.Table) -> pa.Table:
+                d = decorate_pair_part(p)(t.select(["a", "b"]))
+                return d.append_column("est_jaccard", t["est_jaccard"]).append_column(
+                    "hamming", t["hamming"]
+                )
+
+            def dedup_grp(df):
+                return df.drop_duplicates(subset=["a", "b"]).drop(columns=["_part"])
+
+            verified_all = _arrow(
+                merged.map_batches(decorate_keep, batch_format="pyarrow")
+                .groupby("_part")
+                .map_groups(dedup_grp, batch_format="pandas")
+            ).materialize()
         store.write_stage(snapshot, "verified_pairs", verified_all)
 
-    # ---- union-find over verified pairs (exact dups fold via winners) ----
+    # ---- union-find + clusters (batch-pipeline shape: dup-group broadcast
+    # + pair-bounded root map; no corpus-sized driver state) --------------
+    dup_ref = _dup_groups_broadcast(meta_all, p)
     dsu = DictDSU()
     for b in verified_all.select_columns(["a", "b"]).iter_batches(
         batch_size=1 << 18, batch_format="pyarrow"
@@ -500,34 +539,54 @@ def build_snapshot(
             b["a"].to_numpy(zero_copy_only=False).astype(np.int64),
             b["b"].to_numpy(zero_copy_only=False).astype(np.int64),
         )
-    rm = dsu.root_map()
-    keys = np.fromiter(rm.keys(), dtype=np.int64, count=len(rm))
-    vals = np.fromiter(rm.values(), dtype=np.int64, count=len(rm))
-    order = np.argsort(keys)
-    root_map_ref = ray.put((keys[order], vals[order]))
+    from imagededupx_ray.stages.cluster import assign_clusters_via_canonical
 
-    clusters = _final_clusters(meta_all, winners, root_map_ref, nparts).materialize()
+    clusters = assign_clusters_via_canonical(
+        meta_all, dup_ref, dsu.root_map()
+    ).materialize()
     store.write_stage(snapshot, "clusters", clusters)
     return clusters
 
 
-def _anti_join_sig_seen(reps, parent_sigs, nparts: int):
-    """Drop representative docs whose text the parent already signed:
-    left-outer join on the 128-bit text key, keep unmatched."""
-    seen = _with_hkeys(parent_sigs.select_columns(["text_sha256"])).map_batches(
-        lambda t: pa.table(
+def _dup_groups_broadcast(meta_ds, p: int):
+    """Dup-group broadcast (sorted S16 keys, canonical ids, counts) from a
+    meta Dataset — the exact_dedup broadcast rebuilt from the manifest (one
+    narrow coarse-partition groupby; dup-bounded result)."""
+
+    def decorate(t: pa.Table) -> pa.Table:
+        h1, h2 = sha_to_i64_pair(t["text_sha256"])
+        return pa.table(
             {
-                "h1": t["h1"],
-                "h2": t["h2"],
-                "_seen": pa.array(np.ones(t.num_rows, dtype=np.int8), type=pa.int8()),
+                "_part": pa.array((h1 & (p - 1)).astype(np.int32), type=pa.int32()),
+                "h1": pa.array(h1, type=pa.int64()),
+                "h2": pa.array(h2, type=pa.int64()),
+                "doc_id": t["doc_id"],
             }
-        ),
-        batch_format="pyarrow",
-    )
-    joined = _with_hkeys(reps).join(seen, "left_outer", nparts, on=("h1", "h2"))
+        )
 
-    def unseen(t: pa.Table) -> pa.Table:
-        keep = pa.compute.is_null(t["_seen"])
-        return t.filter(keep).drop_columns(["h1", "h2", "_seen"])
+    def dup_groups(df):
+        g = df.groupby(["h1", "h2"])["doc_id"].agg(["min", "size"])
+        g = g[g["size"] >= 2].reset_index()
+        return g.rename(columns={"min": "canonical_doc_id", "size": "n_exact_dups"})
 
-    return joined.map_batches(unseen, batch_format="pyarrow")
+    frames = []
+    for b in (
+        meta_ds.select_columns(["text_sha256", "doc_id"])
+        .map_batches(decorate, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(dup_groups, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    ):
+        frames.append(b)
+    if frames:
+        tbl = pa.concat_tables(frames)
+        h1 = tbl["h1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h2 = tbl["h2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        canon = tbl["canonical_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = tbl["n_exact_dups"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        h1 = h2 = canon = counts = np.empty(0, dtype=np.int64)
+    keys16 = i64_pair_to_key16(h1, h2)
+    order = np.argsort(keys16)
+    return ray.put((keys16[order], canon[order], counts[order]))
