@@ -144,18 +144,29 @@ def token_jaccard_pairs(sf_dir: str, threshold: float = 0.4):
             }
         )
 
-    inc_tbl = (
+    inc_rows = (
         _read(sf_dir, "documents")
         .map_batches(distinct_tokens, batch_format="pyarrow")
-        .to_pandas()
+        .materialize()
     )
-    doc_ids, doc_codes = np.unique(inc_tbl["doc_id"].to_numpy(), return_inverse=True)
-    _, tok_codes = np.unique(inc_tbl["token"].to_numpy(), return_inverse=True)
-    n, v = len(doc_ids), int(tok_codes.max()) + 1 if len(tok_codes) else 0
-    inc = np.zeros((n, v), dtype=np.float32)
-    inc[doc_codes, tok_codes] = 1.0
-    sizes = inc.sum(axis=1)
-    inc_ref = ray.put((doc_ids, inc, sizes))
+    n = len(inc_rows.unique("doc_id"))
+
+    @ray.remote
+    def assemble(*tbls):
+        """Dense doc×token incidence built INSIDE a worker (the driver holds
+        only the object ref; oracle-scale by declared design — MinHash/LSH is
+        the 10^12 path for this operator)."""
+        tbl = pa.concat_tables(tbls)
+        d = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = tbl["token"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_ids, doc_codes = np.unique(d, return_inverse=True)
+        _, tok_codes = np.unique(t, return_inverse=True)
+        v = int(tok_codes.max()) + 1 if len(tok_codes) else 0
+        inc = np.zeros((len(doc_ids), v), dtype=np.float32)
+        inc[doc_codes, tok_codes] = 1.0
+        return doc_ids, inc, inc.sum(axis=1)
+
+    inc_ref = assemble.remote(*inc_rows.to_arrow_refs())
 
     block = 512
     starts = list(range(0, n, block))

@@ -138,10 +138,18 @@ def substring_spans(
         keep = want[pos] == ids
         return batch.filter(pa.array(keep)).select(["doc_id", "text"])
 
-    texts_df = (
-        docs_ds.map_batches(member_filter, batch_format="pyarrow").to_pandas()
-    )
-    text_ref = ray.put(dict(zip(texts_df["doc_id"], texts_df["text"])))
+    member_cells = docs_ds.map_batches(member_filter, batch_format="pyarrow").materialize()
+
+    @ray.remote
+    def to_text_map(*tbls):
+        # member-text map assembled INSIDE a worker: the driver only holds
+        # the ref (pair-member-bounded either way, but no driver pandas)
+        out = {}
+        for t in tbls:
+            out.update(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+        return out
+
+    text_ref = to_text_map.remote(*member_cells.to_arrow_refs())
     min_len = cfg.span_min_len
 
     def emit(batch: pa.Table) -> pa.Table:
