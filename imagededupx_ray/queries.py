@@ -909,6 +909,25 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
     )
 
 
+def embedding_dup_pairs_ann(sf_dir: str, threshold: float = 0.4):
+    """IVF-bucketed embedding near-dup pairs — the 10^12-vector scale path of
+    embedding_dup_pairs (one centroid-bucketed shuffle, exact within-bucket
+    mining, multi-assignment for boundary recall); rows-only — recall vs the
+    exact miner is gated in tests (test_ivf_dup_pairs_recall_and_precision)."""
+    from imagededupx_ray.stages.ann import ivf_dup_pairs
+
+    pairs = ivf_dup_pairs(_read(sf_dir, "embeddings"), threshold=threshold)
+
+    def roundc(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("cosine"),
+            "cosine",
+            _round_col(t["cosine"].to_numpy(zero_copy_only=False), 6),
+        )
+
+    return pairs.map_batches(roundc, batch_format="pyarrow")
+
+
 def ann_cosine(sf_dir: str, n_queries: int = 10, k: int = 10):
     """IVF approximate top-k (scale path of knn_cosine); rows-only — recall
     vs brute force is gated in tests/test_ann.py."""

@@ -129,6 +129,92 @@ class IVFIndex:
         )
 
 
+def ivf_dup_pairs(
+    emb_ds,
+    threshold: float,
+    n_clusters: int = 16,
+    n_assign: int = 4,
+    seed: int = 42,
+    num_partitions: int | None = None,
+):
+    """Embedding-cosine near-dup pairs via IVF bucketing — the 10^12-vector
+    scale path of the exact blocked matmul: each vector is assigned to its
+    ``n_assign`` nearest centroids (multi-assignment recovers boundary
+    pairs), vectors co-locate by centroid through ONE groupby shuffle, and
+    each bucket mines its pairs with an exact within-bucket matmul. Pairs
+    whose members share no probed centroid are missed (recall-gated vs the
+    exact miner in tests/test_ann.py); every emitted pair is exact
+    (precision 1 by construction). Returns distinct (a, b, cosine)."""
+    from imagededupx_ray.functions import hashing as H
+    from imagededupx_ray.stages.lsh import _pow2, decorate_pair_part
+    from imagededupx_ray.util import suggest_num_partitions
+
+    if num_partitions is None:
+        num_partitions = suggest_num_partitions(per_cpu=2)
+    p = _pow2(num_partitions)
+    sample = emb_ds.limit(20000).to_pandas()
+    X = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    centroids = kmeans_fit(X, n_clusters, seed)
+    cent_ref = ray.put(centroids)
+
+    def explode_assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(cent_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = _norm_rows(_emb_matrix(batch))
+        na = min(n_assign, len(C))
+        top = np.argsort(M @ C.T, axis=1)[:, ::-1][:, :na].astype(np.int32)
+        n, d = M.shape
+        flat_vec = np.repeat(M, na, axis=0).reshape(-1)
+        return pa.table(
+            {
+                "cluster": pa.array(top.reshape(-1), type=pa.int32()),
+                "vec_id": pa.array(np.repeat(ids, na), type=pa.int64()),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat_vec, type=pa.float64()), d
+                ),
+            }
+        )
+
+    def mine(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_c = [], [], []
+        for _, grp in df.groupby("cluster"):
+            ids = grp["vec_id"].to_numpy().astype(np.int64)
+            M = np.stack(grp["vec"].to_numpy())
+            S = M @ M.T
+            ii, jj = np.nonzero(S >= threshold)
+            keep = ids[ii] < ids[jj]
+            out_a.append(ids[ii[keep]])
+            out_b.append(ids[jj[keep]])
+            out_c.append(S[ii[keep], jj[keep]])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        c = np.concatenate(out_c) if out_c else np.empty(0, np.float64)
+        return pd.DataFrame({"a": a, "b": b, "cosine": c})
+
+    raw = (
+        emb_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(explode_assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(mine, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+
+    # distinct across multi-assignment duplicates: pair-hash coarse groupby
+    def decorate_keep(t: pa.Table) -> pa.Table:
+        d = decorate_pair_part(p)(t.select(["a", "b"]))
+        return d.append_column("cosine", t["cosine"])
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["a", "b"]).drop(columns=["_part"])
+
+    return (
+        raw.map_batches(decorate_keep, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(dedup, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+
+
 def brute_force_topk(emb_ds, Q: np.ndarray, q_ids: np.ndarray, k: int = 10) -> pd.DataFrame:
     """Exact cosine top-k (the ANN recall baseline)."""
     Qn = _norm_rows(Q.astype(np.float64))

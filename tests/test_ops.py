@@ -9,6 +9,27 @@ import pytest
 SF_DIR = "/root/testdata/sf0.01"
 
 
+def test_ivf_dup_pairs_recall_and_precision(ray_session):
+    """IVF-bucketed near-dup mining: every emitted pair is exact (within-
+    bucket matmul) and recall vs the exact all-pairs miner stays high with
+    multi-assignment."""
+    import ray.data as rd
+
+    from imagededupx_ray.queries import embedding_dup_pairs
+    from imagededupx_ray.stages.ann import ivf_dup_pairs
+
+    sf = "/root/testdata/sf0.001"
+    exact = embedding_dup_pairs(sf, threshold=0.4).to_pandas()
+    want = {(int(r.a), int(r.b)) for _, r in exact.iterrows()}
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet")
+    got_df = ivf_dup_pairs(emb, threshold=0.4, n_clusters=8, n_assign=4).to_pandas()
+    got = {(int(r.a), int(r.b)) for _, r in got_df.iterrows()}
+    assert got <= want  # precision 1: every emitted pair is a true pair
+    assert len(got_df) == len(got)  # distinct output
+    assert len(want) > 0
+    assert len(got & want) / len(want) >= 0.9, (len(got), len(want))
+
+
 def test_ann_recall_vs_brute_force(ray_session):
     import ray.data as rd
 
