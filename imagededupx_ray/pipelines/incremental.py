@@ -43,7 +43,6 @@ import time
 import numpy as np
 import pyarrow as pa
 import ray
-import ray.data as rd
 
 from imagededupx_ray.config import DedupConfig, DEFAULT_CONFIG
 from imagededupx_ray.functions import hashing as H

@@ -25,7 +25,6 @@ import ray.data as rd
 from imagededupx_ray.config import DEFAULT_CONFIG, DedupConfig
 from imagededupx_ray.functions import hashing as H
 from imagededupx_ray.functions.text import tokenize_batch
-from imagededupx_ray.util import suggest_num_partitions
 
 
 def _read(sf_dir: str, table: str) -> "rd.Dataset":

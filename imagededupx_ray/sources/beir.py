@@ -109,9 +109,6 @@ def load_qrels_dict(data_folder: str, split: str = "test") -> dict[str, dict[str
 def beir_eval(data_folder: str, split: str = "test", k: int = 10) -> dict[str, float]:
     """End-to-end: load triple → distributed BM25 top-k (title + text field
     concat, like the reference's corpus dict) → NDCG/MAP/Recall/MRR@k."""
-    import numpy as np
-    import pandas as pd
-
     from imagededupx_ray.functions import evalmetrics as EM
     from imagededupx_ray.stages.bm25 import bm25_topk
 

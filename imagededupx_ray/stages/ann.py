@@ -145,7 +145,6 @@ def ivf_dup_pairs(
     whose members share no probed centroid are missed (recall-gated vs the
     exact miner in tests/test_ann.py); every emitted pair is exact
     (precision 1 by construction). Returns distinct (a, b, cosine)."""
-    from imagededupx_ray.functions import hashing as H
     from imagededupx_ray.stages.lsh import _pow2, decorate_pair_part
     from imagededupx_ray.util import suggest_num_partitions
 

@@ -22,7 +22,6 @@ Two implementations with identical output (tested against each other):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 

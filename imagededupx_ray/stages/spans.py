@@ -25,7 +25,6 @@ alternative (same shape as verify_pairs_join).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 
