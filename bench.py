@@ -104,6 +104,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("orders_per_customer", Q.orders_per_customer),
         ("knn_cosine", Q.knn_cosine),
         ("docs_token_stats", Q.docs_token_stats),
+        ("tfidf_search", Q.tfidf_search),
+        ("simhash_dup_pairs", Q.simhash_dup_pairs),
+        ("embedding_dup_pairs_ann", Q.embedding_dup_pairs_ann),
     ]:
         t0 = time.monotonic()
         res = fn(sf_dir)
