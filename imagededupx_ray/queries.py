@@ -619,12 +619,27 @@ def _documents_as_pages(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
 
 
-def dedup_clusters(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG):
-    """Flagship: full near-dup pipeline over documents-as-pages."""
+_DEDUP_CACHE: dict = {}
+
+
+def _run_dedup_cached(sf_dir: str, cfg: DedupConfig):
+    """One pipeline run shared by the queries that all consume it
+    (dedup_clusters / cluster report / substring spans) — the driver invokes
+    them sequentially in one process, so re-running extract→sign→LSH→verify
+    per query would triple the work. Intermediates are materialized Datasets;
+    cache is process-local and config-keyed."""
     from imagededupx_ray.pipelines.dedup import run_dedup
 
-    res = run_dedup(_documents_as_pages(sf_dir), cfg)
-    return res.clusters
+    key = (sf_dir, cfg.config_hash)
+    if key not in _DEDUP_CACHE:
+        _DEDUP_CACHE.clear()  # hold at most one corpus's intermediates
+        _DEDUP_CACHE[key] = run_dedup(_documents_as_pages(sf_dir), cfg)
+    return _DEDUP_CACHE[key]
+
+
+def dedup_clusters(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG):
+    """Flagship: full near-dup pipeline over documents-as-pages."""
+    return _run_dedup_cached(sf_dir, cfg).clusters
 
 
 def dedup_cluster_report(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG, top: int = 100):
@@ -635,10 +650,7 @@ def dedup_cluster_report(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG, top: in
     N canonical urls ever reach the driver. Rows-only (blake2b cluster ids)."""
     from ray.data.aggregate import Count
 
-    from imagededupx_ray.pipelines.dedup import run_dedup
-
-    res = run_dedup(_documents_as_pages(sf_dir), cfg)
-    clusters = res.clusters.materialize()
+    clusters = _run_dedup_cached(sf_dir, cfg).clusters
     report = (
         clusters.groupby("cluster_id")
         .aggregate(Count(alias_name="n_members"))
@@ -1037,10 +1049,9 @@ def substring_spans_docs(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG):
     """Suffix-array exact substring spans over the near-dup candidate pairs
     of the documents corpus (north-rule span operator; rows-only — exact
     parity vs difflib longest-match is gated in tests/test_spans.py)."""
-    from imagededupx_ray.pipelines.dedup import run_dedup
     from imagededupx_ray.stages.spans import substring_spans
 
-    res = run_dedup(_documents_as_pages(sf_dir), cfg)
+    res = _run_dedup_cached(sf_dir, cfg)
     return substring_spans(
         res.verified_pairs, res.docs_unique.select_columns(["doc_id", "text"]), cfg
     )
