@@ -219,6 +219,118 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+# ------------------------------------------------------ crop-resistant hash
+# "Efficient Cropping-Resistant Robust Image Hashing" (Steinebach et al.,
+# DOI 10.1109/ARES.2014.85; reference imagehash.py:350-595): segment the
+# blurred image into bright/dark regions, hash each region's bounding-box
+# crop — a crop of the original keeps most region hashes intact.
+
+
+def gaussian_blur3(img: np.ndarray) -> np.ndarray:
+    """3x3 binomial blur (the classic [1 2 1]/4 separable kernel — PIL's
+    GaussianBlur analogue at radius ~1), edge-replicated."""
+    p = np.pad(np.asarray(img, dtype=np.float64), 1, mode="edge")
+    h = (p[:, :-2] + 2 * p[:, 1:-1] + p[:, 2:]) / 4.0
+    return (h[:-2, :] + 2 * h[1:-1, :] + h[2:, :]) / 4.0
+
+
+def median_filter3(img: np.ndarray) -> np.ndarray:
+    """3x3 median filter, edge-replicated."""
+    p = np.pad(np.asarray(img, dtype=np.float64), 1, mode="edge")
+    stack = np.stack(
+        [p[y : y + img.shape[0], x : x + img.shape[1]] for y in range(3) for x in range(3)]
+    )
+    return np.median(stack, axis=0)
+
+
+def find_segments(
+    pixels: np.ndarray, segment_threshold: float = 128, min_segment_size: int = 500
+) -> list[np.ndarray]:
+    """Connected 4-neighbour regions of the thresholded image — first the
+    bright 'hills', then the dark 'valleys' (reference :483-528). Regions are
+    grown by vectorized frontier dilation instead of per-pixel python sets.
+    Returns one (n, 2) array of (row, col) coordinates per kept region."""
+    mask_all = pixels > segment_threshold
+    segments: list[np.ndarray] = []
+    for mask in (mask_all, ~mask_all):
+        unassigned = mask.copy()
+        while unassigned.any():
+            seed = np.unravel_index(np.argmax(unassigned), unassigned.shape)
+            region = np.zeros_like(unassigned)
+            frontier = np.zeros_like(unassigned)
+            frontier[seed] = True
+            region[seed] = True
+            while frontier.any():
+                grow = np.zeros_like(frontier)
+                grow[1:, :] |= frontier[:-1, :]
+                grow[:-1, :] |= frontier[1:, :]
+                grow[:, 1:] |= frontier[:, :-1]
+                grow[:, :-1] |= frontier[:, 1:]
+                frontier = grow & unassigned & ~region
+                region |= frontier
+            unassigned &= ~region
+            if int(region.sum()) > min_segment_size:
+                segments.append(np.argwhere(region))
+    return segments
+
+
+def crop_resistant_hash(
+    img: np.ndarray,
+    hash_func=None,
+    limit_segments: int | None = None,
+    segment_threshold: float = 128,
+    min_segment_size: int = 500,
+    segmentation_image_size: int = 300,
+) -> list[int]:
+    """Multi-hash: one ``hash_func`` (default dhash) per segment bounding-box
+    crop of the ORIGINAL image (reference :530-595). Returns the list of
+    segment hashes (the reference's ImageMultiHash.segment_hashes)."""
+    if hash_func is None:
+        hash_func = dhash
+    orig = to_grayscale(img)
+    small = resize_area(orig, segmentation_image_size, segmentation_image_size)
+    pixels = median_filter3(gaussian_blur3(small))
+    segments = find_segments(pixels, segment_threshold, min_segment_size)
+    if not segments:
+        segments = [np.array([[0, 0], [segmentation_image_size - 1, segmentation_image_size - 1]])]
+    if limit_segments:
+        segments = sorted(segments, key=len, reverse=True)[:limit_segments]
+    h, w = orig.shape
+    sy = h / segmentation_image_size
+    sx = w / segmentation_image_size
+    hashes = []
+    for seg in segments:
+        y0 = int(seg[:, 0].min() * sy)
+        x0 = int(seg[:, 1].min() * sx)
+        y1 = max(int((seg[:, 0].max() + 1) * sy), y0 + 2)
+        x1 = max(int((seg[:, 1].max() + 1) * sx), x0 + 2)
+        hashes.append(hash_func(orig[y0 : min(y1, h), x0 : min(x1, w)]))
+    return hashes
+
+
+def multihash_diff(
+    h1: list[int], h2: list[int], bit_error_rate: float = 0.25, bits: int = 64
+) -> tuple[int, int]:
+    """(matching segment count, summed hamming over matches) — the
+    reference's ImageMultiHash.hash_diff (:386-411)."""
+    cutoff = bits * bit_error_rate
+    matches = 0
+    total = 0
+    for a in h1:
+        best = min(hamming64(a, b) for b in h2) if h2 else bits
+        if best <= cutoff:
+            matches += 1
+            total += best
+    return matches, total
+
+
+def multihash_matches(
+    h1: list[int], h2: list[int], region_cutoff: int = 1, bit_error_rate: float = 0.25
+) -> bool:
+    """True when >= region_cutoff segments match (reference :413-423)."""
+    return multihash_diff(h1, h2, bit_error_rate)[0] >= region_cutoff
+
+
 def hash_batch(
     grays: list[np.ndarray], rgbs: list[np.ndarray] | None = None
 ) -> dict[str, np.ndarray]:

@@ -152,6 +152,40 @@ def test_image_phash_dup_pairs_query(ray_session):
     assert len(planted & found) >= len(planted) * 0.6
 
 
+def test_crop_resistant_hash_survives_cropping():
+    """The multi-hash keeps matching after a 25% crop that flips the plain
+    dhash well past any sane cutoff (the property the paper claims)."""
+    rng = np.random.default_rng(21)
+    # structured image: textured bright blobs on a dark field (uniform blobs
+    # would make every region dhash identical and the test vacuous)
+    img = np.zeros((240, 240))
+    for _ in range(5):
+        y, x = rng.integers(20, 180, size=2)
+        tex = IH.resize_area(rng.random((6, 6)), 50, 50) * 90 + 160
+        img[y : y + 50, x : x + 50] = tex
+    crop = img[60:, 60:]  # 25% off each leading edge
+    h_full = IH.crop_resistant_hash(img, min_segment_size=100)
+    h_crop = IH.crop_resistant_hash(crop, min_segment_size=100)
+    assert len(h_full) >= 2
+    assert IH.multihash_matches(h_full, h_crop)
+    # an unrelated textured image scores a worse (matches, -distance) pair
+    other = IH.resize_area(rng.random((8, 8)), 240, 240) * 255
+    h_other = IH.crop_resistant_hash(other, min_segment_size=100)
+    m_same, d_same = IH.multihash_diff(h_full, h_crop)
+    m_diff, d_diff = IH.multihash_diff(h_full, h_other)
+    assert (m_same, -d_same) > (m_diff, -d_diff)
+
+
+def test_find_segments_two_blobs():
+    img = np.zeros((60, 60))
+    img[5:25, 5:25] = 255
+    img[35:55, 35:55] = 255
+    segs = IH.find_segments(img, segment_threshold=128, min_segment_size=50)
+    sizes = sorted(len(s) for s in segs)
+    assert len(segs) == 3  # two hills + the dark background valley
+    assert sizes[0] == sizes[1] == 400
+
+
 def test_raw_codec_roundtrip():
     from imagededupx_ray.stages.multimodal import decode_raw_image, encode_raw_image
 
