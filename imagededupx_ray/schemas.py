@@ -40,6 +40,19 @@ SIGNATURES = pa.schema(
     ]
 )
 
+# snapshot-store layout (pipelines/incremental.py): minhash packed to
+# fixed-width binary (acero-join-safe, parquet-stable), simhash bit-cast to
+# int64, plus the text key the store is organized around
+SIGNATURES_PACKED = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("minhash", pa.binary(128 * 8)),
+        ("simhash", pa.int64()),
+        ("n_shingles", pa.int32()),
+        ("text_sha256", pa.string()),
+    ]
+)
+
 LSH_ROWS = pa.schema(
     [
         ("_part", pa.int32()),  # coarse shuffle key = bucket & (P-1)

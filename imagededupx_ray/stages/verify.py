@@ -87,15 +87,17 @@ class BroadcastVerify:
 def broadcast_signatures(
     signatures_ds, cfg: DedupConfig = DEFAULT_CONFIG, only_ids: np.ndarray | None = None
 ):
-    """Compact the signature table into numpy arrays and ``ray.put`` them once
-    (SURVEY.md §2.3 A5 broadcast pattern). The arrow→numpy conversion runs IN
-    PARALLEL as a map_batches (each block ships one pre-packed binary cell);
-    the driver only memcpy-concatenates buffers — driver serial time is what
-    caps scaling efficiency at small cluster sizes. ``only_ids`` restricts the
-    broadcast to the docs that actually appear in candidate pairs (typically a
-    small fraction of the corpus — the unique majority never reaches verify).
-    ids are index-sorted via a permutation; the matrix is not physically
-    reordered."""
+    """Compact the signature table into numpy arrays and publish them to the
+    object store ONCE (SURVEY.md §2.3 A5 broadcast pattern). The arrow→numpy
+    conversion runs IN PARALLEL as a map_batches (each block ships one
+    pre-packed binary cell); a Ray task concatenates the cells and returns
+    the broadcast tuple, so the driver only ever holds the ObjectRef —
+    driver serial time is what caps scaling efficiency. ``only_ids``
+    restricts the broadcast to the docs that actually appear in candidate
+    pairs (typically a small fraction of the corpus — the unique majority
+    never reaches verify). ids are index-sorted via a permutation; the
+    matrix is not physically reordered; minhash components are truncated to
+    uint32 (equality-only semantics halve the broadcast)."""
     nperm = cfg.num_perms
     only_ref = ray.put(np.sort(only_ids.astype(np.int64))) if only_ids is not None else None
 
