@@ -116,6 +116,17 @@ def phash(img: np.ndarray, hash_size: int = 8, highfreq_factor: int = 4) -> int:
     return _pack_bits(low > np.median(low))
 
 
+def phash_simple(img: np.ndarray, hash_size: int = 8, highfreq_factor: int = 4) -> int:
+    """pHash (simple variant): 1-D DCT along rows only, columns 1..hash_size
+    of the first hash_size rows, MEAN threshold (imagehash.py:204-218)."""
+    s = hash_size * highfreq_factor
+    p = resize_area(to_grayscale(img), s, s)
+    C = _DCT_CACHE.setdefault(s, _dct_matrix(s))
+    d = p @ C.T  # dct along axis 1 (scipy dct default axis=-1)
+    low = d[:hash_size, 1 : hash_size + 1]
+    return _pack_bits(low > low.mean())
+
+
 def dhash(img: np.ndarray, hash_size: int = 8) -> int:
     """dHash: horizontal-gradient sign bits of the (hash_size, hash_size+1)
     resize (imagehash.py:220-235)."""
@@ -123,6 +134,13 @@ def dhash(img: np.ndarray, hash_size: int = 8) -> int:
         raise ValueError("hash_size must be >= 2")
     p = resize_area(to_grayscale(img), hash_size, hash_size + 1)
     return _pack_bits(p[:, 1:] > p[:, :-1])
+
+
+def dhash_vertical(img: np.ndarray, hash_size: int = 8) -> int:
+    """dHash (vertical): row-gradient sign bits of the (hash_size+1,
+    hash_size) resize (imagehash.py:238-249)."""
+    p = resize_area(to_grayscale(img), hash_size + 1, hash_size)
+    return _pack_bits(p[1:, :] > p[:-1, :])
 
 
 def _haar_ll(pixels: np.ndarray, level: int) -> np.ndarray:

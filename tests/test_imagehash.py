@@ -76,6 +76,19 @@ def test_hashes_match_pure_python_oracle():
         ll = (ll[0::2, 0::2] + ll[0::2, 1::2] + ll[1::2, 0::2] + ll[1::2, 1::2]) / 2
     assert IH.whash(img) == _bits_to_int(ll > np.median(ll))
 
+    p98 = _resize_oracle(img, 9, 8)
+    assert IH.dhash_vertical(img) == _bits_to_int(p98[1:, :] > p98[:-1, :])
+
+    def dct1(v):
+        n = len(v)
+        return np.array(
+            [2 * sum(v[j] * np.cos(np.pi * k * (2 * j + 1) / (2 * n)) for j in range(n)) for k in range(n)]
+        )
+
+    d_rows = np.stack([dct1(p32[r, :]) for r in range(32)], axis=0)
+    low = d_rows[:8, 1:9]
+    assert IH.phash_simple(img) == _bits_to_int(low > low.mean())
+
 
 def test_grayscale_and_rgb_paths():
     rng = np.random.default_rng(8)

@@ -204,6 +204,31 @@ def test_exact_dedup_join_equals_broadcast(ray_session, fixture_corpus):
     assert (lb == lj).all()
 
 
+def test_partitioning_invariance(ray_session, fixture_corpus):
+    """Cluster assignment must be byte-identical under a different read
+    fan-out (the determinism contract: content-derived ids, min-id
+    canonicals, a<b ordering — no positional or partition-order dependence)."""
+    import ray.data as rd
+
+    from imagededupx_ray.pipelines.dedup import run_dedup
+
+    base = (
+        run_dedup(rd.read_parquet(f"{fixture_corpus}/pages"), CFG)
+        .clusters.to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    alt = (
+        run_dedup(
+            rd.read_parquet(f"{fixture_corpus}/pages", override_num_blocks=7), CFG
+        )
+        .clusters.to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, alt)
+
+
 def test_salted_lsh_preserves_clusters(ray_session, fixture_corpus):
     """With salt_threshold forced tiny, the boilerplate site's hot buckets
     are split across salted sub-partitions; chained sub-bucket minima must
