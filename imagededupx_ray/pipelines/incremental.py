@@ -381,6 +381,12 @@ def build_snapshot(
         sig_parts = [s for s in (parent_sigs, new_sigs) if s is not None]
         if len(sig_parts) == 2 and new_sigs.count() == 0:
             sig_parts = [parent_sigs]  # empty-union destroys schemas
+        if not sig_parts:  # empty full build: zero-row, correctly-typed table
+            import ray.data as _rd
+
+            from imagededupx_ray.schemas import SIGNATURES_PACKED
+
+            sig_parts = [_rd.from_arrow(SIGNATURES_PACKED.empty_table())]
         sig_union = sig_parts[0] if len(sig_parts) == 1 else sig_parts[0].union(sig_parts[1])
 
         def patch_sig(t: pa.Table) -> pa.Table:

@@ -94,6 +94,9 @@ class SnapshotStore:
             shutil.rmtree(tmp)
         os.makedirs(os.path.dirname(final), exist_ok=True)
         start = t0 if t0 is not None else time.monotonic()
+        # pre-create: write_parquet of an EMPTY dataset writes no files and
+        # no directory, which would break the atomic rename below
+        os.makedirs(tmp, exist_ok=True)
         ds.write_parquet(tmp)
         os.replace(tmp, final)
         rows = ds.count()

@@ -131,6 +131,27 @@ def test_crash_resume_reuses_stages(ray_session, fixture_corpus, tmp_path):
     assert (la == lf).all()
 
 
+def test_empty_full_build_then_merge(ray_session, fixture_corpus, tmp_path):
+    """A zero-page full build must persist valid empty stages, and a merge
+    on top of it must equal a fresh full build of the delta."""
+    import ray.data as rd
+
+    from imagededupx_ray.pipelines.incremental import build_snapshot
+    from imagededupx_ray.state.checkpoint import SnapshotStore
+
+    pages = rd.read_parquet(f"{fixture_corpus}/pages")
+    store = SnapshotStore(str(tmp_path / "s"), CFG)
+    empty = build_snapshot(store, pages.limit(0), "empty", cfg=CFG)
+    assert empty.count() == 0
+    assert store.is_complete("empty")
+    merged = build_snapshot(store, pages, "real", parent="empty", cfg=CFG).to_pandas()
+    store2 = SnapshotStore(str(tmp_path / "f"), CFG)
+    fresh = build_snapshot(store2, pages, "full", cfg=CFG).to_pandas()
+    lm = merged.set_index("url")["cluster_id"].sort_index()
+    lf = fresh.set_index("url")["cluster_id"].sort_index()
+    assert (lm == lf).all()
+
+
 def test_tombstone_merge_equals_rebuild(ray_session, fixture_corpus, tmp_path):
     """merge with tombstones == full rebuild on the corpus minus those urls,
     including canonical reassignment when a group's min-id doc is deleted."""
