@@ -204,6 +204,41 @@ def test_exact_dedup_join_equals_broadcast(ray_session, fixture_corpus):
     assert (lb == lj).all()
 
 
+def test_degenerate_corpora(ray_session):
+    """Single row / all-identical / all-empty / mixed-empty corpora all
+    cluster correctly (skew and empty-shingle paths)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from imagededupx_ray.pipelines.dedup import run_dedup
+
+    def pages_tbl(texts):
+        n = len(texts)
+        return pa.table(
+            {
+                "url": pa.array([f"u{i}" for i in range(n)], type=pa.string()),
+                "warc_ts": pa.nulls(n, pa.timestamp("us")),
+                "html": pa.nulls(n, pa.binary()),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(["en"] * n, type=pa.string()),
+            }
+        )
+
+    cases = {
+        "one_row": (["hello world single document with enough words here"], 1),
+        "all_identical": (["the same page body " * 10] * 120, 1),
+        "all_empty": ([""] * 60, 1),
+        "mixed_empty": (
+            ["", "a b c d e f g h i j k l m n o p", "", "a b c d e f g h i j k l m n o q"],
+            2,
+        ),
+    }
+    for name, (texts, want_clusters) in cases.items():
+        cl = run_dedup(rd.from_arrow(pages_tbl(texts))).clusters.to_pandas()
+        assert len(cl) == len(texts), name
+        assert cl["cluster_id"].nunique() == want_clusters, name
+
+
 def test_partitioning_invariance(ray_session, fixture_corpus):
     """Cluster assignment must be byte-identical under a different read
     fan-out (the determinism contract: content-derived ids, min-id
