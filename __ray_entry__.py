@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_counts": Q.docs_lang_counts,
         "docs_exact_dedup": Q.docs_exact_dedup,
         "docs_token_stats": Q.docs_token_stats,
+        "docs_bpe_token_counts": Q.docs_bpe_token_counts,
         "docs_top_longest": Q.docs_top_longest,
         "token_jaccard_pairs": Q.token_jaccard_pairs,
         "q1_pricing_summary": Q.q1_pricing_summary,
@@ -95,6 +96,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_top_longest": (
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 20"
+        ),
+        "docs_bpe_token_counts": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens "
+            "FROM documents"
         ),
         "token_jaccard_pairs": (
             f"WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "

@@ -103,6 +103,28 @@ def docs_token_stats(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
 
 
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def docs_bpe_token_counts(sf_dir: str):
+    """BPE-ish token counting for training-data budgeting: runs of letters,
+    single digits, and single punctuation marks (the GPT-2 pre-tokenizer's
+    coarse shape) — counted with Arrow's RE2 kernel, which matches DuckDB's
+    RE2 exactly, so this is a hash-gated twin (token counting op of the
+    large-scale curation stack; whitespace variant = docs_token_stats)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], pattern=_BPE_PATTERN)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": n.cast(pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
+
+
 def docs_top_longest(sf_dir: str):
     """Top-20 docs by n_chars (O1 sort+limit; reference most_similar topn,
     literal_similarity.py:179-189)."""
