@@ -43,6 +43,7 @@ import time
 import numpy as np
 import pyarrow as pa
 import ray
+import ray.data as rd
 
 from imagededupx_ray.config import DedupConfig, DEFAULT_CONFIG
 from imagededupx_ray.functions import hashing as H
@@ -311,15 +312,37 @@ def build_snapshot(
     # touches or tombstones hit; collect min-doc for exactly those. A full
     # build has no parent canonicals to correct — exact-dedup winners ARE the
     # canonicals — so its patch set is EMPTY (never corpus-sized)
+    delta_shas = np.empty(0, "S16")
     if parent is None:
         changed = np.empty(0, "S16")
-    else:
+    elif docs_new is not None:
         delta_shas = (
             _collect_key16_set(docs_new.select_columns(["text_sha256"]), "text_sha256")
-            if (docs_new is not None and n_new)
+            if n_new
             else np.empty(0, "S16")
         )
         changed = np.unique(np.concatenate([delta_shas, tomb_shas]))
+    elif store.has_stage(snapshot, "changed_keys"):
+        # resume after the delta was discarded: restore the persisted set —
+        # WITHOUT it, pair generation would silently skip the delta's buckets
+        # and prev-pair rekeying would be a no-op
+        ks = store.read_stage(snapshot, "changed_keys").to_pandas()
+        changed = (
+            np.sort(np.array([bytes(x) for x in ks["k"]], dtype="S16"))
+            if len(ks)
+            else np.empty(0, "S16")
+        )
+        delta_shas = changed
+    else:
+        changed = tomb_shas
+    if parent is not None and not store.has_stage(snapshot, "changed_keys"):
+        store.write_stage(
+            snapshot,
+            "changed_keys",
+            rd.from_arrow(
+                pa.table({"k": pa.array([bytes(x).ljust(16, b"\x00") for x in changed], type=pa.binary(16))})
+            ),
+        )
     changed_ref = ray.put(changed)
     # min CURRENT member per changed sha (extinct shas simply don't appear)
     patch = _collect_key16_min(meta_all, "text_sha256", "doc_id", changed_ref)
@@ -407,10 +430,30 @@ def build_snapshot(
         sigv = _sig_view(sig_all)
         if parent is None:
             bucket_filter_ref = None
-        elif new_sigs is None or new_sigs.count() == 0:
-            bucket_filter_ref = ray.put(np.empty(0, dtype=np.int64))
+            delta_sig_src = None
+        elif new_sigs is not None and new_sigs.count() > 0:
+            delta_sig_src = _sig_view(new_sigs)
+        elif resume_sig and len(changed):
+            # resume after a crash between the signatures and pairs stages:
+            # the delta's signatures live inside sig_all — recover them via
+            # the (delta-bounded) changed-keys broadcast
+            chg_ref = ray.put(changed)
+
+            def only_changed(t: pa.Table) -> pa.Table:
+                want = ray.get(chg_ref)
+                k = _sha_keys16(t["text_sha256"])
+                pos = np.searchsorted(want, k)
+                pos[pos >= len(want)] = 0
+                return t.filter(pa.array(np.asarray(want[pos] == k)))
+
+            delta_sig_src = _sig_view(
+                sig_all.map_batches(only_changed, batch_format="pyarrow")
+            )
         else:
-            delta_rows = _sig_view(new_sigs).map_batches(
+            delta_sig_src = None
+            bucket_filter_ref = ray.put(np.empty(0, dtype=np.int64))
+        if parent is not None and delta_sig_src is not None:
+            delta_rows = delta_sig_src.map_batches(
                 explode_bands(cfg, partitions=p), batch_format="pyarrow"
             )
             bl = [

@@ -131,6 +131,44 @@ def test_crash_resume_reuses_stages(ray_session, fixture_corpus, tmp_path):
     assert (la == lf).all()
 
 
+def test_crash_resume_mid_merge(ray_session, fixture_corpus, tmp_path):
+    """A merge that crashed between the signatures and verified_pairs stages
+    must resume to the SAME clusters — in particular the delta's candidate
+    buckets must regenerate from the persisted changed-keys sidecar (a
+    silent-empty bucket filter here would drop every delta pair)."""
+    import shutil
+
+    import ray.data as rd
+
+    from imagededupx_ray.pipelines.incremental import build_snapshot
+    from imagededupx_ray.state.checkpoint import SnapshotStore
+
+    pages = rd.read_parquet(f"{fixture_corpus}/pages")
+    snap0 = pages.filter(expr="snapshot == 0")
+    snap1 = pages.filter(expr="snapshot == 1")
+    store = SnapshotStore(str(tmp_path / "full"), CFG)
+    build_snapshot(store, snap0, "a", cfg=CFG)
+    want = build_snapshot(store, snap1, "b", parent="a", cfg=CFG).to_pandas()
+
+    crashed = SnapshotStore(str(tmp_path / "crashed"), CFG)
+    shutil.copytree(store.stage_dir("a", ""), crashed.stage_dir("a", ""))
+    crashed.init_snapshot("b", parent="a")
+    m_full = store.manifest("b")
+    for st in ("docs_meta", "signatures", "changed_keys"):
+        shutil.copytree(store.stage_dir("b", st), crashed.stage_dir("b", st))
+        crashed._update_manifest("b", stage_update={st: m_full["stages"][st]})
+    assert not crashed.is_complete("b")
+
+    resumed = build_snapshot(crashed, snap1.limit(0), "b", parent="a", cfg=CFG).to_pandas()
+    lw = want.set_index("url")["cluster_id"].sort_index()
+    lr = resumed.set_index("url")["cluster_id"].sort_index()
+    assert (lw == lr).all()
+    # the delta's near-dup pairs were regenerated, not dropped
+    assert crashed.manifest("b")["stages"]["verified_pairs"]["rows"] == m_full[
+        "stages"
+    ]["verified_pairs"]["rows"]
+
+
 def test_empty_full_build_then_merge(ray_session, fixture_corpus, tmp_path):
     """A zero-page full build must persist valid empty stages, and a merge
     on top of it must equal a fresh full build of the delta."""
