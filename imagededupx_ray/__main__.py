@@ -36,6 +36,13 @@ def main(argv: list[str] | None = None) -> int:
     d = sub.add_parser("dedup", help="one-shot near-dup pipeline: pages parquet -> clusters parquet")
     d.add_argument("--input", required=True, help="directory of pages parquet files")
     d.add_argument("--output", required=True)
+    d.add_argument(
+        "--partition-shards",
+        type=int,
+        default=0,
+        help="write output partitioned into shard=<doc_id %% N> directories "
+        "(resumable: a re-run can skip finished shard dirs); 0 = flat",
+    )
 
     b = sub.add_parser("build", help="checkpointed full build into a snapshot store")
     b.add_argument("--input", required=True)
@@ -82,7 +89,25 @@ def main(argv: list[str] | None = None) -> int:
             from imagededupx_ray.pipelines.dedup import run_dedup
 
             res = run_dedup(rd.read_parquet(args.input), DEFAULT_CONFIG)
-            res.clusters.write_parquet(args.output)
+            clusters = res.clusters
+            if args.partition_shards > 0:
+                import pyarrow as pa
+
+                n_shards = args.partition_shards
+
+                def with_shard(t: pa.Table) -> pa.Table:
+                    import numpy as np
+
+                    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    return t.append_column(
+                        "shard",
+                        pa.array((ids % n_shards).astype(np.int32), type=pa.int32()),
+                    )
+
+                clusters = clusters.map_batches(with_shard, batch_format="pyarrow")
+                clusters.write_parquet(args.output, partition_cols=["shard"])
+            else:
+                clusters.write_parquet(args.output)
             print(json.dumps({"clusters": args.output, "rows": res.clusters.count()}))
         elif args.cmd in ("build", "merge"):
             from imagededupx_ray.pipelines.incremental import build_snapshot
