@@ -175,11 +175,47 @@ def headline_only() -> None:
     ray.shutdown()
 
 
+def _spin_worker(q):
+    import time as _t
+
+    x = 1469598103934665603
+    t0 = _t.monotonic()
+    for _ in range(20_000_000):
+        x = (x * 1099511628211) & ((1 << 64) - 1)
+    q.put(_t.monotonic() - t0)
+
+
+def host_cpu_ceiling(lo: int, hi: int) -> dict:
+    """Pure-register spin loop at ``lo`` and ``hi`` concurrent processes —
+    no memory traffic, no Ray. The ratio bounds ANY workload's lo→hi scaling
+    on this box (all-core clock / hypervisor throttling); reported alongside
+    the pipeline's efficiency so the sandbox artifact is visible in the same
+    JSON line the protocol produces."""
+    import multiprocessing as mp
+
+    def run(n: int) -> float:
+        q = mp.Queue()
+        ps = [mp.Process(target=_spin_worker, args=(q,)) for _ in range(n)]
+        [p.start() for p in ps]
+        res = [q.get() for _ in ps]
+        [p.join() for p in ps]
+        return sum(res) / len(res)
+
+    t_lo, t_hi = run(lo), run(hi)
+    # per-proc slowdown t_hi/t_lo caps aggregate speedup at (hi/lo)·t_lo/t_hi;
+    # efficiency vs the ideal hi/lo is therefore t_lo/t_hi
+    return {
+        "spin_sec_per_proc": {str(lo): round(t_lo, 3), str(hi): round(t_hi, 3)},
+        "ceiling_efficiency": round(t_lo / t_hi, 3),
+    }
+
+
 def scaling() -> None:
     """Same job, two parallelism levels (N and 4N), fresh processes — the
     north-rule cluster-size criterion evidenced in a single-node sandbox.
     Default pair 8→32 (the declared protocol in BASELINE.md). Override with
-    GRAFT_SCALING_CPUS=4,16."""
+    GRAFT_SCALING_CPUS=4,16. The JSON line also carries the measured
+    pure-CPU host ceiling for the same pair."""
     lo, hi = (
         int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
     )
@@ -197,12 +233,14 @@ def scaling() -> None:
         results[cpus] = json.loads(line)
     t_lo, t_hi = results[lo]["sec"], results[hi]["sec"]
     speedup = t_lo / t_hi
+    ceiling = host_cpu_ceiling(lo, hi)
     print(
         json.dumps(
             {
                 "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
                 "value": round(speedup / (hi / lo), 3),
                 "unit": "fraction",
+                "host_cpu_ceiling": ceiling,
                 "sf": _sf_of(SF_DIR),
                 f"cpus_{lo}": {
                     "sec": round(t_lo, 3),
