@@ -3,37 +3,53 @@
 The reference's incremental indexing — MD5 change detection against a pickle
 cache, then a full index rebuild from cache
 (/root/reference/improved_faiss_detector.py:269-295 delta classes, :413-469
-update, :456-457 rebuild-everything) — reborn as checkpointed Parquet
-snapshots with lineage:
+update, :456-457 rebuild-everything) — reborn as CONTENT-KEYED, append-only
+Parquet snapshot state:
 
-- ``docs_meta`` (doc_id, url, text_sha256): the manifest; delta detection
-  broadcasts ONLY the new snapshot's (url, sha) keys and scans the parent
-  manifest once (reference M10 new/modified classes).
-- ``signatures`` keyed by ``text_sha256`` (minhash packed as fixed-width
-  binary): MinHash/SimHash are functions of the text, so signatures survive
-  canonical-doc reassignment without recompute — ONLY never-seen texts are
-  signed on merge (the expensive stage), and ONLY signatures of texts whose
-  member set changed are re-keyed, via a DELTA-BOUNDED broadcast patch over
-  one narrow pass (a canonical can only change when the delta adds a member
-  or a tombstone removes one).
-- ``verified_pairs`` / ``clusters``: previous pairs rekey through the same
-  delta-bounded (old canonical → new canonical) patch; clusters assemble
-  exactly like the batch pipeline (dup-group broadcast + pair-bounded root
-  map) — no corpus-sized structure ever lands on the driver.
+Every persisted dedup structure is keyed by ``sig_id`` — a 63-bit hash of the
+text's sha256 — instead of by (mutable) canonical doc ids. MinHash/SimHash are
+pure functions of the text, so under content keys NOTHING already persisted
+ever changes on a merge:
 
-Scale contract: every corpus-sized dataflow is a streaming narrow pass, a
-Dataset union, one coarse-partition groupby (dup groups) or the LSH/verify
-exchanges. Driver-held state is delta-bounded (changed-sha patch map,
-touched-bucket set, tombstone list) or dup/pair-bounded (dup-group map, DSU
-root map) — the same budget as the batch pipeline; the exact-dedup join
-fallback (stages/dedup.py) is the declared extreme-dup-rate escape. An
-earlier all-joins version was measured 3.5x slower than a full rebuild at
-1.2M pages — six corpus-wide acero exchanges against a 1.2 GB signature
-table — where this patch dataflow merges in a fraction of a rebuild.
+- ``signatures`` (sig_id, minhash, simhash, n_shingles): one row per distinct
+  text EVER seen; a merge appends one delta part with only the never-seen
+  texts' signatures (the expensive stage).
+- ``lsh_index`` (bucket, sig_id): the persisted band-bucket table SURVEY
+  §1.2/§3.2 promises (``index_partitions``) — a merge appends the delta's
+  band rows and NEVER re-bands old signatures. Candidate pairs re-emit only
+  inside buckets the delta touches; stored rows of touched buckets come from
+  a narrow (bucket, sig_id) filter scan, not recomputation.
+- ``verified_pairs`` (a, b = sig_ids): stable per pair; a merge appends the
+  pairs newly emitted in touched buckets (minus those already persisted).
+- ``docs_meta`` (doc_id, url, text_sha256): the corpus manifest; delta
+  detection broadcasts ONLY the new snapshot's (doc_id, sig) combo keys and
+  scans the parent parts once (reference M10 new/modified classes).
+- deletes are sidecar filters, not rewrites: ``dead_row_keys`` (combo keys of
+  tombstoned doc rows) and ``extinct_sig_ids`` (texts with zero surviving
+  member docs) are small sorted arrays applied at read time. A tombstoned
+  url/text that reappears later is *revived / resurrected* by removing its
+  key from the sidecar — the stored meta row, signature, band rows and pairs
+  become visible again with zero recompute (reference v3 tombstones,
+  incremental_faiss_detector.py:74-75,:295-304, minus its rebuild).
+
+Only ``clusters`` (the corpus-sized OUTPUT — one row per live doc) is fully
+recomputed and rewritten per snapshot: union-find over the composed pair set
+(pair-bounded driver DSU) + two narrow streaming passes over docs_meta.
+
+Merge cost therefore scales with the DELTA plus the final clusters output,
+not with re-processing the corpus: the per-merge corpus-sized work is limited
+to narrow streaming scans (docs_meta for delta detection and cluster
+assembly; the signature parts once, restricted to pair members, for verify;
+the lsh_index parts once for the touched-bucket filter) — no corpus-sized
+shuffle, no re-banding, no re-signing, no stage rewrite.
 
 Equivalence contract (tested): build(A then merge B) produces the same
-cluster assignment as build(A ∪ B); tombstone merges equal rebuilds on the
-surviving corpus (tests/test_incremental.py).
+cluster partition as build(A ∪ B); tombstone merges equal rebuilds on the
+surviving corpus; delete-then-re-add equals never-deleted
+(tests/test_incremental.py).
+
+sig_id collisions (two distinct texts hashing to one 63-bit id) follow the
+same accepted budget as doc_id = hash64(url): ~2^-63 per pair.
 """
 
 from __future__ import annotations
@@ -49,129 +65,221 @@ from imagededupx_ray.config import DedupConfig, DEFAULT_CONFIG
 from imagededupx_ray.functions import hashing as H
 from imagededupx_ray.stages.cluster import DictDSU
 from imagededupx_ray.stages.dedup import (
+    doc_sig_combo,
     exact_dedup,
     i64_pair_to_key16,
     sha_to_i64_pair,
+    sig_ids_from_sha,
 )
 from imagededupx_ray.stages.extract import extract_stage
-from imagededupx_ray.stages.lsh import explode_bands, _emit_group, _pow2, decorate_pair_part
+from imagededupx_ray.stages.lsh import explode_bands, _emit_group, _pow2
 from imagededupx_ray.stages.signatures import signature_stage, signatures_to_numpy
 from imagededupx_ray.stages.verify import verify_pairs_broadcast_fused
-from imagededupx_ray.state.checkpoint import SnapshotStore
+from imagededupx_ray.state.checkpoint import SnapshotStore, parquet_files
 from imagededupx_ray.util import suggest_num_partitions
+
+_EMPTY = np.empty(0, dtype=np.int64)
+
+
+# ------------------------------------------------------------ small helpers
+def _sig_of(t: pa.Table) -> np.ndarray:
+    return sig_ids_from_sha(t["text_sha256"])
+
+
+def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    if len(sorted_arr) == 0 or len(vals) == 0:
+        return np.zeros(len(vals), dtype=bool)
+    pos = np.searchsorted(sorted_arr, vals)
+    pos[pos >= len(sorted_arr)] = 0
+    return sorted_arr[pos] == vals
+
+
+def _filter_ds(ds, value_fn, sorted_arr: np.ndarray, keep_members: bool):
+    """Vectorized broadcast membership filter: keep rows whose ``value_fn``
+    result is (keep_members=True) / is not (False) in the sorted array."""
+    ref = ray.put(np.ascontiguousarray(sorted_arr, dtype=np.int64))
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = ray.get(ref)
+        m = _in_sorted(arr, value_fn(t))
+        return t.filter(pa.array(m if keep_members else ~m))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _col_i64(name: str):
+    def fn(t: pa.Table) -> np.ndarray:
+        return t[name].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    return fn
+
+
+def _collect_unique_i64(ds, value_fn) -> np.ndarray:
+    """Sorted unique int64s of a derived column, streamed as per-block
+    uniques (the driver holds only the distinct set)."""
+
+    def pick(t: pa.Table) -> pa.Table:
+        return pa.table({"v": pa.array(np.unique(value_fn(t)), type=pa.int64())})
+
+    parts = []
+    for b in ds.map_batches(pick, batch_format="pyarrow").iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ):
+        parts.append(b["v"].to_numpy(zero_copy_only=False).astype(np.int64))
+    return np.unique(np.concatenate(parts)) if parts else _EMPTY
+
+
+def _min_per_key(ds, key_fn, val_fn, want: np.ndarray) -> dict[int, int]:
+    """Per key in the broadcast ``want`` set: min of ``val_fn`` over rows with
+    that key. One narrow streaming pass; the result is want-bounded."""
+    want_ref = ray.put(np.ascontiguousarray(want, dtype=np.int64))
+
+    def pick(t: pa.Table) -> pa.Table:
+        w = ray.get(want_ref)
+        k = key_fn(t)
+        v = val_fn(t)
+        sel = _in_sorted(w, k)
+        kk, inv = np.unique(k[sel], return_inverse=True)
+        mins = np.full(len(kk), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, inv, v[sel])
+        return pa.table(
+            {"k": pa.array(kk, type=pa.int64()), "m": pa.array(mins, type=pa.int64())}
+        )
+
+    agg: dict[int, int] = {}
+    for b in ds.map_batches(pick, batch_format="pyarrow").iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow"
+    ):
+        for k, m in zip(b["k"].to_pylist(), b["m"].to_pylist()):
+            if k not in agg or m < agg[k]:
+                agg[k] = m
+    return agg
 
 
 def _meta_of(docs_ds):
     return docs_ds.select_columns(["doc_id", "url", "text_sha256"])
 
 
-def _url_sha_key(urls: list, shas: list) -> np.ndarray:
-    out = np.empty(len(urls), dtype=np.int64)
-    for i, (u, s) in enumerate(zip(urls, shas)):
-        out[i] = H.hash64_bytes((u + "\x00" + s).encode()) & H.MASK63
-    return out
-
-
 def _arrow(ds):
     return ds.map_batches(lambda t: t, batch_format="pyarrow")
 
 
-def _sha_keys16(col) -> np.ndarray:
-    return i64_pair_to_key16(*sha_to_i64_pair(col))
+def _packed_schema(nperm: int) -> pa.Schema:
+    return pa.schema(
+        [
+            ("doc_id", pa.int64()),  # = sig_id (content key)
+            ("minhash", pa.binary(nperm * 8)),
+            ("simhash", pa.int64()),
+            ("n_shingles", pa.int32()),
+        ]
+    )
+
+
+_META_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("url", pa.string()), ("text_sha256", pa.string())]
+)
+_LSH_SCHEMA = pa.schema([("bucket", pa.int64()), ("doc_id", pa.int64())])
+_PAIRS_SCHEMA = pa.schema(
+    [
+        ("a", pa.int64()),
+        ("b", pa.int64()),
+        ("est_jaccard", pa.float32()),
+        ("hamming", pa.uint8()),
+    ]
+)
+_CLUSTERS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("url", pa.string()),
+        ("cluster_id", pa.int64()),
+        ("is_canonical", pa.bool_()),
+    ]
+)
+
+
+def _nonempty(ds, schema: pa.Schema):
+    """0-row datasets may write zero parquet files; substitute a schema-typed
+    empty table so every stage part dir has a readable file."""
+    if ds.count() == 0:
+        return rd.from_arrow(schema.empty_table())
+    return ds
 
 
 def _pack_sigs(sig_ds, nperm: int):
-    """FixedSizeList minhash → fixed-width binary; simhash → int64 bits.
-    The parquet-stable snapshot layout."""
+    """Signed delta reps → snapshot layout: doc_id := sig_id (content key),
+    minhash as fixed-width binary, simhash bit-cast to int64."""
 
     def fn(t: pa.Table) -> pa.Table:
-        ids, mh, sim, nsh = signatures_to_numpy(t, nperm)
+        _, mh, sim, nsh = signatures_to_numpy(t, nperm)
+        sg = sig_ids_from_sha(t["text_sha256"])
         mh_bin = pa.Array.from_buffers(
             pa.binary(nperm * 8),
-            len(ids),
+            len(sg),
             [None, pa.py_buffer(np.ascontiguousarray(mh).tobytes())],
         )
         return pa.table(
             {
-                "doc_id": pa.array(ids, type=pa.int64()),
+                "doc_id": pa.array(sg, type=pa.int64()),
                 "minhash": mh_bin,
                 "simhash": pa.array(sim.view(np.int64), type=pa.int64()),
                 "n_shingles": pa.array(nsh.astype(np.int32), type=pa.int32()),
-                "text_sha256": t["text_sha256"],
             }
         )
 
     return sig_ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _sig_view(sig_ds):
-    return sig_ds.select_columns(["doc_id", "minhash", "simhash", "n_shingles"])
+def _decorate_part(p: int):
+    """(bucket, sig_id) rows → + coarse shuffle key (recomputed at use time:
+    the persisted index stores no partition count)."""
 
-
-def _collect_key16_min(ds, sha_col: str, id_col: str, want_ref):
-    """One narrow streaming pass: per changed sha (broadcast sorted S16 set),
-    the min doc id among its CURRENT members. Driver combines per-block
-    partials — output is changed-set-bounded."""
-
-    def pick(t: pa.Table) -> pa.Table:
-        want = ray.get(want_ref)
-        k = _sha_keys16(t[sha_col])
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(want) == 0:
-            sel = np.zeros(len(k), dtype=bool)
-        else:
-            pos = np.searchsorted(want, k)
-            pos[pos >= len(want)] = 0
-            sel = want[pos] == k
-        kk, inv = np.unique(k[sel], return_inverse=True)
-        mins = np.full(len(kk), np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(mins, inv, ids[sel])
+    def fn(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "k": pa.array([bytes(x).ljust(16, b"\x00") for x in kk], type=pa.binary(16)),
-                "m": pa.array(mins, type=pa.int64()),
+                "_part": pa.array(
+                    (b & np.int64(p - 1)).astype(np.int32), type=pa.int32()
+                ),
+                "bucket": t["bucket"],
+                "doc_id": t["doc_id"],
             }
         )
 
-    agg: dict[bytes, int] = {}
-    for b in ds.map_batches(pick, batch_format="pyarrow").iter_batches(
-        batch_size=1 << 16, batch_format="pyarrow"
-    ):
-        for kb, m in zip(b["k"].to_pylist(), b["m"].to_pylist()):
-            # numpy 'S16' strips trailing nulls; normalize dict keys the
-            # same way so lookups from S16 items resolve
-            kb = kb.rstrip(b"\x00")
-            if kb not in agg or m < agg[kb]:
-                agg[kb] = m
-    return agg
+    return fn
 
 
-def _collect_key16_set(ds, sha_col: str, want_ref=None) -> np.ndarray:
-    """Distinct S16 sha keys of a dataset column (optionally restricted to a
-    broadcast set), streamed as per-block uniques — bounded by the distinct
-    count of the restriction (callers pass delta-bounded sets)."""
+def _emit_verify(rows_ds, sig_view_ds, cfg: DedupConfig, p: int, exclude_pairs=None):
+    """(bucket, sig_id) rows → verified pairs: coarse-partition emission
+    (window-capped, see stages/lsh.py) then the fused distinct+verify
+    exchange. ``exclude_pairs`` (sorted S16 keys) drops pairs already
+    persisted before they are re-verified."""
+    raw = _arrow(
+        rows_ds.map_batches(_decorate_part(p), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(_emit_group(cfg), batch_format="pandas")
+    ).materialize()
+    if exclude_pairs is not None and len(exclude_pairs):
+        excl_ref = ray.put(exclude_pairs)
 
-    def pick(t: pa.Table) -> pa.Table:
-        k = _sha_keys16(t[sha_col])
-        if want_ref is not None:
-            want = ray.get(want_ref)
-            if len(want) == 0:
-                k = k[:0]
-            else:
-                pos = np.searchsorted(want, k)
-                pos[pos >= len(want)] = 0
-                k = k[np.asarray(want[pos] == k)]
-        kk = np.unique(k)
-        return pa.table({"k": pa.array([bytes(x).ljust(16, b"\x00") for x in kk], type=pa.binary(16))})
+        def drop_existing(t: pa.Table) -> pa.Table:
+            ex = ray.get(excl_ref)
+            a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            k = i64_pair_to_key16(a, b)
+            pos = np.searchsorted(ex, k)
+            pos[pos >= len(ex)] = 0
+            return t.filter(pa.array(ex[pos] != k))
 
-    out = set()
-    for b in ds.map_batches(pick, batch_format="pyarrow").iter_batches(
-        batch_size=1 << 16, batch_format="pyarrow"
-    ):
-        out.update(b["k"].to_pylist())
-    return np.sort(np.array(sorted(out), dtype="S16")) if out else np.empty(0, "S16")
+        raw = raw.map_batches(drop_existing, batch_format="pyarrow")
+    ids_l = []
+    for b in raw.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        ids_l.append(b["a"].to_numpy(zero_copy_only=False).astype(np.int64))
+        ids_l.append(b["b"].to_numpy(zero_copy_only=False).astype(np.int64))
+    pair_ids = np.unique(np.concatenate(ids_l)) if ids_l else _EMPTY
+    return verify_pairs_broadcast_fused(raw, sig_view_ds, cfg, pair_ids=pair_ids)
 
 
+# ----------------------------------------------------------------- pipeline
 def build_snapshot(
     store: SnapshotStore,
     pages_ds,
@@ -181,403 +289,301 @@ def build_snapshot(
     tombstones: list[str] | None = None,
 ):
     """Full build (parent=None) or incremental merge of a new pages snapshot
-    into an existing one. Persists docs_meta / signatures / verified_pairs /
-    clusters stages + a lineage manifest; returns the clusters Dataset.
+    into an existing one. Persists docs_meta / signatures / lsh_index /
+    verified_pairs / clusters stages + sidecars + a lineage manifest; returns
+    the clusters Dataset.
 
-    RESUMABLE: stages are written atomically (tmp + rename) as they complete,
-    so re-running after a crash reuses every finished stage — a completed
-    ``signatures`` stage means no text is re-signed, completed
-    ``verified_pairs`` means no LSH/verify re-runs, and a fully complete
-    snapshot returns immediately (replaces the reference's
-    rebuild-everything-from-cache, improved_faiss_detector.py:456-457).
+    RESUMABLE: stages are written atomically (tmp + rename) as they complete;
+    re-running after a crash reuses every finished stage — once the
+    ``signatures`` stage exists no text is ever re-signed (the delta is
+    recoverable from the stage's own part dir, so the pages input may even be
+    empty on resume), and a fully complete snapshot returns immediately
+    (replaces the reference's rebuild-everything-from-cache,
+    improved_faiss_detector.py:456-457).
 
-    TOMBSTONES (reference v3 deletes, incremental_faiss_detector.py:74-75,
-    :295-304): ``tombstones`` is a list of urls removed in this snapshot.
-    Their rows leave docs_meta; texts with no remaining member drop their
-    signature and every verified pair touching them; surviving texts keep
-    signatures and pairs. Canonical ids and cluster roots reassign through
-    the delta-bounded patch map."""
+    TOMBSTONES (reference v3 deletes): ``tombstones`` is a list of urls
+    removed in this snapshot. Their rows leave the docs_meta view via the
+    ``dead_row_keys`` sidecar; texts with no remaining member become extinct
+    (``extinct_sig_ids`` sidecar), hiding their signature, band rows and
+    pairs at read time — nothing is rewritten, and a later re-add revives the
+    stored state in place."""
     store.init_snapshot(snapshot, parent=parent)
     if parent is not None:
         store.check_config(parent)
     if store.is_complete(snapshot):
         return store.read_stage(snapshot, "clusters")
-    resume_meta = store.has_stage(snapshot, "docs_meta")
-    resume_sig = store.has_stage(snapshot, "signatures")
-    resume_pairs = store.has_stage(snapshot, "verified_pairs")
     t_start = time.monotonic()
     p = _pow2(suggest_num_partitions(per_cpu=2))
-    tomb = set(tombstones or ())
+    nperm = cfg.num_perms
 
-    # ---- parent stages (Datasets; tombstones filter in-stream) ----------
-    parent_meta = None
-    parent_sigs = None
-    tomb_shas = np.empty(0, dtype="S16")
+    # ---- tombstone sidecar (input record; resume-stable) -----------------
+    if store.has_sidecar(snapshot, "tombstone_ids"):
+        dead_new = store.read_sidecar(snapshot, "tombstone_ids")
+    else:
+        dead_new = np.unique(H.id_hash_array(list(tombstones or ())))
+        store.write_sidecar(snapshot, "tombstone_ids", dead_new)
+
+    parent_meta_rows = parent_sig_rows = parent_lsh_rows = 0
+    parent_dead = parent_extinct = _EMPTY
+    parent_meta_dirs: list[str] = []
+    parent_sig_dirs: list[str] = []
+    parent_lsh_dirs: list[str] = []
+    parent_pair_dirs: list[str] = []
     if parent is not None:
-        parent_meta = store.read_stage(parent, "docs_meta")
-        parent_sigs = store.read_stage(parent, "signatures")
-        if tomb:
-            tomb_ref = ray.put(tomb)
+        pm = store.manifest(parent)
+        parent_meta_rows = pm["stages"]["docs_meta"]["rows"]
+        parent_sig_rows = pm["stages"]["signatures"]["rows"]
+        parent_lsh_rows = pm["stages"]["lsh_index"]["rows"]
+        parent_dead = store.read_sidecar(parent, "dead_row_keys")
+        parent_extinct = store.read_sidecar(parent, "extinct_sig_ids")
+        parent_meta_dirs = store.stage_dirs(parent, "docs_meta")
+        parent_sig_dirs = store.stage_dirs(parent, "signatures")
+        parent_lsh_dirs = store.stage_dirs(parent, "lsh_index")
+        parent_pair_dirs = store.stage_dirs(parent, "verified_pairs")
 
-            # shas of tombstoned docs = canonical-change candidates
-            def tomb_rows(t: pa.Table) -> pa.Table:
-                dead = ray.get(tomb_ref)
-                keep = [u in dead for u in t["url"].to_pylist()]
-                return t.filter(pa.array(keep))
+    resume_meta = store.has_stage(snapshot, "docs_meta")
+    resume_sig = store.has_stage(snapshot, "signatures")
 
-            tomb_shas = _collect_key16_set(
-                parent_meta.map_batches(tomb_rows, batch_format="pyarrow"),
-                "text_sha256",
+    sig_delta = None
+    if resume_sig:
+        # delta fully recoverable from own part dirs; sidecars were written
+        # before the signatures stage, so just read them back
+        dead_all = store.read_sidecar(snapshot, "dead_row_keys")
+        extinct_all = store.read_sidecar(snapshot, "extinct_sig_ids")
+        resurrected = np.setdiff1d(parent_extinct, extinct_all)
+        docs_new_meta = store.read_stage_own(snapshot, "docs_meta").materialize()
+        n_new = docs_new_meta.count()
+        sig_delta = store.read_stage_own(snapshot, "signatures").materialize()
+    else:
+        # ---- delta extraction (this merge's tombstones beat its adds) ----
+        docs_new = extract_stage(pages_ds)
+        if len(dead_new):
+            docs_new = _filter_ds(docs_new, _col_i64("doc_id"), dead_new, False)
+        docs_new = docs_new.materialize()
+        delta_combos = _collect_unique_i64(
+            docs_new.select_columns(["doc_id", "text_sha256"]), doc_sig_combo
+        )
+        delta_sigs = _collect_unique_i64(
+            docs_new.select_columns(["text_sha256"]), _sig_of
+        )
+
+        # ---- dead-row bookkeeping (tombstone/delta-bounded) --------------
+        n_killed = 0
+        killed_combos = _EMPTY
+        cand_sigs = _EMPTY
+        if parent is not None and len(dead_new):
+            killed = _filter_ds(
+                store.read_stage(parent, "docs_meta"), _col_i64("doc_id"), dead_new, True
+            ).materialize()
+            n_killed = killed.count()
+            if n_killed:
+                killed_combos = _collect_unique_i64(killed, doc_sig_combo)
+                cand_sigs = _collect_unique_i64(killed, _sig_of)
+        revived = np.intersect1d(delta_combos, parent_dead)
+        dead_all = np.union1d(np.setdiff1d(parent_dead, revived), killed_combos)
+        store.write_sidecar(snapshot, "dead_row_keys", dead_all)
+
+        # ---- delta detection: drop rows already physically present -------
+        # (revived rows fall out here too — their stored row just became
+        # visible again, nothing to rewrite)
+        if parent is not None and docs_new.count() > 0:
+            seen = _collect_unique_i64(
+                _filter_ds(
+                    rd.read_parquet(parquet_files(parent_meta_dirs)), doc_sig_combo, delta_combos, True
+                ),
+                doc_sig_combo,
+            )
+            if len(seen):
+                docs_new = _filter_ds(
+                    docs_new, doc_sig_combo, seen, False
+                ).materialize()
+        docs_new_meta = _meta_of(docs_new).materialize()
+        n_new = docs_new_meta.count()
+
+        # ---- extinction / resurrection -----------------------------------
+        resurrected = np.intersect1d(parent_extinct, delta_sigs)
+        extinct_all = np.setdiff1d(parent_extinct, resurrected)
+        if len(cand_sigs):
+            # candidates keep their signature iff a member doc survives in
+            # the POST-merge view (parent physical ∪ delta, minus dead rows)
+            view = rd.read_parquet(parquet_files(parent_meta_dirs)).union(docs_new_meta)
+            if len(dead_all):
+                view = _filter_ds(view, doc_sig_combo, dead_all, False)
+            alive = np.array(
+                sorted(
+                    _min_per_key(view, _sig_of, _col_i64("doc_id"), cand_sigs).keys()
+                ),
+                dtype=np.int64,
+            )
+            extinct_all = np.union1d(extinct_all, np.setdiff1d(cand_sigs, alive))
+        store.write_sidecar(snapshot, "extinct_sig_ids", extinct_all)
+
+        if not resume_meta:
+            store.write_stage(
+                snapshot,
+                "docs_meta",
+                _nonempty(docs_new_meta, _META_SCHEMA),
+                t0=t_start,
+                parent_dirs=parent_meta_dirs,
+                exclude={"sidecar": "dead_row_keys", "columns": ["doc_sig_combo"]},
+                rows=parent_meta_rows - n_killed + len(revived) + n_new,
             )
 
-            def drop_dead(t: pa.Table) -> pa.Table:
-                dead = ray.get(tomb_ref)
-                keep = [u not in dead for u in t["url"].to_pylist()]
-                return t.filter(pa.array(keep))
-
-            parent_meta = parent_meta.map_batches(drop_dead, batch_format="pyarrow")
-        parent_meta = parent_meta.materialize()
-
-    # ---- extract + delta detection (broadcast of DELTA keys only) -------
-    docs_new = None
-    n_new = 0
-    if not (resume_meta and resume_sig):
-        docs_new = extract_stage(pages_ds)
-        if tomb:  # a url cannot be both added and tombstoned; tombstone wins
-            tomb_ref2 = ray.put(tomb)
-
-            def drop_tombstoned(t: pa.Table) -> pa.Table:
-                dead = ray.get(tomb_ref2)
-                keep = [u not in dead for u in t["url"].to_pylist()]
-                return t.filter(pa.array(keep))
-
-            docs_new = docs_new.map_batches(drop_tombstoned, batch_format="pyarrow")
-        docs_new = docs_new.materialize()
-        if parent is not None and docs_new.count() > 0:
-            # delta keys (delta-bounded) broadcast; ONE narrow parent scan
-            # marks which are already present; then filter the new docs
-            dk = []
-            for b in docs_new.select_columns(["url", "text_sha256"]).iter_batches(
-                batch_size=1 << 16, batch_format="pyarrow"
-            ):
-                dk.append(_url_sha_key(b["url"].to_pylist(), b["text_sha256"].to_pylist()))
-            delta_keys = np.sort(np.concatenate(dk)) if dk else np.empty(0, np.int64)
-            dk_ref = ray.put(delta_keys)
-
-            def seen_keys(t: pa.Table) -> pa.Table:
-                want = ray.get(dk_ref)
-                k = _url_sha_key(t["url"].to_pylist(), t["text_sha256"].to_pylist())
-                if len(want):
-                    pos = np.searchsorted(want, k)
-                    pos[pos >= len(want)] = 0
-                    k = k[want[pos] == k]
-                else:
-                    k = k[:0]
-                return pa.table({"k": pa.array(np.unique(k), type=pa.int64())})
-
-            seen = set()
-            for b in parent_meta.map_batches(seen_keys, batch_format="pyarrow").iter_batches(
-                batch_size=1 << 16, batch_format="pyarrow"
-            ):
-                seen.update(b["k"].to_pylist())
-            seen_arr = np.sort(np.fromiter(seen, dtype=np.int64, count=len(seen)))
-            seen_ref = ray.put(seen_arr)
-
-            def unseen(t: pa.Table) -> pa.Table:
-                s = ray.get(seen_ref)
-                k = _url_sha_key(t["url"].to_pylist(), t["text_sha256"].to_pylist())
-                if len(s) == 0:
-                    return t
-                pos = np.searchsorted(s, k)
-                pos[pos >= len(s)] = 0
-                return t.filter(pa.array(s[pos] != k))
-
-            docs_new = docs_new.map_batches(unseen, batch_format="pyarrow").materialize()
-        n_new = docs_new.count()
-
-    # ---- docs_meta -------------------------------------------------------
-    if resume_meta:
-        meta_all = store.read_stage(snapshot, "docs_meta").materialize()
-    elif parent is None:
-        meta_all = _meta_of(docs_new).materialize()
-    elif n_new == 0:
-        meta_all = parent_meta
-    else:
-        meta_all = parent_meta.union(_meta_of(docs_new)).materialize()
-    if not resume_meta:  # persist as soon as complete (crash-resumable)
-        store.write_stage(snapshot, "docs_meta", meta_all, t0=t_start)
-
-    # ---- changed-sha patch map (delta-bounded) ---------------------------
-    # canonical(sha) can only differ from the parent's for shas the delta
-    # touches or tombstones hit; collect min-doc for exactly those. A full
-    # build has no parent canonicals to correct — exact-dedup winners ARE the
-    # canonicals — so its patch set is EMPTY (never corpus-sized)
-    delta_shas = np.empty(0, "S16")
-    if parent is None:
-        changed = np.empty(0, "S16")
-    elif docs_new is not None:
-        delta_shas = (
-            _collect_key16_set(docs_new.select_columns(["text_sha256"]), "text_sha256")
-            if n_new
-            else np.empty(0, "S16")
-        )
-        changed = np.unique(np.concatenate([delta_shas, tomb_shas]))
-    elif store.has_stage(snapshot, "changed_keys"):
-        # resume after the delta was discarded: restore the persisted set —
-        # WITHOUT it, pair generation would silently skip the delta's buckets
-        # and prev-pair rekeying would be a no-op
-        ks = store.read_stage(snapshot, "changed_keys").to_pandas()
-        changed = (
-            np.sort(np.array([bytes(x) for x in ks["k"]], dtype="S16"))
-            if len(ks)
-            else np.empty(0, "S16")
-        )
-        delta_shas = changed
-    else:
-        changed = tomb_shas
-    if parent is not None and not store.has_stage(snapshot, "changed_keys"):
-        store.write_stage(
-            snapshot,
-            "changed_keys",
-            rd.from_arrow(
-                pa.table({"k": pa.array([bytes(x).ljust(16, b"\x00") for x in changed], type=pa.binary(16))})
-            ),
-        )
-    changed_ref = ray.put(changed)
-    # min CURRENT member per changed sha (extinct shas simply don't appear)
-    patch = _collect_key16_min(meta_all, "text_sha256", "doc_id", changed_ref)
-    patch_keys = np.sort(np.array(sorted(patch.keys()), dtype="S16")) if patch else np.empty(0, "S16")
-    patch_vals = np.array([patch[bytes(k)] for k in patch_keys], dtype=np.int64)
-    patch_ref = ray.put((changed, patch_keys, patch_vals))
-
-    def _patch_ids(keys16: np.ndarray, ids: np.ndarray):
-        """(new ids, alive mask) for rows under the patch: changed+present →
-        new canonical; changed+absent (extinct) → dead; unchanged → kept."""
-        chg, pk, pv = ray.get(patch_ref)
-        out = ids.copy()
-        alive = np.ones(len(ids), dtype=bool)
-        if len(chg):
-            pos = np.searchsorted(chg, keys16)
-            pos[pos >= len(chg)] = 0
-            is_changed = chg[pos] == keys16
-            if is_changed.any():
-                if len(pk):
-                    p2 = np.searchsorted(pk, keys16)
-                    p2[p2 >= len(pk)] = 0
-                    has_new = pk[p2] == keys16
-                    out[is_changed & has_new] = pv[p2[is_changed & has_new]]
-                    alive[is_changed & ~has_new] = False
-                else:
-                    alive[is_changed] = False
-        return out, alive
-
-    # ---- sign ONLY never-seen texts (skipped entirely on resume) --------
-    new_sigs = None
-    if resume_sig:
-        sig_all = store.read_stage(snapshot, "signatures").materialize()
-    else:
+        # ---- signatures: sign ONLY never-seen texts ----------------------
+        t0 = time.monotonic()
         if n_new > 0:
             # one representative per distinct NEW text (exact-dedup winners
             # of the delta — no text ever shuffles)
             reps, _ = exact_dedup(docs_new, strategy="broadcast")
-            if parent_sigs is not None:
-                # parent-signed shas among the delta's (delta-bounded scan)
-                signed_shas = _collect_key16_set(
-                    parent_sigs.select_columns(["text_sha256"]),
-                    "text_sha256",
-                    want_ref=ray.put(delta_shas),
+            if parent_sig_dirs:
+                # texts already signed anywhere in the lineage (extinct ones
+                # included — resurrection reuses them): one column-pruned
+                # scan of the physical signature parts, delta-restricted
+                signed = _collect_unique_i64(
+                    _filter_ds(
+                        rd.read_parquet(parquet_files(parent_sig_dirs), columns=["doc_id"]),
+                        _col_i64("doc_id"),
+                        delta_sigs,
+                        True,
+                    ),
+                    _col_i64("doc_id"),
                 )
-                signed_ref = ray.put(signed_shas)
-
-                def drop_signed(t: pa.Table) -> pa.Table:
-                    s = ray.get(signed_ref)
-                    k = _sha_keys16(t["text_sha256"])
-                    if len(s) == 0:
-                        return t
-                    pos = np.searchsorted(s, k)
-                    pos[pos >= len(s)] = 0
-                    return t.filter(pa.array(s[pos] != k))
-
-                reps = reps.map_batches(drop_signed, batch_format="pyarrow")
-            signed = signature_stage(reps, cfg, passthrough_sha=True)
-            new_sigs = _pack_sigs(signed, cfg.num_perms).materialize()
-        sig_parts = [s for s in (parent_sigs, new_sigs) if s is not None]
-        if len(sig_parts) == 2 and new_sigs.count() == 0:
-            sig_parts = [parent_sigs]  # empty-union destroys schemas
-        if not sig_parts:  # empty full build: zero-row, correctly-typed table
-            import ray.data as _rd
-
-            from imagededupx_ray.schemas import SIGNATURES_PACKED
-
-            sig_parts = [_rd.from_arrow(SIGNATURES_PACKED.empty_table())]
-        sig_union = sig_parts[0] if len(sig_parts) == 1 else sig_parts[0].union(sig_parts[1])
-
-        def patch_sig(t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            new_ids, alive = _patch_ids(_sha_keys16(t["text_sha256"]), ids)
-            t = t.set_column(
-                t.column_names.index("doc_id"), "doc_id", pa.array(new_ids, type=pa.int64())
-            )
-            return t.filter(pa.array(alive))
-
-        sig_all = sig_union.map_batches(patch_sig, batch_format="pyarrow").materialize()
-        store.write_stage(snapshot, "signatures", sig_all)
-
-    # ---- LSH over all signatures, pairs only in touched buckets --------
-    if resume_pairs:
-        verified_all = store.read_stage(snapshot, "verified_pairs").materialize()
-    else:
-        sigv = _sig_view(sig_all)
-        if parent is None:
-            bucket_filter_ref = None
-            delta_sig_src = None
-        elif new_sigs is not None and new_sigs.count() > 0:
-            delta_sig_src = _sig_view(new_sigs)
-        elif resume_sig and len(changed):
-            # resume after a crash between the signatures and pairs stages:
-            # the delta's signatures live inside sig_all — recover them via
-            # the (delta-bounded) changed-keys broadcast
-            chg_ref = ray.put(changed)
-
-            def only_changed(t: pa.Table) -> pa.Table:
-                want = ray.get(chg_ref)
-                k = _sha_keys16(t["text_sha256"])
-                pos = np.searchsorted(want, k)
-                pos[pos >= len(want)] = 0
-                return t.filter(pa.array(np.asarray(want[pos] == k)))
-
-            delta_sig_src = _sig_view(
-                sig_all.map_batches(only_changed, batch_format="pyarrow")
-            )
-        else:
-            delta_sig_src = None
-            bucket_filter_ref = ray.put(np.empty(0, dtype=np.int64))
-        if parent is not None and delta_sig_src is not None:
-            delta_rows = delta_sig_src.map_batches(
-                explode_bands(cfg, partitions=p), batch_format="pyarrow"
-            )
-            bl = [
-                t["bucket"].to_numpy(zero_copy_only=False)
-                for t in delta_rows.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-            ]
-            bucket_filter_ref = ray.put(
-                np.unique(np.concatenate(bl)) if bl else np.empty(0, np.int64)
-            )
-        rows = sigv.map_batches(
-            explode_bands(cfg, partitions=p), batch_format="pyarrow", batch_size=4096
-        )
-        if bucket_filter_ref is not None:
-
-            def keep_touched(t: pa.Table) -> pa.Table:
-                want = ray.get(bucket_filter_ref)
-                b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-                if len(want) == 0:
-                    return t.slice(0, 0)
-                pos = np.searchsorted(want, b)
-                pos[pos >= len(want)] = 0
-                return t.filter(pa.array(want[pos] == b))
-
-            rows = rows.map_batches(keep_touched, batch_format="pyarrow")
-        raw = _arrow(
-            rows.groupby("_part").map_groups(_emit_group(cfg), batch_format="pandas")
-        ).materialize()
-        ids_l = []
-        for b in raw.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-            ids_l.append(b["a"].to_numpy(zero_copy_only=False).astype(np.int64))
-            ids_l.append(b["b"].to_numpy(zero_copy_only=False).astype(np.int64))
-        pair_ids = np.unique(np.concatenate(ids_l)) if ids_l else np.empty(0, np.int64)
-        verified_new = verify_pairs_broadcast_fused(raw, sigv, cfg, pair_ids=pair_ids)
-
-        if parent is None:
-            verified_all = verified_new.materialize()
-        else:
-            # previous pairs: ids are parent canonicals; patch via the same
-            # delta-bounded map THROUGH the parent signature sha (one narrow
-            # pass over parent sigs builds old-id → sha16 for changed rows)
-            prev_pairs = store.read_stage(parent, "verified_pairs")
-
-            def sig_keys(t: pa.Table) -> pa.Table:
-                ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-                k = _sha_keys16(t["text_sha256"])
-                chg, _, _ = ray.get(patch_ref)
-                if len(chg) == 0:
-                    sel = np.zeros(len(ids), dtype=bool)
-                else:
-                    pos = np.searchsorted(chg, k)
-                    pos[pos >= len(chg)] = 0
-                    sel = chg[pos] == k
-                return pa.table(
-                    {
-                        "old_id": pa.array(ids[sel], type=pa.int64()),
-                        "k": pa.array([bytes(x).ljust(16, b"\x00") for x in k[sel]], type=pa.binary(16)),
-                    }
-                )
-
-            old2key: dict[int, bytes] = {}
-            for b in (
-                parent_sigs.select_columns(["doc_id", "text_sha256"])
-                .map_batches(sig_keys, batch_format="pyarrow")
-                .iter_batches(batch_size=1 << 16, batch_format="pyarrow")
-            ):
-                old2key.update(zip(b["old_id"].to_pylist(), b["k"].to_pylist()))
-            o_keys = np.sort(np.fromiter(old2key.keys(), dtype=np.int64, count=len(old2key)))
-            o_vals = np.array([old2key[int(i)] for i in o_keys], dtype="S16")
-            remap_ref = ray.put((o_keys, o_vals))
-
-            def patch_pairs(t: pa.Table) -> pa.Table:
-                ok, ov = ray.get(remap_ref)
-                a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-                b_ = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-                alive = np.ones(len(a), dtype=bool)
-                na, nb = a.copy(), b_.copy()
-                for side, arr, out in (("a", a, na), ("b", b_, nb)):
-                    if len(ok) == 0:
-                        continue
-                    pos = np.searchsorted(ok, arr)
-                    pos[pos >= len(ok)] = 0
-                    hit = ok[pos] == arr
-                    if hit.any():
-                        keys16 = ov[pos[hit]]
-                        new_ids, live = _patch_ids(keys16, arr[hit])
-                        out[hit] = new_ids
-                        tmp = alive[hit]
-                        tmp &= live
-                        alive[hit] = tmp
-                lo = np.minimum(na, nb)
-                hi = np.maximum(na, nb)
-                return pa.table(
-                    {
-                        "a": pa.array(lo[alive], type=pa.int64()),
-                        "b": pa.array(hi[alive], type=pa.int64()),
-                        "est_jaccard": t["est_jaccard"].filter(pa.array(alive)),
-                        "hamming": t["hamming"].filter(pa.array(alive)),
-                    }
-                )
-
-            prev_patched = prev_pairs.map_batches(patch_pairs, batch_format="pyarrow")
-            if verified_new.count() > 0:
-                merged = prev_patched.union(_arrow(verified_new))
-            else:
-                merged = prev_patched
-
-            def decorate_keep(t: pa.Table) -> pa.Table:
-                d = decorate_pair_part(p)(t.select(["a", "b"]))
-                return d.append_column("est_jaccard", t["est_jaccard"]).append_column(
-                    "hamming", t["hamming"]
-                )
-
-            def dedup_grp(df):
-                return df.drop_duplicates(subset=["a", "b"]).drop(columns=["_part"])
-
-            verified_all = _arrow(
-                merged.map_batches(decorate_keep, batch_format="pyarrow")
-                .groupby("_part")
-                .map_groups(dedup_grp, batch_format="pandas")
+                if len(signed):
+                    reps = _filter_ds(reps, _sig_of, signed, False)
+            sig_delta = _pack_sigs(
+                signature_stage(reps, cfg, passthrough_sha=True), nperm
             ).materialize()
-        store.write_stage(snapshot, "verified_pairs", verified_all)
+        else:
+            sig_delta = rd.from_arrow(_packed_schema(nperm).empty_table())
+        n_newly_extinct = len(extinct_all) - len(parent_extinct) + len(resurrected)
+        store.write_stage(
+            snapshot,
+            "signatures",
+            _nonempty(sig_delta, _packed_schema(nperm)),
+            t0=t0,
+            parent_dirs=parent_sig_dirs,
+            exclude={"sidecar": "extinct_sig_ids", "columns": ["doc_id"]},
+            rows=parent_sig_rows + sig_delta.count() + len(resurrected) - n_newly_extinct,
+        )
 
-    # ---- union-find + clusters (batch-pipeline shape: dup-group broadcast
-    # + pair-bounded root map; no corpus-sized driver state) --------------
+    meta_all = store.read_stage(snapshot, "docs_meta").materialize()
+
+    # ---- lsh_index: band ONLY the delta's signatures ---------------------
+    if store.has_stage(snapshot, "lsh_index"):
+        lsh_delta = store.read_stage_own(snapshot, "lsh_index").materialize()
+    else:
+        t0 = time.monotonic()
+        lsh_delta = (
+            sig_delta.map_batches(
+                explode_bands(cfg, partitions=p), batch_format="pyarrow", batch_size=4096
+            )
+            .select_columns(["bucket", "doc_id"])
+            .materialize()
+        )
+        store.write_stage(
+            snapshot,
+            "lsh_index",
+            _nonempty(lsh_delta, _LSH_SCHEMA),
+            t0=t0,
+            parent_dirs=parent_lsh_dirs,
+            exclude={"sidecar": "extinct_sig_ids", "columns": ["doc_id"]},
+            # physical rows (read-time extinct filter not folded in)
+            rows=parent_lsh_rows + lsh_delta.count(),
+        )
+
+    # ---- verified_pairs: re-emit only delta-touched buckets --------------
+    if not store.has_stage(snapshot, "verified_pairs"):
+        t0 = time.monotonic()
+        if parent is None:
+            pairs_delta = _emit_verify(lsh_delta, sig_delta, cfg, p).materialize()
+            n_pairs = pairs_delta.count()
+        else:
+            sig_view = rd.read_parquet(parquet_files(store.stage_dirs(snapshot, "signatures")))
+            touched = _collect_unique_i64(lsh_delta, _col_i64("bucket"))
+            if len(resurrected):
+                res_rows = _filter_ds(
+                    rd.read_parquet(parquet_files(parent_lsh_dirs)),
+                    _col_i64("doc_id"),
+                    resurrected,
+                    True,
+                )
+                touched = np.union1d(
+                    touched, _collect_unique_i64(res_rows, _col_i64("bucket"))
+                )
+            # pairs surviving from the parent under the NEW extinct filter
+            # (counted in the same narrow scan that collects the existing
+            # pairs of touched members for re-emission dedup)
+            prev_phys = rd.read_parquet(parquet_files(parent_pair_dirs), columns=["a", "b"])
+            if len(touched) == 0:
+                pairs_delta = rd.from_arrow(_PAIRS_SCHEMA.empty_table())
+                prev_live = (
+                    _filter_ds(
+                        _filter_ds(prev_phys, _col_i64("a"), extinct_all, False),
+                        _col_i64("b"),
+                        extinct_all,
+                        False,
+                    )
+                    if len(extinct_all)
+                    else prev_phys
+                )
+                n_pairs = prev_live.count()
+            else:
+                stored = _filter_ds(
+                    rd.read_parquet(parquet_files(parent_lsh_dirs)), _col_i64("bucket"), touched, True
+                )
+                if len(extinct_all):
+                    stored = _filter_ds(stored, _col_i64("doc_id"), extinct_all, False)
+                members = np.union1d(
+                    _collect_unique_i64(stored, _col_i64("doc_id")),
+                    _collect_unique_i64(lsh_delta, _col_i64("doc_id")),
+                )
+                # narrow scans over the physical parent pairs: (1) collect
+                # the pairs whose members sit in touched buckets — re-emission
+                # would duplicate them; extinct/hidden ones included, so a
+                # revived pair is not re-appended — and (2) count the live
+                # remainder for the manifest
+                kept = []
+                for b in _filter_ds(
+                    _filter_ds(prev_phys, _col_i64("a"), members, True),
+                    _col_i64("b"),
+                    members,
+                    True,
+                ).iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+                    kept.append(
+                        i64_pair_to_key16(
+                            b["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                            b["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+                        )
+                    )
+                exclude_pairs = (
+                    np.sort(np.concatenate(kept)) if kept else np.empty(0, "S16")
+                )
+                prev_live = prev_phys
+                if len(extinct_all):
+                    prev_live = _filter_ds(
+                        _filter_ds(prev_phys, _col_i64("a"), extinct_all, False),
+                        _col_i64("b"),
+                        extinct_all,
+                        False,
+                    )
+                n_prev_live = prev_live.count()
+                pairs_delta = _emit_verify(
+                    stored.union(lsh_delta), sig_view, cfg, p, exclude_pairs
+                ).materialize()
+                n_pairs = n_prev_live + pairs_delta.count()
+        store.write_stage(
+            snapshot,
+            "verified_pairs",
+            _nonempty(pairs_delta, _PAIRS_SCHEMA),
+            t0=t0,
+            parent_dirs=parent_pair_dirs,
+            exclude={"sidecar": "extinct_sig_ids", "columns": ["a", "b"]},
+            rows=n_pairs,
+        )
+    verified_all = store.read_stage(snapshot, "verified_pairs")
+
+    # ---- union-find + clusters (sig-space roots → min-doc labels) --------
+    t0 = time.monotonic()
     dup_ref = _dup_groups_broadcast(meta_all, p)
     dsu = DictDSU()
     for b in verified_all.select_columns(["a", "b"]).iter_batches(
@@ -587,13 +593,75 @@ def build_snapshot(
             b["a"].to_numpy(zero_copy_only=False).astype(np.int64),
             b["b"].to_numpy(zero_copy_only=False).astype(np.int64),
         )
-    from imagededupx_ray.stages.cluster import assign_clusters_via_canonical
-
-    clusters = assign_clusters_via_canonical(
-        meta_all, dup_ref, dsu.root_map()
+    nodes = np.fromiter(dsu.p.keys(), dtype=np.int64, count=len(dsu.p))
+    nodes.sort()
+    # min member doc per paired sig (pair-bounded), then min over each root's
+    # sigs = the component's canonical doc id
+    canon_per_sig = _min_per_key(meta_all, _sig_of, _col_i64("doc_id"), nodes)
+    rootmin: dict[int, int] = {}
+    roots: dict[int, int] = {}
+    for s in nodes.tolist():
+        r = dsu.find(s)
+        roots[s] = r
+        c = canon_per_sig.get(s)
+        if c is not None:
+            rootmin[r] = min(rootmin.get(r, c), c)
+    sig_l, cl_l = [], []
+    for s in nodes.tolist():
+        r = roots[s]
+        if r in rootmin:
+            sig_l.append(s)
+            cl_l.append(rootmin[r])
+    sig_arr = np.array(sig_l, dtype=np.int64)
+    cl_arr = np.array(cl_l, dtype=np.int64)
+    order = np.argsort(sig_arr)
+    clusters = _assign_clusters_sigspace(
+        meta_all, dup_ref, sig_arr[order], cl_arr[order]
     ).materialize()
-    store.write_stage(snapshot, "clusters", clusters)
+    store.write_stage(
+        snapshot, "clusters", _nonempty(clusters, _CLUSTERS_SCHEMA), t0=t0
+    )
     return clusters
+
+
+def _assign_clusters_sigspace(
+    meta_ds, dup_ref, sig_sorted: np.ndarray, cl_vals: np.ndarray
+):
+    """Final ``clusters`` table in ONE map over the full docs_meta view:
+    cluster(doc) = component label of sig(doc) when its text appears in any
+    verified pair, else the exact-dedup canonical (min doc id of its sha
+    group), else the doc itself. All lookups are broadcast sorted-array
+    searchsorted — no per-row python."""
+    map_ref = ray.put((sig_sorted, cl_vals))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        sigs, cls = ray.get(map_ref)
+        d_keys, d_canon, _ = ray.get(dup_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        canon = ids.copy()
+        if len(d_keys):
+            s16 = i64_pair_to_key16(*sha_to_i64_pair(batch["text_sha256"]))
+            pos = np.searchsorted(d_keys, s16)
+            pos[pos >= len(d_keys)] = 0
+            hit = d_keys[pos] == s16
+            canon[hit] = d_canon[pos[hit]]
+        cl = canon.copy()
+        if len(sigs):
+            sg = sig_ids_from_sha(batch["text_sha256"])
+            pos = np.searchsorted(sigs, sg)
+            pos[pos >= len(sigs)] = 0
+            hit = sigs[pos] == sg
+            cl[hit] = cls[pos[hit]]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "url": batch["url"],
+                "cluster_id": pa.array(cl, type=pa.int64()),
+                "is_canonical": pa.array(ids == cl),
+            }
+        )
+
+    return meta_ds.map_batches(assign, batch_format="pyarrow")
 
 
 def _dup_groups_broadcast(meta_ds, p: int):

@@ -40,16 +40,15 @@ SIGNATURES = pa.schema(
     ]
 )
 
-# snapshot-store layout (pipelines/incremental.py): minhash packed to
-# fixed-width binary (acero-join-safe, parquet-stable), simhash bit-cast to
-# int64, plus the text key the store is organized around
+# snapshot-store layout (pipelines/incremental.py): content-keyed — doc_id
+# holds the 63-bit sig_id (hash of text_sha256), minhash packed to fixed-width
+# binary (acero-join-safe, parquet-stable), simhash bit-cast to int64
 SIGNATURES_PACKED = pa.schema(
     [
-        ("doc_id", pa.int64()),
+        ("doc_id", pa.int64()),  # = sig_id
         ("minhash", pa.binary(128 * 8)),
         ("simhash", pa.int64()),
         ("n_shingles", pa.int32()),
-        ("text_sha256", pa.string()),
     ]
 )
 

@@ -109,6 +109,31 @@ def sha_to_i64_pair(col) -> tuple[np.ndarray, np.ndarray]:
     return h1.view(np.int64), h2.view(np.int64)
 
 
+def sig_ids_from_sha(col) -> np.ndarray:
+    """63-bit content id (``sig_id``) per row of a sha256-hex column — the
+    stable key the snapshot store organizes signatures / lsh_index /
+    verified_pairs around (pipelines/incremental.py). Collision budget is the
+    same as doc_id = hash64(url): ~2^-63 per pair."""
+    from imagededupx_ray.functions.hashing import splitmix64
+
+    h1, h2 = sha_to_i64_pair(col)
+    if len(h1) == 0:
+        return np.empty(0, dtype=np.int64)
+    mixed = splitmix64(h1.view(np.uint64) ^ splitmix64(h2.view(np.uint64)))
+    return (mixed >> np.uint64(1)).astype(np.int64)
+
+
+def doc_sig_combo(t: pa.Table) -> np.ndarray:
+    """63-bit (doc_id, sig_id) row-identity key — the (url, content) combo
+    used for snapshot delta detection and the dead-row filter (reference M10
+    'new or modified', improved_faiss_detector.py:269-295)."""
+    from imagededupx_ray.functions.hashing import splitmix64
+
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    sg = sig_ids_from_sha(t["text_sha256"]).view(np.uint64)
+    return (splitmix64(ids ^ splitmix64(sg)) >> np.uint64(1)).astype(np.int64)
+
+
 def i64_pair_to_key16(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
     """(h1, h2) int64 pair → 'S16' big-endian composite key whose bytewise
     order equals (uint64 h1, uint64 h2) lexicographic order — a single

@@ -4,18 +4,32 @@
 Reference analogues replaced:
 - pickle feature cache ``{'image_paths','image_hashes','features_cache',...}``
   (/root/reference/improved_faiss_detector.py:508-520) → Parquet stage outputs
-  under ``<root>/<stage>/snapshot=<id>/part-*.parquet``.
+  under ``<root>/snapshot=<id>/<stage>/part-*.parquet``.
 - FAISS index + pickle path sidecar (:558-609) → the ``signatures`` and
-  ``lsh_index`` Parquet tables themselves (content-addressed doc_ids, no
+  ``lsh_index`` Parquet tables themselves (content-addressed sig_ids, no
   positional sidecars).
 - MD5 change detection new/modified/deleted (:269-295) → anti-join of the new
-  snapshot against the manifest's (url, text_sha256) set.
-- rebuild-whole-index-from-cache (:456-457) → per-snapshot delta build +
-  bucket-union merge; unchanged work is never redone.
+  snapshot against the manifest's (doc_id, text_sha256) set.
+- rebuild-whole-index-from-cache (:456-457) → APPEND-ONLY multi-part stages:
+  a merge writes only its delta part; the manifest records the full ordered
+  list of part directories (parent parts + own delta), so unchanged data is
+  never rewritten OR re-read for rewriting. This is the ``index_partitions``
+  persistence SURVEY §1.2/§3.2 promises.
+
+Deletes never rewrite parts either: each snapshot carries small *sidecar*
+arrays (``dead_doc_ids``, ``extinct_sig_ids``) and a stage may declare an
+``exclude`` filter — at read time, rows whose listed columns match the
+sidecar array are dropped (vectorized searchsorted, no python rows). A
+tombstoned doc that reappears later simply leaves the sidecar ("resurrection"
+— the physical rows become visible again, nothing is recomputed).
 
 Every snapshot writes a ``manifest.json``: config hash, parent snapshot id
-(lineage), per-stage row counts and wall times. Resuming under a different
-DedupConfig REFUSES (config_hash mismatch) — SURVEY.md §7.4.
+(lineage), per-stage part dirs + logical row counts and wall times. Resuming
+under a different DedupConfig REFUSES (config_hash mismatch) — SURVEY.md §7.4.
+
+Compaction: part lists grow by one dir per merge and sidecars grow with total
+deletions; ``compact_stage`` folds a stage's parts+filter into a single fresh
+part (an explicit maintenance op, never implicit).
 """
 
 from __future__ import annotations
@@ -24,6 +38,8 @@ import json
 import os
 import time
 from typing import Any
+
+import numpy as np
 
 from imagededupx_ray.config import DedupConfig
 
@@ -45,7 +61,13 @@ class SnapshotStore:
         with open(p) as f:
             return json.load(f)
 
-    COMPLETE_STAGES = ("docs_meta", "signatures", "verified_pairs", "clusters")
+    COMPLETE_STAGES = (
+        "docs_meta",
+        "signatures",
+        "lsh_index",
+        "verified_pairs",
+        "clusters",
+    )
 
     def is_complete(self, snapshot: str) -> bool:
         m = self.manifest(snapshot)
@@ -79,13 +101,42 @@ class SnapshotStore:
     def stage_dir(self, snapshot: str, stage: str) -> str:
         return os.path.join(self.root, f"snapshot={snapshot}", stage)
 
+    def _rel(self, abs_dir: str) -> str:
+        return os.path.relpath(abs_dir, self.root)
+
+    def stage_dirs(self, snapshot: str, stage: str) -> list[str]:
+        """Ordered ABS part dirs of a stage (parent parts first, own delta
+        last). Store-relative in the manifest so a copied store still works."""
+        m = self.manifest(snapshot)
+        if not m or stage not in m.get("stages", {}):
+            return []
+        ent = m["stages"][stage]
+        rels = ent.get("dirs") or [self._rel(self.stage_dir(snapshot, stage))]
+        return [os.path.join(self.root, r) for r in rels]
+
     def has_stage(self, snapshot: str, stage: str) -> bool:
         m = self.manifest(snapshot)
         return bool(m and stage in m.get("stages", {}))
 
-    def write_stage(self, snapshot: str, stage: str, ds, t0: float | None = None) -> str:
-        """write_parquet a stage output + record rows/wall in the manifest.
-        Written to a temp dir then renamed (atomic-ish completion marker)."""
+    def write_stage(
+        self,
+        snapshot: str,
+        stage: str,
+        ds,
+        t0: float | None = None,
+        parent_dirs: list[str] | None = None,
+        exclude: dict | None = None,
+        rows: int | None = None,
+    ) -> str:
+        """write_parquet the stage's OWN (delta) part + record the composed
+        part list and logical row count in the manifest. Written to a temp dir
+        then renamed (atomic-ish completion marker).
+
+        parent_dirs: inherited part dirs (abs), prepended before the own dir.
+        exclude: {"sidecar": <name>, "columns": [...]} — read_stage drops rows
+        whose listed columns match this snapshot's sidecar array.
+        rows: logical row count of the COMPOSED stage (defaults to ds.count(),
+        right only for single-part stages)."""
         final = self.stage_dir(snapshot, stage)
         tmp = final + ".tmp"
         if os.path.exists(tmp):
@@ -98,20 +149,117 @@ class SnapshotStore:
         # no directory, which would break the atomic rename below
         os.makedirs(tmp, exist_ok=True)
         ds.write_parquet(tmp)
+        if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
+            # a 0-row dataset writes no files; a part dir must stay readable
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            sch = ds.schema()
+            pa_schema = getattr(sch, "base_schema", None) or pa.schema(
+                list(zip(sch.names, sch.types))
+            )
+            pq.write_table(pa_schema.empty_table(), os.path.join(tmp, "empty.parquet"))
         os.replace(tmp, final)
-        rows = ds.count()
-        self._update_manifest(
-            snapshot,
-            stage_update={
-                stage: {"rows": rows, "wall_sec": round(time.monotonic() - start, 3)}
-            },
-        )
+        if rows is None:
+            rows = ds.count()
+        ent: dict[str, Any] = {
+            "rows": int(rows),
+            "wall_sec": round(time.monotonic() - start, 3),
+            "dirs": [self._rel(d) for d in (parent_dirs or [])] + [self._rel(final)],
+            "own": self._rel(final),
+        }
+        if exclude:
+            ent["exclude"] = exclude
+        self._update_manifest(snapshot, stage_update={stage: ent})
         return final
 
     def read_stage(self, snapshot: str, stage: str):
+        """Composed logical view: union of all part dirs, minus rows matched
+        by the stage's exclude sidecar (if any, and non-empty)."""
         import ray.data as rd
 
-        return rd.read_parquet(self.stage_dir(snapshot, stage))
+        dirs = self.stage_dirs(snapshot, stage)
+        if not dirs:
+            dirs = [self.stage_dir(snapshot, stage)]
+        ds = rd.read_parquet(parquet_files(dirs))
+        m = self.manifest(snapshot)
+        ent = (m or {}).get("stages", {}).get(stage, {})
+        exc = ent.get("exclude")
+        if exc:
+            arr = self.read_sidecar(snapshot, exc["sidecar"])
+            if len(arr):
+                ds = _exclude_rows(ds, exc["columns"], arr)
+        return ds
+
+    def read_stage_own(self, snapshot: str, stage: str):
+        """Only this snapshot's own (delta) part, unfiltered."""
+        import ray.data as rd
+
+        m = self.manifest(snapshot)
+        ent = (m or {}).get("stages", {}).get(stage, {})
+        own = ent.get("own")
+        d = os.path.join(self.root, own) if own else self.stage_dir(snapshot, stage)
+        return rd.read_parquet(d)
+
+    # -------------------------------------------------------------- sidecars
+    # small bounded arrays (tombstoned doc ids, extinct sig ids): one parquet
+    # file each, written atomically — never corpus-sized
+    def sidecar_path(self, snapshot: str, name: str) -> str:
+        return os.path.join(self.root, f"snapshot={snapshot}", f"{name}.parquet")
+
+    def has_sidecar(self, snapshot: str, name: str) -> bool:
+        return os.path.exists(self.sidecar_path(snapshot, name))
+
+    def write_sidecar(self, snapshot: str, name: str, arr: np.ndarray) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = self.sidecar_path(snapshot, name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        pq.write_table(
+            pa.table({"v": pa.array(np.asarray(arr, dtype=np.int64), type=pa.int64())}),
+            tmp,
+        )
+        os.replace(tmp, p)
+
+    def read_sidecar(self, snapshot: str, name: str) -> np.ndarray:
+        import pyarrow.parquet as pq
+
+        p = self.sidecar_path(snapshot, name)
+        if not os.path.exists(p):
+            return np.empty(0, dtype=np.int64)
+        return np.sort(
+            pq.read_table(p)["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+
+    # ------------------------------------------------------------ compaction
+    def compact_stage(self, snapshot: str, stage: str) -> str:
+        """Fold a multi-part stage (+ its exclude filter) into one fresh part
+        under this snapshot — explicit maintenance for long lineages."""
+        ds = self.read_stage(snapshot, stage)
+        final = self.stage_dir(snapshot, stage)
+        tmp = final + ".compact"
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        ds.write_parquet(tmp)
+        rows = ds.count()
+        if os.path.exists(final):
+            import shutil
+
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        m = self.manifest(snapshot)
+        ent = m["stages"][stage]
+        ent["dirs"] = [self._rel(final)]
+        ent["own"] = self._rel(final)
+        ent.pop("exclude", None)
+        ent["rows"] = int(rows)
+        self._update_manifest(snapshot, stage_update={stage: ent})
+        return final
 
     def _update_manifest(
         self,
@@ -140,3 +288,46 @@ class SnapshotStore:
     def init_snapshot(self, snapshot: str, parent: str | None = None) -> None:
         self.check_config(snapshot)
         self._update_manifest(snapshot, parent=parent)
+
+
+def parquet_files(dirs: list[str]) -> list[str]:
+    """Expand part directories into their parquet file paths — pyarrow's
+    multi-path dataset factory accepts files only, not directories."""
+    out: list[str] = []
+    for d in dirs:
+        if os.path.isdir(d):
+            out.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+        else:
+            out.append(d)
+    return out
+
+
+def _exclude_rows(ds, columns: list[str], sorted_vals: np.ndarray):
+    """Drop rows where ANY of ``columns`` matches a value in the broadcast
+    sorted int64 array — vectorized searchsorted per batch, no python rows.
+    The virtual column name ``doc_sig_combo`` keys on the (doc_id, sig_id)
+    row-identity combo instead of a physical column."""
+    import pyarrow as pa
+    import ray
+
+    ref = ray.put(np.ascontiguousarray(sorted_vals, dtype=np.int64))
+    cols = list(columns)
+
+    def fn(t: pa.Table) -> pa.Table:
+        from imagededupx_ray.stages.dedup import doc_sig_combo
+
+        vals = ray.get(ref)
+        keep = np.ones(t.num_rows, dtype=bool)
+        for c in cols:
+            if c == "doc_sig_combo":
+                x = doc_sig_combo(t)
+            else:
+                x = t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(vals, x)
+            pos[pos >= len(vals)] = 0
+            keep &= vals[pos] != x
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -154,9 +154,13 @@ def test_crash_resume_mid_merge(ray_session, fixture_corpus, tmp_path):
     shutil.copytree(store.stage_dir("a", ""), crashed.stage_dir("a", ""))
     crashed.init_snapshot("b", parent="a")
     m_full = store.manifest("b")
-    for st in ("docs_meta", "signatures", "changed_keys"):
+    for st in ("docs_meta", "signatures"):
         shutil.copytree(store.stage_dir("b", st), crashed.stage_dir("b", st))
         crashed._update_manifest("b", stage_update={st: m_full["stages"][st]})
+    # sidecars are written before the signatures stage, so a crash after it
+    # always leaves them on disk
+    for sc in ("tombstone_ids", "dead_row_keys", "extinct_sig_ids"):
+        shutil.copy(store.sidecar_path("b", sc), crashed.sidecar_path("b", sc))
     assert not crashed.is_complete("b")
 
     resumed = build_snapshot(crashed, snap1.limit(0), "b", parent="a", cfg=CFG).to_pandas()
@@ -188,6 +192,47 @@ def test_empty_full_build_then_merge(ray_session, fixture_corpus, tmp_path):
     lm = merged.set_index("url")["cluster_id"].sort_index()
     lf = fresh.set_index("url")["cluster_id"].sort_index()
     assert (lm == lf).all()
+
+
+def test_delete_then_readd_revives_state(ray_session, fixture_corpus, tmp_path):
+    """tombstone a slice, then merge the same pages back: the stored rows,
+    signatures and pairs must revive in place (no re-signing) and the final
+    clusters must equal a never-deleted full build."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from imagededupx_ray.pipelines.incremental import build_snapshot
+    from imagededupx_ray.state.checkpoint import SnapshotStore
+
+    pages_tbl = pq.read_table(f"{fixture_corpus}/pages")
+    pages = rd.read_parquet(f"{fixture_corpus}/pages")
+    urls = sorted(pages_tbl["url"].to_pylist())
+    dead = urls[::7]
+
+    cfg = CFG.__class__(max_bucket_size=4096)
+    store = SnapshotStore(str(tmp_path / "inc"), cfg)
+    build_snapshot(store, pages, "base", cfg=cfg)
+    build_snapshot(
+        store, pages.limit(0), "del", parent="base", cfg=cfg, tombstones=dead
+    )
+    dead_set = set(dead)
+    readd = pages.filter(lambda r: r["url"] in dead_set)
+    revived = build_snapshot(store, readd, "readd", parent="del", cfg=cfg).to_pandas()
+
+    store2 = SnapshotStore(str(tmp_path / "full"), cfg)
+    full = build_snapshot(store2, pages, "full", cfg=cfg).to_pandas()
+    assert len(revived) == len(full)
+    lr = revived.set_index("url")["cluster_id"].sort_index()
+    lf = full.set_index("url")["cluster_id"].sort_index()
+    assert (lr == lf).all()
+    # nothing was re-signed or re-appended: the re-add delta wrote zero new
+    # signature rows (all texts were already signed in the lineage)
+    m = store.manifest("readd")
+    own = store.read_stage_own("readd", "signatures")
+    assert own.count() == 0
+    assert m["stages"]["signatures"]["rows"] == store.manifest("base")["stages"][
+        "signatures"
+    ]["rows"]
 
 
 def test_tombstone_merge_equals_rebuild(ray_session, fixture_corpus, tmp_path):
