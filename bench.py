@@ -256,10 +256,91 @@ def scaling() -> None:
     )
 
 
+def merge_bench() -> None:
+    """Incremental-merge benchmark: base build (snapshot 0, ~80%) + merge of
+    the delta (snapshot 1, ~20%) vs a full rebuild of the union — the
+    BASELINE.md "merge wall ≪ rebuild wall" criterion. Corpus size via
+    GRAFT_MERGE_PAGES (default 1.2M)."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.read_op_min_num_blocks = 64
+    import ray.data as rd
+
+    from imagededupx_ray.config import DEFAULT_CONFIG
+    from imagededupx_ray.pipelines.incremental import build_snapshot
+    from imagededupx_ray.sources.synthetic import write_pages_corpus
+    from imagededupx_ray.state.checkpoint import SnapshotStore
+
+    n = int(os.environ.get("GRAFT_MERGE_PAGES", "1200000"))
+    out = f"/tmp/graft_pages_n{n}"
+    write_pages_corpus(out, n_pages=n, seed=42, with_truth=False)
+    pages = rd.read_parquet(f"{out}/pages")
+    base = pages.filter(expr="snapshot == 0").materialize()
+    delta = pages.filter(expr="snapshot == 1").materialize()
+    n_base, n_delta = base.count(), delta.count()
+    _warm_workers()
+
+    root = tempfile.mkdtemp(prefix="graft_merge_")
+    try:
+        store = SnapshotStore(os.path.join(root, "inc"), DEFAULT_CONFIG)
+        t0 = time.monotonic()
+        build_snapshot(store, base, "base")
+        t_base = time.monotonic() - t0
+        t0 = time.monotonic()
+        build_snapshot(store, delta, "delta", parent="base")
+        t_merge = time.monotonic() - t0
+        store2 = SnapshotStore(os.path.join(root, "full"), DEFAULT_CONFIG)
+        t0 = time.monotonic()
+        build_snapshot(store2, pages, "full")
+        t_rebuild = time.monotonic() - t0
+        stages = {
+            k: v
+            for k, v in (
+                (s, store.manifest("delta")["stages"][s]["wall_sec"])
+                for s in store.COMPLETE_STAGES
+            )
+        }
+        print(
+            json.dumps(
+                {
+                    "metric": "incremental_merge_wall_sec",
+                    "value": round(t_merge, 3),
+                    "unit": "sec",
+                    "n_base": n_base,
+                    "n_delta": n_delta,
+                    "base_build_sec": round(t_base, 3),
+                    "merge_sec": round(t_merge, 3),
+                    "full_rebuild_sec": round(t_rebuild, 3),
+                    "merge_over_rebuild": round(t_merge / t_rebuild, 3),
+                    "merge_stage_walls": stages,
+                    "num_cpus": NUM_CPUS,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
     elif "--headline-only" in sys.argv:
         headline_only()
+    elif "--merge" in sys.argv:
+        merge_bench()
     else:
         main()

@@ -165,10 +165,15 @@ def _arrow(ds):
 
 
 def _packed_schema(nperm: int) -> pa.Schema:
+    """Persisted signature layout: minhash components stored as their LOW 32
+    BITS (verify compares by 32-bit equality everywhere — see
+    stages/verify.broadcast_signatures — so the high halves never matter
+    after banding, and banding always runs on the in-memory u64 matrix
+    BEFORE compaction). Halves the dominant snapshot-store column."""
     return pa.schema(
         [
             ("doc_id", pa.int64()),  # = sig_id (content key)
-            ("minhash", pa.binary(nperm * 8)),
+            ("minhash", pa.binary(nperm * 4)),
             ("simhash", pa.int64()),
             ("n_shingles", pa.int32()),
         ]
@@ -206,8 +211,9 @@ def _nonempty(ds, schema: pa.Schema):
 
 
 def _pack_sigs(sig_ds, nperm: int):
-    """Signed delta reps → snapshot layout: doc_id := sig_id (content key),
-    minhash as fixed-width binary, simhash bit-cast to int64."""
+    """Signed delta reps → in-memory snapshot layout: doc_id := sig_id
+    (content key), minhash as fixed-width u64 binary (banding needs the full
+    values), simhash bit-cast to int64."""
 
     def fn(t: pa.Table) -> pa.Table:
         _, mh, sim, nsh = signatures_to_numpy(t, nperm)
@@ -220,6 +226,28 @@ def _pack_sigs(sig_ds, nperm: int):
         return pa.table(
             {
                 "doc_id": pa.array(sg, type=pa.int64()),
+                "minhash": mh_bin,
+                "simhash": pa.array(sim.view(np.int64), type=pa.int64()),
+                "n_shingles": pa.array(nsh.astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    return sig_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _compact_sigs_u32(sig_ds, nperm: int):
+    """In-memory u64 packed signatures → persisted u32 layout (low halves;
+    equality semantics preserved — see _packed_schema)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids, mh, sim, nsh = signatures_to_numpy(t, nperm)
+        mh32 = np.ascontiguousarray(mh.astype(np.uint32))
+        mh_bin = pa.Array.from_buffers(
+            pa.binary(nperm * 4), len(ids), [None, pa.py_buffer(mh32.tobytes())]
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
                 "minhash": mh_bin,
                 "simhash": pa.array(sim.view(np.int64), type=pa.int64()),
                 "n_shingles": pa.array(nsh.astype(np.int32), type=pa.int32()),
@@ -248,29 +276,50 @@ def _decorate_part(p: int):
     return fn
 
 
-def _emit_verify(rows_ds, sig_view_ds, cfg: DedupConfig, p: int, exclude_pairs=None):
+def _emit_verify(
+    rows_ds,
+    sig_view_ds,
+    cfg: DedupConfig,
+    p: int,
+    exclude_pairs=None,
+    involved: np.ndarray | None = None,
+):
     """(bucket, sig_id) rows → verified pairs: coarse-partition emission
     (window-capped, see stages/lsh.py) then the fused distinct+verify
-    exchange. ``exclude_pairs`` (sorted S16 keys) drops pairs already
-    persisted before they are re-verified."""
+    exchange.
+
+    ``involved`` (sorted sig_ids) keeps only pairs touching that set — the
+    merge path passes the delta's + resurrected sigs, because any pair NOT
+    involving them is already persisted in the parent stage (old-old window
+    pairs of a grown bucket are at most a superset-vs-parent difference,
+    and parent pairs are kept, so composed connectivity only grows — the
+    same superset contract the emission caps already carry).
+    ``exclude_pairs`` (sorted S16 keys) drops pairs already persisted before
+    they are re-verified (resurrected sigs' previous pairs)."""
+    emit = _emit_group(cfg)
+    inv_ref = ray.put(involved) if involved is not None else None
+    excl_ref = ray.put(exclude_pairs) if exclude_pairs is not None and len(exclude_pairs) else None
+
+    def emit_filtered(df):
+        out = emit(df)
+        if inv_ref is not None:
+            inv = ray.get(inv_ref)
+            a = out["a"].to_numpy()
+            b = out["b"].to_numpy()
+            out = out[_in_sorted(inv, a) | _in_sorted(inv, b)]
+        if excl_ref is not None:
+            ex = ray.get(excl_ref)
+            k = i64_pair_to_key16(out["a"].to_numpy(), out["b"].to_numpy())
+            pos = np.searchsorted(ex, k)
+            pos[pos >= len(ex)] = 0
+            out = out[ex[pos] != k]
+        return out
+
     raw = _arrow(
         rows_ds.map_batches(_decorate_part(p), batch_format="pyarrow")
         .groupby("_part")
-        .map_groups(_emit_group(cfg), batch_format="pandas")
+        .map_groups(emit_filtered, batch_format="pandas")
     ).materialize()
-    if exclude_pairs is not None and len(exclude_pairs):
-        excl_ref = ray.put(exclude_pairs)
-
-        def drop_existing(t: pa.Table) -> pa.Table:
-            ex = ray.get(excl_ref)
-            a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-            b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-            k = i64_pair_to_key16(a, b)
-            pos = np.searchsorted(ex, k)
-            pos[pos >= len(ex)] = 0
-            return t.filter(pa.array(ex[pos] != k))
-
-        raw = raw.map_batches(drop_existing, batch_format="pyarrow")
     ids_l = []
     for b in raw.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
         ids_l.append(b["a"].to_numpy(zero_copy_only=False).astype(np.int64))
@@ -354,6 +403,9 @@ def build_snapshot(
         docs_new_meta = store.read_stage_own(snapshot, "docs_meta").materialize()
         n_new = docs_new_meta.count()
         sig_delta = store.read_stage_own(snapshot, "signatures").materialize()
+        # write order guarantees lsh_index precedes signatures (banding needs
+        # the u64 matrix the persisted layout no longer carries)
+        lsh_delta = store.read_stage_own(snapshot, "lsh_index").materialize()
     else:
         # ---- delta extraction (this merge's tombstones beat its adds) ----
         docs_new = extract_stage(pages_ds)
@@ -455,7 +507,38 @@ def build_snapshot(
             ).materialize()
         else:
             sig_delta = rd.from_arrow(_packed_schema(nperm).empty_table())
+
+        # ---- lsh_index from the IN-MEMORY u64 signatures (bucket hashes
+        # are defined over full u64 components; the persisted signature
+        # layout keeps only the low 32 bits, so banding must precede
+        # compaction — hence lsh_index is written BEFORE signatures) -------
+        if not store.has_stage(snapshot, "lsh_index"):
+            t1 = time.monotonic()
+            lsh_delta = (
+                sig_delta.map_batches(
+                    explode_bands(cfg, partitions=p),
+                    batch_format="pyarrow",
+                    batch_size=4096,
+                )
+                .select_columns(["bucket", "doc_id"])
+                .materialize()
+            )
+            store.write_stage(
+                snapshot,
+                "lsh_index",
+                _nonempty(lsh_delta, _LSH_SCHEMA),
+                t0=t1,
+                parent_dirs=parent_lsh_dirs,
+                exclude={"sidecar": "extinct_sig_ids", "columns": ["doc_id"]},
+                # physical rows (read-time extinct filter not folded in)
+                rows=parent_lsh_rows + lsh_delta.count(),
+            )
+        else:
+            lsh_delta = store.read_stage_own(snapshot, "lsh_index").materialize()
+
         n_newly_extinct = len(extinct_all) - len(parent_extinct) + len(resurrected)
+        n_signed = sig_delta.count()
+        sig_delta = _compact_sigs_u32(sig_delta, nperm).materialize()
         store.write_stage(
             snapshot,
             "signatures",
@@ -463,33 +546,10 @@ def build_snapshot(
             t0=t0,
             parent_dirs=parent_sig_dirs,
             exclude={"sidecar": "extinct_sig_ids", "columns": ["doc_id"]},
-            rows=parent_sig_rows + sig_delta.count() + len(resurrected) - n_newly_extinct,
+            rows=parent_sig_rows + n_signed + len(resurrected) - n_newly_extinct,
         )
 
     meta_all = store.read_stage(snapshot, "docs_meta").materialize()
-
-    # ---- lsh_index: band ONLY the delta's signatures ---------------------
-    if store.has_stage(snapshot, "lsh_index"):
-        lsh_delta = store.read_stage_own(snapshot, "lsh_index").materialize()
-    else:
-        t0 = time.monotonic()
-        lsh_delta = (
-            sig_delta.map_batches(
-                explode_bands(cfg, partitions=p), batch_format="pyarrow", batch_size=4096
-            )
-            .select_columns(["bucket", "doc_id"])
-            .materialize()
-        )
-        store.write_stage(
-            snapshot,
-            "lsh_index",
-            _nonempty(lsh_delta, _LSH_SCHEMA),
-            t0=t0,
-            parent_dirs=parent_lsh_dirs,
-            exclude={"sidecar": "extinct_sig_ids", "columns": ["doc_id"]},
-            # physical rows (read-time extinct filter not folded in)
-            rows=parent_lsh_rows + lsh_delta.count(),
-        )
 
     # ---- verified_pairs: re-emit only delta-touched buckets --------------
     if not store.has_stage(snapshot, "verified_pairs"):
@@ -513,64 +573,51 @@ def build_snapshot(
             # pairs surviving from the parent under the NEW extinct filter
             # (counted in the same narrow scan that collects the existing
             # pairs of touched members for re-emission dedup)
-            prev_phys = rd.read_parquet(parquet_files(parent_pair_dirs), columns=["a", "b"])
             if len(touched) == 0:
                 pairs_delta = rd.from_arrow(_PAIRS_SCHEMA.empty_table())
-                prev_live = (
-                    _filter_ds(
-                        _filter_ds(prev_phys, _col_i64("a"), extinct_all, False),
-                        _col_i64("b"),
-                        extinct_all,
-                        False,
-                    )
-                    if len(extinct_all)
-                    else prev_phys
-                )
-                n_pairs = prev_live.count()
             else:
                 stored = _filter_ds(
                     rd.read_parquet(parquet_files(parent_lsh_dirs)), _col_i64("bucket"), touched, True
                 )
                 if len(extinct_all):
                     stored = _filter_ds(stored, _col_i64("doc_id"), extinct_all, False)
-                members = np.union1d(
-                    _collect_unique_i64(stored, _col_i64("doc_id")),
-                    _collect_unique_i64(lsh_delta, _col_i64("doc_id")),
+                # only pairs INVOLVING a newly-signed or resurrected sig are
+                # new — everything else is already in the parent stage
+                involved = np.union1d(
+                    _collect_unique_i64(lsh_delta, _col_i64("doc_id")), resurrected
                 )
-                # narrow scans over the physical parent pairs: (1) collect
-                # the pairs whose members sit in touched buckets — re-emission
-                # would duplicate them; extinct/hidden ones included, so a
-                # revived pair is not re-appended — and (2) count the live
-                # remainder for the manifest
-                kept = []
-                for b in _filter_ds(
-                    _filter_ds(prev_phys, _col_i64("a"), members, True),
-                    _col_i64("b"),
-                    members,
-                    True,
-                ).iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
-                    kept.append(
-                        i64_pair_to_key16(
-                            b["a"].to_numpy(zero_copy_only=False).astype(np.int64),
-                            b["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+                exclude_pairs = None
+                if len(resurrected):
+                    # resurrected sigs' previous pairs re-emit — drop them via
+                    # one narrow scan of the physical parent pairs (skipped
+                    # entirely on tombstone-free merges)
+                    prev_phys = rd.read_parquet(
+                        parquet_files(parent_pair_dirs), columns=["a", "b"]
+                    )
+                    kept = []
+                    res_hit = _filter_ds(prev_phys, _col_i64("a"), resurrected, True).union(
+                        _filter_ds(prev_phys, _col_i64("b"), resurrected, True)
+                    )
+                    for b in res_hit.iter_batches(
+                        batch_size=1 << 18, batch_format="pyarrow"
+                    ):
+                        kept.append(
+                            i64_pair_to_key16(
+                                b["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                                b["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+                            )
                         )
+                    exclude_pairs = (
+                        np.unique(np.concatenate(kept)) if kept else np.empty(0, "S16")
                     )
-                exclude_pairs = (
-                    np.sort(np.concatenate(kept)) if kept else np.empty(0, "S16")
-                )
-                prev_live = prev_phys
-                if len(extinct_all):
-                    prev_live = _filter_ds(
-                        _filter_ds(prev_phys, _col_i64("a"), extinct_all, False),
-                        _col_i64("b"),
-                        extinct_all,
-                        False,
-                    )
-                n_prev_live = prev_live.count()
                 pairs_delta = _emit_verify(
-                    stored.union(lsh_delta), sig_view, cfg, p, exclude_pairs
+                    stored.union(lsh_delta),
+                    sig_view,
+                    cfg,
+                    p,
+                    exclude_pairs=exclude_pairs,
+                    involved=involved,
                 ).materialize()
-                n_pairs = n_prev_live + pairs_delta.count()
         store.write_stage(
             snapshot,
             "verified_pairs",
@@ -578,7 +625,8 @@ def build_snapshot(
             t0=t0,
             parent_dirs=parent_pair_dirs,
             exclude={"sidecar": "extinct_sig_ids", "columns": ["a", "b"]},
-            rows=n_pairs,
+            # logical rows counted below inside the DSU stream (no extra scan)
+            rows=-1,
         )
     verified_all = store.read_stage(snapshot, "verified_pairs")
 
@@ -586,13 +634,19 @@ def build_snapshot(
     t0 = time.monotonic()
     dup_ref = _dup_groups_broadcast(meta_all, p)
     dsu = DictDSU()
+    n_pairs_total = 0
     for b in verified_all.select_columns(["a", "b"]).iter_batches(
         batch_size=1 << 18, batch_format="pyarrow"
     ):
+        n_pairs_total += b.num_rows
         dsu.union_arrays(
             b["a"].to_numpy(zero_copy_only=False).astype(np.int64),
             b["b"].to_numpy(zero_copy_only=False).astype(np.int64),
         )
+    pm_ent = store.manifest(snapshot)["stages"]["verified_pairs"]
+    if pm_ent.get("rows") != n_pairs_total:
+        pm_ent["rows"] = int(n_pairs_total)
+        store._update_manifest(snapshot, stage_update={"verified_pairs": pm_ent})
     nodes = np.fromiter(dsu.p.keys(), dtype=np.int64, count=len(dsu.p))
     nodes.sort()
     # min member doc per paired sig (pair-bounded), then min over each root's

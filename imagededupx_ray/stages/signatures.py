@@ -113,18 +113,26 @@ def signature_stage(
 def signatures_to_numpy(sig_table: pa.Table, num_perms: int):
     """Zero-copy-ish view of a signatures Arrow table as numpy arrays:
     (doc_ids u64, minhash (n, num_perms) u64, simhash u64, n_shingles i32).
-    Accepts the minhash column either as (fixed_size_)list<uint64> (the batch
-    pipeline's layout) or as fixed-width binary (the join-safe packed layout
-    used by snapshot stores — acero joins reject list payload columns)."""
+    Accepts the minhash column as (fixed_size_)list<uint64> (the batch
+    pipeline's layout) or as fixed-width binary — either ``num_perms * 8``
+    bytes of u64 or ``num_perms * 4`` bytes of u32 (the snapshot store's
+    compact layout: verify compares components by 32-bit equality, so only
+    the low halves persist; u32 values zero-extend back to u64 here, keeping
+    every equality test identical). NEVER band-hash a u32-loaded matrix —
+    bucket hashes are defined over the original u64 values (the snapshot
+    pipeline bands in-memory u64 signatures before compacting)."""
     ids = sig_table["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     mh_col = sig_table["minhash"]
     if isinstance(mh_col, pa.ChunkedArray):
         mh_col = mh_col.combine_chunks()
     if pa.types.is_binary(mh_col.type) or pa.types.is_fixed_size_binary(mh_col.type):
         if pa.types.is_fixed_size_binary(mh_col.type):
-            buf = np.frombuffer(mh_col.buffers()[1], dtype=np.uint64)
+            dt = np.uint32 if mh_col.type.byte_width == num_perms * 4 else np.uint64
+            buf = np.frombuffer(mh_col.buffers()[1], dtype=dt)
             start = mh_col.offset * num_perms
             mh = buf[start : start + len(mh_col) * num_perms].reshape(-1, num_perms)
+            if dt is np.uint32:
+                mh = mh.astype(np.uint64)
         else:
             mh = np.frombuffer(b"".join(mh_col.to_pylist()), dtype=np.uint64).reshape(
                 -1, num_perms

@@ -110,7 +110,7 @@ def test_crash_resume_reuses_stages(ray_session, fixture_corpus, tmp_path):
     crashed = SnapshotStore(str(tmp_path / "crashed"), CFG)
     crashed.init_snapshot("x")
     m_full = store.manifest("x")
-    for st in ("docs_meta", "signatures"):
+    for st in ("docs_meta", "lsh_index", "signatures"):
         shutil.copytree(store.stage_dir("x", st), crashed.stage_dir("x", st))
         crashed._update_manifest("x", stage_update={st: m_full["stages"][st]})
     assert not crashed.is_complete("x")
@@ -154,7 +154,7 @@ def test_crash_resume_mid_merge(ray_session, fixture_corpus, tmp_path):
     shutil.copytree(store.stage_dir("a", ""), crashed.stage_dir("a", ""))
     crashed.init_snapshot("b", parent="a")
     m_full = store.manifest("b")
-    for st in ("docs_meta", "signatures"):
+    for st in ("docs_meta", "lsh_index", "signatures"):
         shutil.copytree(store.stage_dir("b", st), crashed.stage_dir("b", st))
         crashed._update_manifest("b", stage_update={st: m_full["stages"][st]})
     # sidecars are written before the signatures stage, so a crash after it
