@@ -232,142 +232,42 @@ def tfidf_cosine_topk(sf_dir: str, n_queries: int = 10, k: int = 10):
     utils/tfidf.py:63-71 / literal_similarity.py TfidfSimilarity): weights
     w(d, t) = tf(d, t) · ln(N / df(t)) over whitespace unigrams, cosine of
     the first ``n_queries`` docs against the corpus, top-k by (cos desc,
-    neighbor asc). Distributed: one pass builds the (vocab-bounded) df
-    broadcast, a second scores every doc against the broadcast query vectors
-    with partial top-k per batch. Neighbors must SHARE at least one token
-    with the query (the SQL twin's join semantics)."""
-    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    neighbor asc). Neighbors must SHARE at least one token with the query
+    (the SQL twin's join semantics).
 
-    def tok_tf(batch: pa.Table):
-        flat, offsets = tokenize_batch(batch["text"])
-        th = H.token_hash_flat(flat).astype(np.int64)
-        n_tok = np.diff(offsets)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = np.repeat(ids, n_tok)
-        g = pd.DataFrame({"d": d, "t": th}).groupby(["d", "t"]).size().reset_index()
-        g.columns = ["d", "t", "tf"]
-        return g
-
-    # pass 1a: distinct (doc, token) → df per token (coarse-partition groupby,
-    # vocab-bounded result broadcast)
-    def distinct_tokens(batch: pa.Table) -> pa.Table:
-        g = tok_tf(batch)
-        part = (g["t"].to_numpy() & 63).astype(np.int32)
-        return pa.table(
-            {
-                "_part": pa.array(part, type=pa.int32()),
-                "t": pa.array(g["t"].to_numpy(), type=pa.int64()),
-            }
-        )
-
-    def df_count(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("t").size().reset_index()
-        g.columns = ["t", "df"]
-        return g
-
-    df_tbl = (
-        docs.map_batches(distinct_tokens, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(df_count, batch_format="pandas")
-        .to_pandas()
+    Fully distributed, NO vocab-sized driver collect (round-2 flaw fixed):
+    one term-keyed shuffle builds posting rows with df attached in-partition
+    (stages/tfidf.tfidf_postings), query-doc vectors come from a filtered
+    scan of those postings, and scoring re-keys by doc so full-vector norms
+    are partition-local."""
+    from imagededupx_ray.stages.tfidf import (
+        _score_partitions,
+        count_docs_with_tokens,
+        tfidf_postings,
     )
-    toks_sorted = np.sort(df_tbl["t"].to_numpy().astype(np.int64))
-    order = np.argsort(df_tbl["t"].to_numpy().astype(np.int64))
-    dfs_sorted = df_tbl["df"].to_numpy().astype(np.float64)[order]
-    # N = docs with at least one token (the SQL twin's corpus)
-    n_docs = docs.map_batches(
-        lambda t: pa.table(
-            {
-                "n": pa.array(
-                    [
-                        int(
-                            pc.sum(
-                                pc.cast(
-                                    pc.not_equal(pc.utf8_trim_whitespace(t["text"]), ""),
-                                    pa.int64(),
-                                )
-                            ).as_py()
-                            or 0
-                        )
-                    ],
-                    type=pa.int64(),
-                )
-            }
-        ),
-        batch_format="pyarrow",
-    ).to_pandas()["n"].sum()
-    df_ref = ray.put((toks_sorted, dfs_sorted, float(n_docs)))
 
-    # query vectors: tiny driver-side build from the first n_queries docs
-    q_tbl = docs.filter(expr=f"doc_id < {n_queries}").to_pandas()
-    q_vecs = []
-    toks_s, dfs_s, N = toks_sorted, dfs_sorted, float(n_docs)
-    for _, row in q_tbl.sort_values("doc_id").iterrows():
-        g = tok_tf(
-            pa.table({"doc_id": pa.array([int(row.doc_id)]), "text": pa.array([row.text])})
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    postings = tfidf_postings(docs)
+    n_docs = float(count_docs_with_tokens(docs))
+
+    # query vectors = the first n_queries docs' own posting rows (tiny
+    # filtered scan; df rides along, so no vocabulary lookup is needed)
+    q_rows = (
+        postings.filter(expr=f"d < {n_queries}")
+        .to_pandas()
+        .sort_values(["d", "t"])
+    )
+    q_pack = []
+    for q_id, grp in q_rows.groupby("d"):
+        t = grp["t"].to_numpy().astype(np.int64)
+        wt = grp["tf"].to_numpy().astype(np.float64) * np.log(
+            n_docs / grp["df"].to_numpy().astype(np.float64)
         )
-        if not len(g):
-            continue
-        t = g["t"].to_numpy().astype(np.int64)
-        pos = np.searchsorted(toks_s, t)
-        wt = g["tf"].to_numpy().astype(np.float64) * np.log(N / dfs_s[pos])
-        o = np.argsort(t)
-        q_vecs.append((int(row.doc_id), t[o], wt[o], float(np.sqrt((wt**2).sum()))))
-    q_ref = ray.put(q_vecs)
+        q_pack.append((int(q_id), t, wt, float(np.sqrt((wt**2).sum()))))
 
-    def score(batch: pa.Table) -> pa.Table:
-        toks_sorted_, dfs_sorted_, N_ = ray.get(df_ref)
-        qv = ray.get(q_ref)
-        g = tok_tf(batch)
-        if not len(g):
-            return pa.table(
-                {
-                    "query_id": pa.array([], type=pa.int64()),
-                    "neighbor_id": pa.array([], type=pa.int64()),
-                    "cosine": pa.array([], type=pa.float64()),
-                }
-            )
-        d = g["d"].to_numpy().astype(np.int64)
-        t = g["t"].to_numpy().astype(np.int64)
-        pos = np.searchsorted(toks_sorted_, t)
-        wt = g["tf"].to_numpy().astype(np.float64) * np.log(N_ / dfs_sorted_[pos])
-        # per-doc segments (groupby output is sorted by (d, t))
-        uniq_d, seg_starts = np.unique(d, return_index=True)
-        norms = np.sqrt(np.add.reduceat(wt * wt, seg_starts))
-        out_q, out_n, out_c = [], [], []
-        for q_id, q_t, q_w, q_norm in qv:
-            qpos = np.searchsorted(q_t, t)
-            qpos[qpos >= len(q_t)] = 0
-            hit = q_t[qpos] == t
-            prod = np.where(hit, wt * q_w[qpos], 0.0)
-            dots = np.add.reduceat(prod, seg_starts)
-            shares = np.add.reduceat(hit.astype(np.int64), seg_starts) > 0
-            cand = shares & (uniq_d != q_id)
-            if not cand.any():
-                continue
-            cos = dots[cand] / (norms[cand] * q_norm)
-            nid = uniq_d[cand]
-            top = np.lexsort((nid, -cos))[:k]
-            out_q.append(np.full(len(top), q_id, dtype=np.int64))
-            out_n.append(nid[top])
-            out_c.append(cos[top])
-        if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], type=pa.int64()),
-                    "neighbor_id": pa.array([], type=pa.int64()),
-                    "cosine": pa.array([], type=pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
-                "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
-                "cosine": pa.array(np.concatenate(out_c), type=pa.float64()),
-            }
-        )
-
-    partials = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    partials = _score_partitions(
+        postings, q_pack, n_docs, k, candidates="share_excl_self"
+    ).rename(columns={"doc_id": "neighbor_id", "score": "cosine"})
     out = (
         partials.sort_values(
             ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]

@@ -132,26 +132,42 @@ class IVFIndex:
 def ivf_dup_pairs(
     emb_ds,
     threshold: float,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     n_assign: int = 4,
     seed: int = 42,
     num_partitions: int | None = None,
+    max_bucket_size: int = 4096,
+    bucket_window: int = 64,
 ):
     """Embedding-cosine near-dup pairs via IVF bucketing — the 10^12-vector
     scale path of the exact blocked matmul: each vector is assigned to its
     ``n_assign`` nearest centroids (multi-assignment recovers boundary
-    pairs), vectors co-locate by centroid through ONE groupby shuffle, and
-    each bucket mines its pairs with an exact within-bucket matmul. Pairs
-    whose members share no probed centroid are missed (recall-gated vs the
-    exact miner in tests/test_ann.py); every emitted pair is exact
-    (precision 1 by construction). Returns distinct (a, b, cosine)."""
+    pairs), vectors co-locate by centroid through ONE coarse-partition
+    groupby shuffle, and each bucket mines its pairs with an exact
+    within-bucket matmul. Pairs whose members share no probed centroid are
+    missed (recall-gated vs the exact miner in tests); every emitted pair is
+    exact (precision 1 by construction). Returns distinct (a, b, cosine).
+
+    Scale controls (the same skew discipline as stages/lsh.py):
+    - ``n_clusters`` defaults to ~sqrt(n) so mean bucket size stays ~sqrt(n)
+      instead of n/16 at web scale.
+    - buckets larger than ``max_bucket_size`` switch from the O(g²) matmul
+      to banded emission: members sort by vec_id and only offsets 1..window
+      are scored (O(g·window·d)) — bounded pair emission and FLOPs even if a
+      dense centroid region collects millions of vectors. A mega-bucket's
+      recall then degrades gracefully instead of the task OOMing/stalling
+      (multi-assignment still recovers many of its pairs in sibling
+      buckets)."""
     from imagededupx_ray.stages.lsh import _pow2, decorate_pair_part
+    from imagededupx_ray.functions.hashing import splitmix64
     from imagededupx_ray.util import suggest_num_partitions
 
     if num_partitions is None:
         num_partitions = suggest_num_partitions(per_cpu=2)
     p = _pow2(num_partitions)
-    sample = emb_ds.limit(20000).to_pandas()
+    if n_clusters is None:
+        n_clusters = max(16, int(np.sqrt(max(emb_ds.count(), 1))))
+    sample = emb_ds.limit(max(20000, 8 * n_clusters)).to_pandas()
     X = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     centroids = kmeans_fit(X, n_clusters, seed)
     cent_ref = ray.put(centroids)
@@ -161,12 +177,15 @@ def ivf_dup_pairs(
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         M = _norm_rows(_emb_matrix(batch))
         na = min(n_assign, len(C))
-        top = np.argsort(M @ C.T, axis=1)[:, ::-1][:, :na].astype(np.int32)
+        top = np.argsort(M @ C.T, axis=1)[:, ::-1][:, :na].astype(np.int64)
         n, d = M.shape
         flat_vec = np.repeat(M, na, axis=0).reshape(-1)
+        cl = top.reshape(-1)
+        part = (splitmix64(cl.view(np.uint64)) & np.uint64(p - 1)).astype(np.int32)
         return pa.table(
             {
-                "cluster": pa.array(top.reshape(-1), type=pa.int32()),
+                "_part": pa.array(part, type=pa.int32()),
+                "cluster": pa.array(cl.astype(np.int32), type=pa.int32()),
                 "vec_id": pa.array(np.repeat(ids, na), type=pa.int64()),
                 "vec": pa.FixedSizeListArray.from_arrays(
                     pa.array(flat_vec, type=pa.float64()), d
@@ -174,27 +193,57 @@ def ivf_dup_pairs(
             }
         )
 
-    def mine(df: pd.DataFrame) -> pd.DataFrame:
+    def mine(t: pa.Table) -> pa.Table:
+        """All clusters of one coarse partition, arrow-native: vectors come
+        straight off the FixedSizeList buffer (no per-row python), small
+        buckets do the exact matmul, oversized buckets the banded fallback."""
+        ids_all = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl_all = t["cluster"].to_numpy(zero_copy_only=False).astype(np.int32)
+        M_all = _emb_matrix(t, "vec")
+        order = np.argsort(cl_all, kind="stable")
+        cl_s = cl_all[order]
+        bounds = np.flatnonzero(np.diff(cl_s)) + 1
         out_a, out_b, out_c = [], [], []
-        for _, grp in df.groupby("cluster"):
-            ids = grp["vec_id"].to_numpy().astype(np.int64)
-            M = np.stack(grp["vec"].to_numpy())
-            S = M @ M.T
-            ii, jj = np.nonzero(S >= threshold)
-            keep = ids[ii] < ids[jj]
-            out_a.append(ids[ii[keep]])
-            out_b.append(ids[jj[keep]])
-            out_c.append(S[ii[keep], jj[keep]])
+        for seg in np.split(order, bounds):
+            g = len(seg)
+            if g < 2:
+                continue
+            ids = ids_all[seg]
+            M = M_all[seg]
+            if g <= max_bucket_size:
+                S = M @ M.T
+                ii, jj = np.nonzero(S >= threshold)
+                keep = ids[ii] < ids[jj]
+                out_a.append(ids[ii[keep]])
+                out_b.append(ids[jj[keep]])
+                out_c.append(S[ii[keep], jj[keep]])
+            else:
+                o2 = np.argsort(ids)
+                ids = ids[o2]
+                M = M[o2]
+                for w in range(1, min(bucket_window, g - 1) + 1):
+                    s = np.einsum("ij,ij->i", M[:-w], M[w:])
+                    hit = s >= threshold
+                    if hit.any():
+                        out_a.append(ids[:-w][hit])
+                        out_b.append(ids[w:][hit])
+                        out_c.append(s[hit])
         a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
         c = np.concatenate(out_c) if out_c else np.empty(0, np.float64)
-        return pd.DataFrame({"a": a, "b": b, "cosine": c})
+        return pa.table(
+            {
+                "a": pa.array(a, type=pa.int64()),
+                "b": pa.array(b, type=pa.int64()),
+                "cosine": pa.array(c, type=pa.float64()),
+            }
+        )
 
     raw = (
         emb_ds.select_columns(["vec_id", "embedding"])
         .map_batches(explode_assign, batch_format="pyarrow")
-        .groupby("cluster")
-        .map_groups(mine, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(mine, batch_format="pyarrow")
         .map_batches(lambda t: t, batch_format="pyarrow")
     )
 

@@ -30,6 +30,49 @@ def test_ivf_dup_pairs_recall_and_precision(ray_session):
     assert len(got & want) / len(want) >= 0.9, (len(got), len(want))
 
 
+def test_ivf_dup_pairs_mega_bucket_bounded(ray_session):
+    """Skew valve: a planted mega-cluster (every vector near-identical, so
+    one centroid bucket collects them all) must emit a BOUNDED pair set via
+    the banded fallback — not the O(g²) all-pairs explosion."""
+    import ray.data as rd
+
+    from imagededupx_ray.stages.ann import ivf_dup_pairs
+
+    rng = np.random.default_rng(7)
+    g, d = 2000, 16
+    base = rng.normal(size=d)
+    base /= np.linalg.norm(base)
+    vecs = base[None, :] + rng.normal(scale=1e-3, size=(g, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(g, dtype=np.int64), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1), type=pa.float64()), d
+            ),
+        }
+    )
+    emb = rd.from_arrow(tbl)
+    window, n_assign = 64, 4
+    got = ivf_dup_pairs(
+        emb,
+        threshold=0.99,
+        n_clusters=8,
+        n_assign=n_assign,
+        max_bucket_size=256,
+        bucket_window=window,
+    ).to_pandas()
+    # all g vectors are mutual near-dups: all-pairs would be g*(g-1)/2 ≈ 2M;
+    # banded emission is capped at ~g*window per assigned bucket
+    assert len(got) > g  # it did find plenty of real pairs
+    assert len(got) <= g * window * n_assign
+    # every emitted pair is a true pair at the threshold
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    a = got["a"].to_numpy()
+    b = got["b"].to_numpy()
+    s = np.einsum("ij,ij->i", vn[a], vn[b])
+    assert (s >= 0.99 - 1e-9).all()
+
+
 def test_ann_recall_vs_brute_force(ray_session):
     import ray.data as rd
 
