@@ -50,16 +50,30 @@ class DedupResult:
     metrics: dict[str, Any] = field(default_factory=dict)
 
 
+# auto crossover: beyond this many verified pairs the driver DictDSU's
+# python-dict unions stop being "pair-bounded small" (~100 bytes/entry and
+# single-threaded); the distributed large/small-star rounds take over
+LABEL_PROP_PAIR_THRESHOLD = 20_000_000
+
+
 def run_dedup(
     pages_ds: "ray.data.Dataset",
     cfg: DedupConfig = DEFAULT_CONFIG,
     signature_concurrency: int | tuple[int, int] | None = None,
     verify_strategy: str = "broadcast",
     exact_strategy: str = "auto",
+    cluster_strategy: str = "auto",
+    label_prop_threshold: int = LABEL_PROP_PAIR_THRESHOLD,
 ) -> DedupResult:
     """Run the full pipeline. Returns all intermediate Datasets plus the final
     clusters Dataset (one row per input doc: doc_id, url, cluster_id,
-    is_canonical; canonical = min doc_id per component)."""
+    is_canonical; canonical = min doc_id per component).
+
+    ``cluster_strategy``: "dsu" (driver union-find), "label_prop"
+    (distributed alternating-star rounds — the 10^12-pair path), or "auto"
+    (label_prop once the verified pair count exceeds
+    ``label_prop_threshold``; both produce identical components —
+    tests/test_pipeline.py::test_run_dedup_label_prop_path_equals_dsu)."""
     docs = extract_stage(pages_ds)
     docs_unique, dup_map, docs_mat, dup_ref = exact_dedup(
         docs, return_extras=True, strategy=exact_strategy
@@ -95,11 +109,20 @@ def run_dedup(
     verified = verified.materialize()
     if cand_pairs is None:
         cand_pairs = lsh_candidate_pairs_from_raw(raw_pairs, cfg)
+    def components(edges_ds):
+        if cluster_strategy == "label_prop" or (
+            cluster_strategy == "auto" and edges_ds.count() > label_prop_threshold
+        ):
+            from imagededupx_ray.stages.cluster import label_prop_components
+
+            return label_prop_components(edges_ds)
+        return dsu_components(edges_ds)
+
     if dup_ref is not None:
         # union-find over verified near-dup pairs ONLY; exact-dup members fold
         # through the sha→canonical broadcast at assignment time, so no
         # member→canonical edge list is ever materialized
-        root_map = dsu_components(verified.select_columns(["a", "b"]))
+        root_map = components(verified.select_columns(["a", "b"]))
         clusters = assign_clusters_via_canonical(docs_mat, dup_ref, root_map)
     else:
         # join-strategy exact dedup (extreme dup rates): no broadcast dup map
@@ -108,7 +131,7 @@ def run_dedup(
         from imagededupx_ray.stages.cluster import assign_clusters
 
         dup_map = dup_map.materialize()
-        root_map = dsu_components(cluster_edges(verified, dup_map))
+        root_map = components(cluster_edges(verified, dup_map))
         clusters = assign_clusters(docs_unique, dup_map, root_map)
     return DedupResult(
         docs_unique=docs_unique,

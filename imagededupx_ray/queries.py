@@ -888,23 +888,25 @@ def image_decode_features(sf_dir: str):
 
 def image_perceptual_hashes(sf_dir: str):
     """Real perceptual hashes (pHash DCT / dHash / aHash / wHash / colorhash,
-    reference utils/imagehash.py:159-347) over deterministic RAW rasters via
-    the actor-pool stage; rows-only — kernel parity vs per-pixel oracles is
-    gated in tests/test_imagehash.py."""
-    from imagededupx_ray.stages.multimodal import perceptual_hashes, synthetic_raw_images
+    reference utils/imagehash.py:159-347) over GENUINE PNG-encoded images
+    (stdlib-zlib decode, functions/png.py — the reference's input shape,
+    utils/image_util.py:23-107) via the actor-pool stage; rows-only — kernel
+    parity vs per-pixel oracles is gated in tests/test_imagehash.py, PNG
+    decode exactness in tests/test_png.py."""
+    from imagededupx_ray.stages.multimodal import perceptual_hashes, synthetic_png_images
 
-    return perceptual_hashes(rd.from_arrow(synthetic_raw_images(200)))
+    return perceptual_hashes(rd.from_arrow(synthetic_png_images(200)))
 
 
 def image_phash_dup_pairs(sf_dir: str, hamming_max: int = 10):
     """Image near-dup pairs: phash-band LSH (4x16-bit bands over the 64-bit
     code → bucket groupby → popcount verify) — the namesake image-dedup
-    pipeline at LSH scale; planted near-dups in the synthetic rasters are
-    the expected output (rows-only)."""
-    from imagededupx_ray.stages.multimodal import perceptual_hashes, synthetic_raw_images
+    pipeline at LSH scale over genuine PNG files; planted near-dups in the
+    synthetic corpus are the expected output (rows-only)."""
+    from imagededupx_ray.stages.multimodal import perceptual_hashes, synthetic_png_images
     from imagededupx_ray.stages.simhash_lsh import hamming_band_pairs
 
-    hashes = perceptual_hashes(rd.from_arrow(synthetic_raw_images(200)))
+    hashes = perceptual_hashes(rd.from_arrow(synthetic_png_images(200)))
     return hamming_band_pairs(
         hashes.select_columns(["image_id", "phash"]),
         id_col="image_id",

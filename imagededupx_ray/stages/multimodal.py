@@ -2,14 +2,18 @@
 (SURVEY.md §2.1 S11, §2.3 A1 — the reference's image decode + deep feature
 extraction, re-expressed as actor-pool map_batches stages).
 
-The container ships no image/audio libraries, so the DECODE KERNEL is
-stubbed: with ``allow_fake=True`` (default) a deterministic fake decoder
-derives (width, height, mean_luma) and a 64-d feature vector from the bytes'
-blake2b stream; with ``allow_fake=False`` the stage raises
-NotImplementedError at construction unless PIL is importable. Everything
-Ray-side — schema, actor-pool shape, batch sizing, zero-copy binary access,
-output layout — is real and tested; swapping in a real decoder touches only
-``_decode_one`` / ``_features_one``.
+Decode support without any image library: PNG decodes FOR REAL through the
+stdlib-zlib codec in functions/png.py (all five scanline filters, gray /
+RGB / RGBA / palette), and the self-describing RAW1 raster needs no codec at
+all — so the perceptual-hash and decode stages run on genuine encoded
+images. Other formats (JPEG etc.): with ``allow_fake=True`` (default) a
+deterministic fake decoder derives (width, height, mean_luma) and a 64-d
+feature vector from the bytes' blake2b stream; with ``allow_fake=False``
+the stage raises NotImplementedError at construction unless PIL is
+importable. The deep-feature kernel remains a deterministic fake (no torch
+in the container); the Ray side — schema, actor-pool shape, batch sizing,
+output layout — is real and tested, and swapping in a real model touches
+only ``_features_one``.
 
 Batch sizing note (SURVEY.md §4): binary payloads are wide — callers should
 pass small ``batch_size`` (default 64) so batch x concurrency stays within
@@ -67,8 +71,17 @@ class ImageDecodeStage:
                 "install Pillow or pass allow_fake=True"
             )
 
-    # ---- kernels (swap these for real decode when PIL/torch exist) -----
+    # ---- kernels (PNG decodes for real via stdlib zlib; swap the rest for
+    # real decode when PIL/torch exist) ----------------------------------
     def _decode_one(self, payload: bytes) -> tuple[int, int, float]:
+        from imagededupx_ray.functions.png import PNG_SIGNATURE, decode_png
+
+        if payload[:8] == PNG_SIGNATURE:
+            arr = decode_png(payload)
+            from imagededupx_ray.functions.imagehash import to_grayscale
+
+            g = to_grayscale(arr).astype(np.float32)
+            return arr.shape[1], arr.shape[0], float(g.mean())
         if self._pil is not None:
             import io
 
@@ -193,8 +206,12 @@ class PerceptualHashStage:
         self.allow_fake = allow_fake
 
     def _to_array(self, payload: bytes):
+        from imagededupx_ray.functions.png import PNG_SIGNATURE, decode_png
+
         if payload[:4] == RAW_MAGIC:
             return decode_raw_image(payload)
+        if payload[:8] == PNG_SIGNATURE:
+            return decode_png(payload)
         if self._pil is not None:
             import io
 
@@ -238,6 +255,24 @@ def perceptual_hashes(
         batch_size=batch_size,
         concurrency=clamp_actor_pool(concurrency),
         num_cpus=1,
+    )
+
+
+def synthetic_png_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table:
+    """The synthetic_raw_images corpus PNG-ENCODED (stdlib codec, varied
+    scanline filters) — planted near-duplicates as genuine encoded files."""
+    from imagededupx_ray.functions.png import encode_png
+
+    raw = synthetic_raw_images(n, seed=seed, dup_every=dup_every)
+    payloads = []
+    for i, p in enumerate(raw["payload"].to_pylist()):
+        payloads.append(encode_png(decode_raw_image(p), filter_type=i % 5))
+    return pa.table(
+        {
+            "image_id": raw["image_id"],
+            "payload": pa.array(payloads, type=pa.binary()),
+            "format": pa.array(["png"] * n, type=pa.string()),
+        }
     )
 
 

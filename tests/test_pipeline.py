@@ -280,3 +280,20 @@ def test_salted_lsh_preserves_clusters(ray_session, fixture_corpus):
     lb = base.set_index("url")["cluster_id"].sort_index()
     ls = salted.set_index("url")["cluster_id"].sort_index()
     assert (lb == ls).all()
+
+
+def test_run_dedup_label_prop_path_equals_dsu(dedup_result, ray_session):
+    """The flagship pipeline's auto clustering switch: forcing the pair-count
+    threshold to 0 exercises the distributed label-propagation path, which
+    must produce the identical cluster partition as the default driver DSU."""
+    import ray.data as rd
+
+    from imagededupx_ray.pipelines.dedup import run_dedup
+
+    fixture_corpus, res = dedup_result
+    pages = rd.read_parquet(f"{fixture_corpus}/pages")
+    lp = run_dedup(pages, CFG, label_prop_threshold=0).clusters.to_pandas()
+    base = res.clusters.to_pandas()
+    lb = base.set_index("url")["cluster_id"].sort_index()
+    ll = lp.set_index("url")["cluster_id"].sort_index()
+    assert (lb == ll).all()
