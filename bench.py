@@ -139,6 +139,16 @@ def main() -> None:
     head = run_headline(sf)
     queries = {"dedup_pipeline": round(head["sec"], 3)}
     queries.update(run_queries(SF_DIR))
+    # retrieval quality on the committed miniature BEIR fixture (NDCG/MAP/
+    # recall per round alongside throughput)
+    beir_metrics = {}
+    beir_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_fixtures", "beir")
+    if os.path.isdir(beir_dir):
+        from imagededupx_ray.sources.beir import beir_eval
+
+        t0 = time.monotonic()
+        beir_metrics = {k: round(v, 4) for k, v in beir_eval(beir_dir, k=10).items()}
+        queries["beir_eval"] = round(time.monotonic() - t0, 3)
     print(
         json.dumps(
             {
@@ -150,6 +160,7 @@ def main() -> None:
                 "num_cpus": NUM_CPUS,
                 "dedup_n_pages": head["n_pages"],
                 "dedup_docs_per_sec": round(head["docs_per_sec"], 1),
+                "beir": beir_metrics,
             }
         )
     )

@@ -757,75 +757,51 @@ def simhash_dup_pairs(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG):
 # embedding similarity family (ANN + near-dup)
 # --------------------------------------------------------------------------
 
-def _broadcast_embeddings(emb_ds):
-    """(vec_id, embedding) → ObjectRef[(ids, row-normalized float64 matrix)]:
-    per-block normalize + pack runs distributed; a Ray task concatenates and
-    writes the broadcast once — the driver never holds the table (same
-    assemble pattern as the signature broadcast in stages/verify.py)."""
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4, block: int = 1024):
+    """Embedding-cosine near-duplicate pairs (>= threshold), exact two-sided
+    block-tiled matmul — the embedding tier of dedup. The corpus streams
+    through the driver ONE BLOCK AT A TIME into per-block object-store
+    entries (never a single n×d matrix anywhere), and the upper-triangle
+    (row-block × col-block) tiles fan out as tasks, each fetching exactly
+    two block objects. Exhaustive O(n²) compute by design — the oracle-exact
+    twin of the IVF scale path (embedding_dup_pairs_ann)."""
+    emb_ds = _read(sf_dir, "embeddings")
 
-    def pack(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        col = batch["embedding"]
+    block_refs: list = []
+    for b in emb_ds.select_columns(["vec_id", "embedding"]).iter_batches(
+        batch_size=block, batch_format="pyarrow"
+    ):
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = b["embedding"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         M = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
         M = M.reshape(len(ids), -1)
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        return pa.table(
-            {
-                "dim": pa.array([M.shape[1]], type=pa.int64()),
-                "ids": pa.array([ids.tobytes()], type=pa.large_binary()),
-                "mat": pa.array([np.ascontiguousarray(M).tobytes()], type=pa.large_binary()),
-            }
-        )
+        block_refs.append(ray.put((ids, np.ascontiguousarray(M))))
 
-    cells = (
-        emb_ds.select_columns(["vec_id", "embedding"])
-        .map_batches(pack, batch_format="pyarrow", batch_size=65536)
-        .materialize()
-    )
+    nb = len(block_refs)
+    tiles = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
 
-    @ray.remote
-    def assemble(*tbls):
-        ids_l, m_l = [], []
-        dim = 0
-        for t in tbls:
-            for r in range(t.num_rows):
-                dim = int(t["dim"][r].as_py())
-                ids_l.append(np.frombuffer(t["ids"][r].as_py(), dtype=np.int64))
-                m_l.append(
-                    np.frombuffer(t["mat"][r].as_py(), dtype=np.float64).reshape(-1, dim)
-                )
-        ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
-        M = np.vstack(m_l) if m_l else np.empty((0, dim), np.float64)
-        order = np.argsort(ids)  # deterministic row order at any parallelism
-        return ids[order], M[order]
-
-    return assemble.remote(*cells.to_arrow_refs())
-
-
-def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
-    """Embedding-cosine near-duplicate pairs (>= threshold), exact blocked
-    matmul against the broadcast row-normalized matrix — the embedding tier
-    of dedup. The matrix assembles distributed (no whole-table driver
-    pandas); upper-triangle row blocks fan out as tasks."""
-    emb_ds = _read(sf_dir, "embeddings")
-    n = emb_ds.count()
-    ref = _broadcast_embeddings(emb_ds)
-    block = 1024
-    starts = list(range(0, n, block))
-
-    def pairs_for_block(batch: pa.Table) -> pa.Table:
-        all_ids, Mn = ray.get(ref)
+    def pairs_for_tile(batch: pa.Table) -> pa.Table:
         out_a, out_b, out_c = [], [], []
-        for s in batch["start"].to_pylist():
-            e = min(s + block, len(all_ids))
-            S = Mn[s:e] @ Mn.T
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ids_i, Mi = ray.get(block_refs[i])
+            ids_j, Mj = ray.get(block_refs[j])
+            S = Mi @ Mj.T
             ii, jj = np.nonzero(S >= threshold)
-            keep = all_ids[ii + s] < all_ids[jj]
-            out_a.append(all_ids[ii[keep] + s])
-            out_b.append(all_ids[jj[keep]])
-            out_c.append(S[ii[keep], jj[keep]])
+            if i == j:
+                # square tile holds both orientations: keep the a < b one
+                keep = ids_i[ii] < ids_j[jj]
+                out_a.append(ids_i[ii[keep]])
+                out_b.append(ids_j[jj[keep]])
+                out_c.append(S[ii[keep], jj[keep]])
+            else:
+                # cross tile holds each unordered pair once: orient by id
+                ai, bj = ids_i[ii], ids_j[jj]
+                out_a.append(np.minimum(ai, bj))
+                out_b.append(np.maximum(ai, bj))
+                out_c.append(S[ii, jj])
         a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
         c = np.concatenate(out_c) if out_c else np.empty(0, np.float64)
@@ -837,8 +813,18 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
             }
         )
 
-    return rd.from_items([{"start": s} for s in starts]).map_batches(
-        pairs_for_block, batch_format="pyarrow", batch_size=1
+    if not tiles:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    return rd.from_items(tiles).map_batches(
+        pairs_for_tile, batch_format="pyarrow", batch_size=1
     )
 
 

@@ -175,3 +175,63 @@ def substring_spans(
         )
 
     return pair_tbl.map_batches(emit, batch_format="pyarrow", batch_size=256)
+
+
+def substring_spans_join(
+    pairs_ds,
+    docs_ds,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    num_partitions: int | None = None,
+):
+    """(a, b) pairs × docs(doc_id, text) → SUBSTRING_SPANS via two
+    hash-partitioned ``Dataset.join``s on doc_id — the 10^12-doc alternative
+    to the broadcast text map (same shape as verify_pairs_join: only the
+    narrow pair table and the doc rows that match it shuffle; no
+    pair-member text set ever assembles in one object). Output is identical
+    to ``substring_spans`` (tested: test_span_join_equals_broadcast)."""
+    from imagededupx_ray.util import suggest_num_partitions
+
+    if num_partitions is None:
+        num_partitions = suggest_num_partitions()
+    docs_narrow = docs_ds.select_columns(["doc_id", "text"])
+    joined = pairs_ds.select_columns(["a", "b"]).join(
+        docs_narrow,
+        join_type="inner",
+        on=("a",),
+        right_on=("doc_id",),
+        num_partitions=num_partitions,
+    ).rename_columns({"text": "text_a"})
+    joined = joined.join(
+        docs_narrow,
+        join_type="inner",
+        on=("b",),
+        right_on=("doc_id",),
+        num_partitions=num_partitions,
+    ).rename_columns({"text": "text_b"})
+    min_len = cfg.span_min_len
+
+    def emit(batch: pa.Table) -> pa.Table:
+        rows_a, rows_b, a_s, b_s, ln = [], [], [], [], []
+        for a, b, ta, tb in zip(
+            batch["a"].to_pylist(),
+            batch["b"].to_pylist(),
+            batch["text_a"].to_pylist(),
+            batch["text_b"].to_pylist(),
+        ):
+            for (sa_, sb_, length) in pair_spans(ta, tb, min_len):
+                rows_a.append(a)
+                rows_b.append(b)
+                a_s.append(sa_)
+                b_s.append(sb_)
+                ln.append(length)
+        return pa.table(
+            {
+                "a": pa.array(rows_a, type=pa.int64()),
+                "b": pa.array(rows_b, type=pa.int64()),
+                "a_start": pa.array(a_s, type=pa.int64()),
+                "b_start": pa.array(b_s, type=pa.int64()),
+                "length": pa.array(ln, type=pa.int64()),
+            }
+        )
+
+    return joined.map_batches(emit, batch_format="pyarrow", batch_size=256)

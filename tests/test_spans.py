@@ -102,3 +102,45 @@ def test_substring_stage_on_fixture(ray_session, fixture_corpus):
     found = {(r.a, r.b) for _, r in spans.iterrows()}
     for p in pairs:
         assert (p["a"], p["b"]) in found, "planted substring pair missing"
+
+
+def test_span_join_equals_broadcast(ray_session, fixture_corpus):
+    """The hash-join text-lookup path emits exactly the same span set as the
+    broadcast path on the fixture pairs."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from imagededupx_ray.functions.hashing import doc_id_of
+    from imagededupx_ray.stages.spans import substring_spans, substring_spans_join
+
+    tp = pq.read_table(f"{fixture_corpus}/truth_pairs.parquet").to_pandas()
+    sub = tp[tp.kind == "substring"]
+    pairs = []
+    for _, r in sub.iterrows():
+        ia, ib = doc_id_of(r.a_url), doc_id_of(r.b_url)
+        pairs.append({"a": min(ia, ib), "b": max(ia, ib)})
+    pages = pq.read_table(f"{fixture_corpus}/pages")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(
+                [doc_id_of(u) for u in pages["url"].to_pylist()], type=pa.int64()
+            ),
+            "text": pages["text"],
+        }
+    )
+    pairs_ds = rd.from_arrow(pa.Table.from_pylist(pairs))
+    docs_ds = rd.from_arrow(docs)
+    cols = ["a", "b", "a_start", "b_start", "length"]
+    via_bcast = (
+        substring_spans(pairs_ds, docs_ds, CFG)
+        .to_pandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    via_join = (
+        substring_spans_join(pairs_ds, docs_ds, CFG)
+        .to_pandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert via_bcast[cols].equals(via_join)
