@@ -82,13 +82,17 @@ def run_headline(sf: float, pages_per_sf: int = PAGES_PER_SF) -> dict:
     _warm_workers()
     t0 = time.monotonic()
     res = run_dedup(rd.read_parquet(pages_path))
+    t1 = time.monotonic()
     n_clusters = res.clusters.count()
     wall = time.monotonic() - t0
+    stages = dict(res.metrics)
+    stages["cluster_assign_sec"] = round(time.monotonic() - t1, 3)
     return {
         "sec": wall,
         "n_pages": n_pages,
         "n_cluster_rows": n_clusters,
         "docs_per_sec": n_pages / wall,
+        "stages": stages,
     }
 
 
@@ -245,6 +249,19 @@ def scaling() -> None:
     t_lo, t_hi = results[lo]["sec"], results[hi]["sec"]
     speedup = t_lo / t_hi
     ceiling = host_cpu_ceiling(lo, hi)
+    # per-stage scaling: which phase flattens first is auditable right here
+    stage_scaling = {
+        k: {
+            f"sec_{lo}": results[lo]["stages"].get(k),
+            f"sec_{hi}": results[hi]["stages"].get(k),
+            "speedup": round(
+                results[lo]["stages"][k] / max(results[hi]["stages"][k], 1e-9), 2
+            )
+            if results[lo]["stages"].get(k) and results[hi]["stages"].get(k)
+            else None,
+        }
+        for k in results[lo].get("stages", {})
+    }
     print(
         json.dumps(
             {
@@ -262,6 +279,7 @@ def scaling() -> None:
                     "docs_per_sec": round(results[hi]["docs_per_sec"], 1),
                 },
                 "speedup": round(speedup, 3),
+                "stage_scaling": stage_scaling,
             }
         )
     )

@@ -74,32 +74,57 @@ def run_dedup(
     (label_prop once the verified pair count exceeds
     ``label_prop_threshold``; both produce identical components —
     tests/test_pipeline.py::test_run_dedup_label_prop_path_equals_dsu)."""
+    import time as _time
+
+    metrics: dict[str, Any] = {}
+    t0 = _time.monotonic()
     docs = extract_stage(pages_ds)
     docs_unique, dup_map, docs_mat, dup_ref = exact_dedup(
         docs, return_extras=True, strategy=exact_strategy
     )
+    metrics["extract_exact_sec"] = round(_time.monotonic() - t0, 3)
     # signatures feed two consumers (LSH + verify): materialize once so the
     # actor-pool stage doesn't run twice
+    t0 = _time.monotonic()
     signatures = signature_stage(
         docs_unique, cfg, concurrency=signature_concurrency
     ).materialize()
+    metrics["signatures_sec"] = round(_time.monotonic() - t0, 3)
     # RAW pairs (cross-band duplicates allowed): the distinct happens inside
     # the verify exchange, saving a whole dedup shuffle
+    t0 = _time.monotonic()
     raw_pairs = lsh_raw_pairs(signatures, cfg).materialize()
+    metrics["lsh_pairs_sec"] = round(_time.monotonic() - t0, 3)
     cand_pairs = None  # derived lazily below for callers that want it
+    t0 = _time.monotonic()
     if verify_strategy == "join":
         cand_pairs = lsh_candidate_pairs_from_raw(raw_pairs, cfg).materialize()
         verified = verify_pairs_join(cand_pairs, signatures, cfg)
     else:
         # the verify broadcast only needs pair members' signatures — a small
-        # fraction of the corpus (raw_pairs is materialized and narrow;
-        # duplicates collapse inside np.unique)
+        # fraction of the corpus; collect PER-BLOCK UNIQUES (the raw pair
+        # blocks may repeat members millions of times — shipping full id
+        # columns through the driver was a measurable serial segment)
         import numpy as _np
 
-        ids_l = []
-        for b in raw_pairs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-            ids_l.append(b["a"].to_numpy(zero_copy_only=False).astype(_np.int64))
-            ids_l.append(b["b"].to_numpy(zero_copy_only=False).astype(_np.int64))
+        def _block_uniq(t):
+            u = _np.unique(
+                _np.concatenate(
+                    [
+                        t["a"].to_numpy(zero_copy_only=False).astype(_np.int64),
+                        t["b"].to_numpy(zero_copy_only=False).astype(_np.int64),
+                    ]
+                )
+            )
+            import pyarrow as _pa
+
+            return _pa.table({"v": _pa.array(u, type=_pa.int64())})
+
+        ids_l = [
+            b["v"].to_numpy(zero_copy_only=False).astype(_np.int64)
+            for b in raw_pairs.map_batches(_block_uniq, batch_format="pyarrow")
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        ]
         pair_ids = (
             _np.unique(_np.concatenate(ids_l)) if ids_l else _np.empty(0, _np.int64)
         )
@@ -107,6 +132,8 @@ def run_dedup(
             raw_pairs, signatures, cfg, pair_ids=pair_ids
         )
     verified = verified.materialize()
+    metrics["verify_sec"] = round(_time.monotonic() - t0, 3)
+    t0 = _time.monotonic()
     if cand_pairs is None:
         cand_pairs = lsh_candidate_pairs_from_raw(raw_pairs, cfg)
     def components(edges_ds):
@@ -133,6 +160,7 @@ def run_dedup(
         dup_map = dup_map.materialize()
         root_map = components(cluster_edges(verified, dup_map))
         clusters = assign_clusters(docs_unique, dup_map, root_map)
+    metrics["cluster_sec"] = round(_time.monotonic() - t0, 3)
     return DedupResult(
         docs_unique=docs_unique,
         dup_map=dup_map,
@@ -141,4 +169,5 @@ def run_dedup(
         verified_pairs=verified,
         clusters=clusters,
         root_map=root_map,
+        metrics=metrics,
     )
