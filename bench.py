@@ -66,6 +66,9 @@ def _warm_workers() -> None:
         import pandas  # noqa: F401  (map_groups stages deserialize pandas blocks)
         import imagededupx_ray.stages.lsh  # noqa: F401  (pulls numpy/pyarrow too)
         import imagededupx_ray.stages.verify  # noqa: F401
+        from imagededupx_ray.functions import native
+
+        native.available()  # compile/load the C kernels before the timed window
 
         return batch
 

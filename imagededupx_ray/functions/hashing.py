@@ -242,12 +242,43 @@ def simhash_vector(
             local_starts = (ne_cum[g0:g1] - s0).astype(np.int64)
             ones[nonempty[g0:g1]] = np.add.reduceat(bits, local_starts, axis=0)
             g0 = g1
+    return _pack_simhash(ones, counts)
+
+
+def _pack_simhash(ones: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """(n_docs, 64) MSB-first per-bit counts -> packed uint64 simhash values.
+    Tie (2*ones == m) -> bit 0; empty docs -> 0."""
     m = counts.astype(np.int64)[:, None]
     sign_bits = (2 * ones > m).astype(np.uint8)  # strictly-more-ones -> 1
     packed = np.packbits(sign_bits, axis=1)  # MSB-first
     out = packed.reshape(-1, 8).copy().view(">u8").reshape(-1).astype(np.uint64)
     out[counts == 0] = 0
     return out
+
+
+def minhash_simhash(
+    shingles: np.ndarray, counts: np.ndarray, salts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fused (minhash matrix, simhash vector) over one flat shingle pass.
+
+    Uses the native C kernel (functions/native.py, compiled once per node)
+    when a C compiler is present — measured ~6.7x faster than the two numpy
+    kernels on the bench corpus — and falls back to ``minhash_matrix`` +
+    ``simhash_vector`` otherwise. Both paths are bit-identical
+    (tests/test_functions.py::test_native_signature_kernel_parity)."""
+    from imagededupx_ray.functions import native
+
+    n_docs = len(counts)
+    num_perms = len(salts)
+    nonempty = np.flatnonzero(counts > 0).astype(np.int64)
+    if len(nonempty) and native.available():
+        mh = np.full((n_docs, num_perms), _EMPTY_SENTINEL, dtype=np.uint64)
+        ones = np.zeros((n_docs, 64), dtype=np.int64)
+        ne_counts = counts[nonempty].astype(np.int64)
+        bounds = np.concatenate(([0], np.cumsum(ne_counts)))
+        if native.signature_kernel(shingles, bounds, nonempty, salts, mh, ones):
+            return mh, _pack_simhash(ones, counts)
+    return minhash_matrix(shingles, counts, salts), simhash_vector(shingles, counts)
 
 
 def band_buckets(mh: np.ndarray, bands: int, rows: int) -> np.ndarray:

@@ -130,6 +130,39 @@ def _extract_vectorized(doc: pa.Array) -> tuple[pa.Array, np.ndarray]:
     return pc.utf8_trim(collapsed, " "), slow
 
 
+def _extract_native(doc: pa.Array):
+    """Native one-pass twin of ``_main_slice`` + ``_extract_vectorized``
+    (functions/native.py ``extract_kernel``): tag strip, entity decode and
+    whitespace collapse fused into a single scan — the pyarrow path makes ~6
+    full passes over the html payload and is memory-bandwidth-bound at high
+    core counts. Returns (texts, entity-slow mask) or None when no C compiler
+    is available (caller falls back to the pyarrow path; byte-identical —
+    tests/test_extract_fuzz.py pins parity)."""
+    from imagededupx_ray.functions import native
+
+    if not native.available():
+        return None
+    doc = _combine(doc)
+    data_mv, off = _utf8_slices(doc)
+    data = (
+        np.frombuffer(data_mv, dtype=np.uint8)
+        if len(data_mv)
+        else np.empty(0, np.uint8)
+    )
+    res = native.extract_kernel(data, off, len(doc))
+    if res is None:
+        return None
+    out, out_off, slow = res
+    if int(out_off[-1]) >= (1 << 31):  # >2 GiB of text in one batch: pc path
+        return None
+    arr = pa.Array.from_buffers(
+        pa.utf8(),
+        len(doc),
+        [None, pa.py_buffer(out_off.astype(np.int32).tobytes()), pa.py_buffer(out.tobytes())],
+    )
+    return arr, slow
+
+
 def extract_batch(batch: pa.Table) -> pa.Table:
     """pages batch → docs batch. Prefers extracting from ``html``; falls back
     to the provided ``text`` column when html is null/absent."""
@@ -145,7 +178,14 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         valid = pc.is_valid(html_col).to_numpy(zero_copy_only=False)
         try:
             doc = pc.cast(pc.fill_null(html_col, b""), pa.string())
-            extracted, slow = _extract_vectorized(doc)
+            nat = _extract_native(doc)
+            if nat is not None:
+                extracted, slow = nat
+                # non-ASCII rows diverge on \s semantics -> scalar path (the
+                # pyarrow twin folds this into _extract_vectorized)
+                slow = slow | ~pc.string_is_ascii(doc).to_numpy(zero_copy_only=False)
+            else:
+                extracted, slow = _extract_vectorized(doc)
             text_arr = pc.if_else(pa.array(valid), extracted, fallback_text)
             slow &= valid
         except pa.ArrowInvalid:  # invalid utf-8 somewhere: scalar-path the batch

@@ -38,8 +38,7 @@ class SignatureStage:
         flat, offsets = tokenize_batch(batch["text"])
         token_h = H.token_hash_flat(flat, unique_cache=self.token_cache)
         shingles, counts = H.shingle_hashes(token_h, offsets, cfg.shingle_k)
-        mh = H.minhash_matrix(shingles, counts, self.salts)
-        sv = H.simhash_vector(shingles, counts)
+        mh, sv = H.minhash_simhash(shingles, counts, self.salts)
         mh_col = pa.FixedSizeListArray.from_arrays(
             pa.array(mh.reshape(-1), type=pa.uint64()), cfg.num_perms
         )

@@ -75,3 +75,31 @@ def test_stage_schemas_conform(ray_session, fixture_corpus):
     cp_tbl = next(iter(res.cand_pairs.iter_batches(batch_size=8, batch_format="pyarrow")))
     for f in S.CAND_PAIRS:
         assert cp_tbl.schema.field(f.name).type == f.type
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=8))
+def test_native_extract_matches_pyarrow_path(docs):
+    """The C extract kernel and the pyarrow.compute chain must agree on both
+    the slow-row routing and the fast-path output (ASCII inputs; non-ASCII is
+    pre-routed to the scalar path before either kernel runs)."""
+    import pyarrow.compute as pc
+
+    from imagededupx_ray.stages.extract import (
+        _combine,
+        _extract_native,
+        _extract_vectorized,
+    )
+
+    ascii_docs = [d.encode("ascii", "ignore").decode("ascii") for d in docs]
+    doc = pa.array(ascii_docs, type=pa.string())
+    nat = _extract_native(doc)
+    if nat is None:  # no C compiler: nothing to compare
+        return
+    n_txt, n_slow = nat
+    v_txt, v_slow = _extract_vectorized(doc)
+    v_txt = _combine(v_txt)
+    assert np.array_equal(np.asarray(n_slow), np.asarray(v_slow))
+    for i in range(len(ascii_docs)):
+        if not v_slow[i]:
+            assert n_txt[i].as_py() == v_txt[i].as_py(), repr(ascii_docs[i])

@@ -159,3 +159,34 @@ def test_eval_metrics_known_values():
     # rank 1 perfect retrieval
     qrels2 = {0: {10}, 1: {20}}
     assert E.mrr_at_k(res, qrels2, 3) == 1.0
+
+
+def test_native_signature_kernel_parity():
+    """The C fast path (functions/native.py) must be bit-identical to the
+    numpy MinHash/SimHash kernels on adversarial shapes: empty docs, 1-shingle
+    docs, a mega-doc, and random segment sizes."""
+    import numpy as np
+
+    from imagededupx_ray.functions import hashing as H
+    from imagededupx_ray.functions import native
+
+    if not native.available():  # no C compiler on this node: fallback path
+        rng = np.random.default_rng(7)
+        sh = rng.integers(0, 1 << 63, size=100, dtype=np.uint64)
+        cnt = np.array([100], dtype=np.int64)
+        salts = H.make_permutations(8, 1)
+        mh, sv = H.minhash_simhash(sh, cnt, salts)
+        assert np.array_equal(mh, H.minhash_matrix(sh, cnt, salts))
+        return
+
+    rng = np.random.default_rng(7)
+    counts = np.array([0, 1, 3, 0, 50_000, 7, 2, 0, 129], dtype=np.int64)
+    sh = rng.integers(0, 1 << 64, size=int(counts.sum()), dtype=np.uint64)
+    for num_perms in (8, 128):
+        salts = H.make_permutations(num_perms, 12345)
+        mh_n, sv_n = H.minhash_simhash(sh, counts, salts)
+        assert np.array_equal(mh_n, H.minhash_matrix(sh, counts, salts))
+        assert np.array_equal(sv_n, H.simhash_vector(sh, counts))
+    # all-empty batch
+    mh_e, sv_e = H.minhash_simhash(np.empty(0, np.uint64), np.zeros(3, np.int64), salts)
+    assert (mh_e == H._EMPTY_SENTINEL).all() and (sv_e == 0).all()
