@@ -52,10 +52,73 @@ def extract_text_batch(html_col: pa.Array) -> pa.Array:
     )
 
 
+def utf8_slices(arr: pa.Array):
+    """(memoryview over utf8 data, int offsets) for a string array — lets
+    byte-level numpy/C kernels skip python-str materialization entirely."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        odt = np.int64
+    else:
+        odt = np.int32
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + len(arr) + 1]
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    return data, off
+
+
+# RE2's \s (ASCII): \t \n \v \f \r — space handled separately below
+_RE2_WS_NOSPACE = np.zeros(256, dtype=bool)
+_RE2_WS_NOSPACE[[0x09, 0x0A, 0x0B, 0x0C, 0x0D]] = True
+
+
+def _collapse_is_identity(arr: pa.Array) -> bool:
+    """True when ``replace(\\s+ -> " ") + trim_whitespace`` is provably a
+    no-op on every row: no ASCII whitespace besides single interior spaces,
+    no double spaces, no edge spaces, and no non-ASCII first/last character
+    (which could be unicode whitespace that trim would strip). One vectorized
+    byte scan — the RE2 pass it replaces costs ~15x more and is an identity
+    on text that already went through the extract collapse."""
+    data_mv, off = utf8_slices(arr)
+    n = len(off) - 1
+    if n <= 0 or len(data_mv) == 0:
+        return True
+    b = np.frombuffer(data_mv, dtype=np.uint8)
+    lo, hi = int(off[0]), int(off[-1])
+    seg = b[lo:hi]
+    if _RE2_WS_NOSPACE[seg].any():
+        return False
+    sp = seg == 0x20
+    # double-space check may straddle a row boundary — a false hit only means
+    # the (identity) regex runs, never a wrong result
+    if len(sp) > 1 and (sp[:-1] & sp[1:]).any():
+        return False
+    nonempty = off[1:] > off[:-1]
+    if nonempty.any():
+        starts = off[:-1][nonempty].astype(np.int64)
+        ends = off[1:][nonempty].astype(np.int64) - 1
+        edge = np.concatenate([b[starts], b[ends]])
+        # 0x1C-0x1F: not RE2 \s, but utf8_trim_whitespace (python isspace
+        # semantics) strips them at row edges
+        if (
+            (edge == 0x20).any()
+            or (edge >= 0x80).any()
+            or ((edge >= 0x1C) & (edge <= 0x1F)).any()
+        ):
+            return False
+    return True
+
+
 def normalize_batch(text_col) -> pa.Array:
-    """Lowercase + collapse whitespace + trim, via Arrow compute kernels."""
+    """Lowercase + collapse whitespace + trim, via Arrow compute kernels.
+    The collapse+trim passes are skipped when a cheap byte scan proves them
+    identity (the common case for text produced by the extract stage)."""
     arr = text_col if isinstance(text_col, (pa.Array, pa.ChunkedArray)) else pa.array(text_col, type=pa.string())
     arr = pc.utf8_lower(arr)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if _collapse_is_identity(arr):
+        return arr
     arr = pc.replace_substring_regex(arr, pattern=r"\s+", replacement=" ")
     return pc.utf8_trim_whitespace(arr)
 

@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from imagededupx_ray.functions.hashing import MASK63
-from imagededupx_ray.functions.text import extract_text
+from imagededupx_ray.functions.text import extract_text, utf8_slices as _utf8_slices
 
 # the five entities html.unescape and a chained RE2 replace agree on; any
 # other '&' routes the row to the scalar path
@@ -42,18 +42,6 @@ def _combine(col):
     return col
 
 
-def _utf8_slices(arr: pa.Array):
-    """(memoryview over utf8 data, int offsets) for a string array — lets the
-    per-row C hash loops skip python-str materialization entirely."""
-    arr = _combine(arr)
-    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
-        odt = np.int64
-    else:
-        odt = np.int32
-    bufs = arr.buffers()
-    off = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + len(arr) + 1]
-    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
-    return data, off
 
 
 def _hash64_column(arr: pa.Array) -> np.ndarray:

@@ -190,3 +190,34 @@ def test_native_signature_kernel_parity():
     # all-empty batch
     mh_e, sv_e = H.minhash_simhash(np.empty(0, np.uint64), np.zeros(3, np.int64), salts)
     assert (mh_e == H._EMPTY_SENTINEL).all() and (sv_e == 0).all()
+
+
+def test_normalize_fast_path_equals_regex_path():
+    """The collapse-skip byte scan must never change normalize_batch output:
+    rows that trip it fall back to the RE2 pass, rows that pass it are
+    provably already collapsed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from imagededupx_ray.functions.text import normalize_batch
+
+    cases = [
+        "already collapsed text",
+        "",
+        " leading", "trailing ", "dou  ble", "tab\there", "nl\nhere",
+        "cr\rx", "\x0b", "\x0c", "UPPER Case",
+        "unicode 汉字 interior", "édge", "汉",
+        "ends uni\xa0", "\xa0starts", "mixed \t \n ws",
+        "x", " ", "a b c", "\x1c fs-char",  # \x1c is NOT RE2 \s: token char
+    ]
+    arr = pa.array(cases, type=pa.string())
+    got = normalize_batch(arr)
+    # reference: the unconditional kernel chain
+    want = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(pc.utf8_lower(arr), pattern=r"\s+", replacement=" ")
+    )
+    assert got.to_pylist() == want.to_pylist()
+    # per-row singletons exercise both branches row-by-row
+    for s in cases:
+        one = normalize_batch(pa.array([s], type=pa.string()))
+        assert one.to_pylist() == want.slice(cases.index(s), 1).to_pylist()
