@@ -101,10 +101,22 @@ def broadcast_signatures(
     nperm = cfg.num_perms
     only_ref = ray.put(np.sort(only_ids.astype(np.int64))) if only_ids is not None else None
 
-    def compact(batch: pa.Table) -> pa.Table:
+    @ray.remote
+    def compact(batch: pa.Table, want):
+        """One materialized signature block → (ids i64, mh u32 matrix, sim
+        u64), restricted to ``want`` (auto-dereferenced broadcast array).
+        Minhash truncates to the low 32 bits: verify only tests per-component
+        EQUALITY (est_jaccard = agreement fraction), and a 32-bit false-equal
+        is 2^-32/component — halves every broadcast cost."""
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            # 0-row blocks may carry no schema at all
+            return (
+                np.empty(0, np.int64),
+                np.empty((0, nperm), np.uint32),
+                np.empty(0, np.uint64),
+            )
         i, m, s, _ = signatures_to_numpy(batch, nperm)
-        if only_ref is not None:
-            want = ray.get(only_ref)
+        if want is not None:
             if len(want):
                 pos = np.searchsorted(want, i)
                 pos[pos >= len(want)] = 0
@@ -112,67 +124,33 @@ def broadcast_signatures(
             else:
                 keep = np.zeros(len(i), dtype=bool)
             i, m, s = i[keep], m[keep], s[keep]
-        # broadcast minhash truncated to the low 32 bits: verify only tests
-        # per-component EQUALITY (est_jaccard = agreement fraction), and a
-        # 32-bit false-equal is 2^-32/component — halves every broadcast cost
-        return pa.table(
-            {
-                "n": pa.array([len(i)], type=pa.int64()),
-                "ids": pa.array([i.astype(np.int64, copy=False).tobytes()], type=pa.large_binary()),
-                "mh": pa.array(
-                    [np.ascontiguousarray(m.astype(np.uint32)).tobytes()],
-                    type=pa.large_binary(),
-                ),
-                "sim": pa.array([s.astype(np.uint64, copy=False).tobytes()], type=pa.large_binary()),
-            }
+        return (
+            i.astype(np.int64, copy=False),
+            np.ascontiguousarray(m.astype(np.uint32)),
+            s.astype(np.uint64, copy=False),
         )
 
-    cells = signatures_ds.map_batches(
-        compact, batch_format="pyarrow", batch_size=65536
-    ).materialize()
-
     @ray.remote
-    def assemble(*tbls):
-        """Concat the packed per-block cells into the broadcast arrays INSIDE
-        a worker — the big object is written to the object store once as the
+    def assemble(*cells):
+        """Concat the per-block cells into the broadcast arrays INSIDE a
+        worker — the big object is written to the object store once as the
         task's return value; the driver only ever holds the ref (driver
-        serial time is what caps scaling efficiency). Cell payloads are read
-        as zero-copy views of the plasma-backed arrow buffers (an as_py()
-        version copied every cell through python bytes — 5x slower at 500MB)."""
-
-        def cell_views(t: pa.Table, name: str, dt):
-            col = t[name]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            off = np.frombuffer(col.buffers()[1], dtype=np.int64)[
-                col.offset : col.offset + len(col) + 1
-            ]
-            data = col.buffers()[2]
-            base = np.frombuffer(data, dtype=np.uint8) if data is not None else None
-            return [
-                base[off[r] : off[r + 1]].view(dt) for r in range(len(col))
-            ] if base is not None else []
-
-        ids_l, mh_l, sim_l = [], [], []
-        for t in tbls:
-            ids_l.extend(cell_views(t, "ids", np.int64))
-            mh_l.extend(cell_views(t, "mh", np.uint32))
-            sim_l.extend(cell_views(t, "sim", np.uint64))
-        n_total = sum(len(x) for x in ids_l)
-        ids = np.empty(n_total, dtype=np.int64)
-        mh = np.empty((n_total, nperm), dtype=np.uint32)
-        sim = np.empty(n_total, dtype=np.uint64)
-        pos = 0
-        for i_arr, m_arr, s_arr in zip(ids_l, mh_l, sim_l):
-            k = len(i_arr)
-            ids[pos : pos + k] = i_arr
-            mh[pos : pos + k] = m_arr.reshape(-1, nperm)
-            sim[pos : pos + k] = s_arr
-            pos += k
+        serial time is what caps scaling efficiency)."""
+        ids = np.concatenate([c[0] for c in cells]) if cells else np.empty(0, np.int64)
+        mh = (
+            np.concatenate([c[1] for c in cells])
+            if cells
+            else np.empty((0, nperm), np.uint32)
+        )
+        sim = np.concatenate([c[2] for c in cells]) if cells else np.empty(0, np.uint64)
         order = np.argsort(ids).astype(np.int64)
         return (ids[order], order, mh, sim)
 
-    return assemble.remote(*cells.to_arrow_refs())
+    # plain ray tasks over the signature blocks — no Dataset execution (its
+    # planning/stream/barrier latency was a fixed serial segment in the
+    # verify phase); to_arrow_refs() on the materialized signatures is free
+    cells = [compact.remote(r, only_ref) for r in signatures_ds.to_arrow_refs()]
+    return assemble.remote(*cells)
 
 
 _PROC_CACHE: dict = {}
