@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_winnow_fingerprints": Q.docs_winnow_fingerprints,
         "simhash_dup_pairs": Q.simhash_dup_pairs,
         "ann_cosine": Q.ann_cosine,
+        "ann_hnsw": Q.ann_hnsw,
         "embedding_dup_pairs_ann": Q.embedding_dup_pairs_ann,
         "image_decode_features": Q.image_decode_features,
         "image_perceptual_hashes": Q.image_perceptual_hashes,

@@ -861,6 +861,21 @@ def ann_cosine(sf_dir: str, n_queries: int = 10, k: int = 10):
     return out
 
 
+def ann_hnsw(sf_dir: str, n_queries: int = 10, k: int = 10):
+    """Graph-ANN (HNSW) approximate top-k — the reference's Hnswlib tier
+    (fast_bert_similarity.py:40-58), sharded per-partition graphs built in
+    ``map_groups``; rows-only — recall vs brute force is gated in
+    tests/test_hnsw.py."""
+    from imagededupx_ray.stages.hnsw import hnsw_topk
+
+    emb = _read(sf_dir, "embeddings")
+    q = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    Q = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    out = hnsw_topk(emb, Q, q["vec_id"].to_numpy(), k=k)
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
 def image_decode_features(sf_dir: str):
     """Multimodal plumbing: synthetic binary payloads through the actor-pool
     decode stage (deterministic fake kernel; real Ray-side layout)."""
