@@ -51,6 +51,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": Q.docs_quality,
         "docs_fingerprint_md5": Q.docs_fingerprint_md5,
         "embedding_dup_pairs": Q.embedding_dup_pairs,
+        "bm25_search": Q.bm25_search,
+        "tfidf_search": Q.tfidf_search,
+        "ensemble_search": Q.ensemble_search,
         # non-SQL-expressible (rows-only check; gated by pytest oracle instead)
         "dedup_clusters": Q.dedup_clusters,
         "dedup_cluster_report": Q.dedup_cluster_report,
@@ -65,14 +68,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_features": Q.image_decode_features,
         "image_perceptual_hashes": Q.image_perceptual_hashes,
         "image_phash_dup_pairs": Q.image_phash_dup_pairs,
-        "bm25_search": Q.bm25_search,
-        "tfidf_search": Q.tfidf_search,
-        "ensemble_search": Q.ensemble_search,
         "substring_spans_docs": Q.substring_spans_docs,
     }
 
 
 _TOKS = "list_distinct(string_split_regex(lower(trim(text)), '\\s+'))"
+
+# shared CTE fragments for the string-query retrieval oracles (bm25_search /
+# tfidf_search / ensemble_search). The fixed query strings mirror
+# imagededupx_ray.queries.ENSEMBLE_QUERIES; tokenization matches the engine's
+# normalize+whitespace-split (same contract the tfidf_cosine_topk gate pins).
+_Q_VALUES = (
+    "q(query_id, qtext) AS (VALUES "
+    "(CAST(0 AS BIGINT), 'key value hash table scan'), "
+    "(CAST(1 AS BIGINT), 'window stream batch merge'), "
+    "(CAST(2 AS BIGINT), 'sort order join part'))"
+)
+_RETRIEVAL_BASE = (
+    f"{_Q_VALUES}, "
+    "qt AS (SELECT query_id, unnest(string_split_regex(lower(trim(qtext)), "
+    "'\\s+')) AS tok FROM q), "
+    "qtf AS (SELECT query_id, tok, CAST(COUNT(*) AS DOUBLE) AS tfq "
+    "FROM qt GROUP BY 1, 2), "
+    "toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), "
+    "'\\s+')) AS tok FROM documents WHERE trim(text) <> ''), "
+    "df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df "
+    "FROM toks GROUP BY 1)"
+)
+# BM25 Okapi (k1=1.5, b=0.75, epsilon=0.25 — stages/bm25.py constants):
+# idf = ln((N - df + 0.5)/(df + 0.5)), negative idfs floored at
+# epsilon * mean(positive query-term idfs); N / avgdl over ALL documents.
+_BM25_CTES = (
+    "dtf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS f "
+    "FROM toks GROUP BY 1, 2), "
+    "dlen AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "len(string_split_regex(lower(trim(text)), '\\s+')) END AS dl "
+    "FROM documents), "
+    "stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+    "AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dlen), "
+    "uq AS (SELECT DISTINCT tok FROM qt), "
+    "rawidf AS (SELECT uq.tok, ln(((SELECT n FROM stats) - "
+    "COALESCE(df.df, 0) + 0.5) / (COALESCE(df.df, 0) + 0.5)) AS raw "
+    "FROM uq LEFT JOIN df USING (tok)), "
+    "flr AS (SELECT 0.25 * AVG(raw) FILTER (WHERE raw > 0) AS floor "
+    "FROM rawidf), "
+    "bidf AS (SELECT tok, CASE WHEN raw > 0 THEN raw "
+    "ELSE COALESCE((SELECT floor FROM flr), 0.25) END AS idf FROM rawidf), "
+    "bs AS (SELECT qtf.query_id, dtf.doc_id, "
+    "SUM(bidf.idf * qtf.tfq * (dtf.f * 2.5) / "
+    "(dtf.f + 1.5 * (0.25 + 0.75 * dlen.dl / (SELECT avgdl FROM stats)))) "
+    "AS score FROM qtf JOIN bidf USING (tok) "
+    "JOIN dtf ON dtf.tok = qtf.tok "
+    "JOIN dlen ON dlen.doc_id = dtf.doc_id GROUP BY 1, 2), "
+    "br AS (SELECT query_id, doc_id, score, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank "
+    "FROM bs WHERE score > 0)"
+)
+# TF-IDF cosine for string queries: w = tf * ln(N/df) with N = docs having
+# >= 1 token; doc norms over the FULL doc vector (stages/tfidf.py contract).
+_TFIDF_CTES = (
+    "tf2 AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf "
+    "FROM toks GROUP BY 1, 2), "
+    "nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM toks), "
+    "w AS (SELECT doc_id, tf2.tok, tf * ln((SELECT n FROM nn) / df.df) AS wt "
+    "FROM tf2 JOIN df USING (tok)), "
+    "nrm AS (SELECT doc_id, SQRT(SUM(wt * wt)) AS nrm FROM w GROUP BY doc_id), "
+    "qw AS (SELECT query_id, qtf.tok, tfq * ln((SELECT n FROM nn) / df.df) "
+    "AS wt FROM qtf JOIN df USING (tok)), "
+    "qn AS (SELECT query_id, SQRT(SUM(wt * wt)) AS qnrm FROM qw GROUP BY 1), "
+    "ts AS (SELECT qw.query_id, w.doc_id, "
+    "SUM(qw.wt * w.wt) / (ANY_VALUE(nrm.nrm) * ANY_VALUE(qn.qnrm)) AS score "
+    "FROM qw JOIN w ON w.tok = qw.tok "
+    "JOIN nrm ON nrm.doc_id = w.doc_id "
+    "JOIN qn ON qn.query_id = qw.query_id GROUP BY 1, 2), "
+    "tr AS (SELECT query_id, doc_id, score, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank "
+    "FROM ts WHERE score > 0)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -185,6 +257,31 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(a.v, b.v) AS cos "
             "FROM e a JOIN e b ON a.vec_id < b.vec_id) "
             "SELECT a, b, ROUND(cos, 6) AS cosine FROM s WHERE cos >= 0.4"
+        ),
+        "bm25_search": (
+            f"WITH {_RETRIEVAL_BASE}, {_BM25_CTES} "
+            "SELECT query_id, doc_id, ROUND(score, 6) AS score, "
+            "CAST(rank AS BIGINT) AS rank FROM br WHERE rank <= 10"
+        ),
+        "tfidf_search": (
+            f"WITH {_RETRIEVAL_BASE}, {_TFIDF_CTES} "
+            "SELECT query_id, doc_id, ROUND(score, 6) AS score, "
+            "CAST(rank AS BIGINT) AS rank FROM tr WHERE rank <= 10"
+        ),
+        "ensemble_search": (
+            # RRF c=60 over each retriever's top-30 (functions/fusion.py)
+            f"WITH {_RETRIEVAL_BASE}, {_BM25_CTES}, {_TFIDF_CTES}, "
+            "rrf AS (SELECT query_id, doc_id, 1.0 / (60 + rank) AS rrf "
+            "FROM br WHERE rank <= 30 UNION ALL "
+            "SELECT query_id, doc_id, 1.0 / (60 + rank) AS rrf "
+            "FROM tr WHERE rank <= 30), "
+            "fused AS (SELECT query_id, doc_id, SUM(rrf) AS score "
+            "FROM rrf GROUP BY 1, 2), "
+            "fr AS (SELECT query_id, doc_id, score, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank "
+            "FROM fused) "
+            "SELECT query_id, doc_id, ROUND(score, 6) AS score, "
+            "CAST(rank AS BIGINT) AS rank FROM fr WHERE rank <= 10"
         ),
         "knn_cosine": (
             "WITH e AS (SELECT vec_id, "
