@@ -112,6 +112,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("knn_cosine", Q.knn_cosine),
         ("docs_token_stats", Q.docs_token_stats),
         ("tfidf_search", Q.tfidf_search),
+        ("bm25_search", Q.bm25_search),
+        ("ensemble_search", Q.ensemble_search),
+        ("ann_hnsw", Q.ann_hnsw),
         ("simhash_dup_pairs", Q.simhash_dup_pairs),
         ("embedding_dup_pairs_ann", Q.embedding_dup_pairs_ann),
     ]:
@@ -334,6 +337,9 @@ def merge_bench() -> None:
         t0 = time.monotonic()
         build_snapshot(store, delta, "delta", parent="base")
         t_merge = time.monotonic() - t0
+        from imagededupx_ray.pipelines import incremental as _inc
+
+        pair_walls = dict(_inc.MERGE_PAIR_WALLS)  # before the rebuild clears it
         store2 = SnapshotStore(os.path.join(root, "full"), DEFAULT_CONFIG)
         t0 = time.monotonic()
         build_snapshot(store2, pages, "full")
@@ -358,6 +364,7 @@ def merge_bench() -> None:
                     "full_rebuild_sec": round(t_rebuild, 3),
                     "merge_over_rebuild": round(t_merge / t_rebuild, 3),
                     "merge_stage_walls": stages,
+                    "merge_pair_walls": pair_walls,
                     "num_cpus": NUM_CPUS,
                 }
             )

@@ -114,18 +114,39 @@ def _col_i64(name: str):
     return fn
 
 
+def _uniq_and_multi(ds, value_fn) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted unique values, the subset occurring >= 2 times globally) in one
+    pass of block tasks — the driver merge is bounded by the dataset's
+    distinct count (delta-bounded at every call site)."""
+
+    @ray.remote
+    def pick(t: pa.Table):
+        if t.num_rows == 0:
+            return _EMPTY, _EMPTY
+        return np.unique(value_fn(t), return_counts=True)
+
+    res = [r for r in ray.get([pick.remote(b) for b in ds.to_arrow_refs()]) if len(r[0])]
+    if not res:
+        return _EMPTY, _EMPTY
+    u, inv = np.unique(np.concatenate([r[0] for r in res]), return_inverse=True)
+    tot = np.zeros(len(u), dtype=np.int64)
+    np.add.at(tot, inv, np.concatenate([r[1] for r in res]))
+    return u, u[tot >= 2]
+
+
 def _collect_unique_i64(ds, value_fn) -> np.ndarray:
-    """Sorted unique int64s of a derived column, streamed as per-block
-    uniques (the driver holds only the distinct set)."""
+    """Sorted unique int64s of a derived column: plain ray tasks over the
+    dataset's blocks (to_arrow_refs is free on materialized inputs — no
+    Dataset-execution latency; lazy inputs execute once, as before). The
+    driver only ever holds the distinct set."""
 
-    def pick(t: pa.Table) -> pa.Table:
-        return pa.table({"v": pa.array(np.unique(value_fn(t)), type=pa.int64())})
+    @ray.remote
+    def pick(t: pa.Table) -> np.ndarray:
+        if t.num_rows == 0:
+            return _EMPTY
+        return np.unique(value_fn(t))
 
-    parts = []
-    for b in ds.map_batches(pick, batch_format="pyarrow").iter_batches(
-        batch_size=1 << 20, batch_format="pyarrow"
-    ):
-        parts.append(b["v"].to_numpy(zero_copy_only=False).astype(np.int64))
+    parts = [p for p in ray.get([pick.remote(r) for r in ds.to_arrow_refs()]) if len(p)]
     return np.unique(np.concatenate(parts)) if parts else _EMPTY
 
 
@@ -276,6 +297,11 @@ def _decorate_part(p: int):
     return fn
 
 
+# sub-phase walls of the most recent merge's verified_pairs stage — the
+# auditable "where did the merge floor go" record (surfaced by bench --merge)
+MERGE_PAIR_WALLS: dict = {}
+
+
 def _emit_verify(
     rows_ds,
     sig_view_ds,
@@ -315,16 +341,31 @@ def _emit_verify(
             out = out[ex[pos] != k]
         return out
 
+    t0 = time.monotonic()
     raw = _arrow(
         rows_ds.map_batches(_decorate_part(p), batch_format="pyarrow")
         .groupby("_part")
         .map_groups(emit_filtered, batch_format="pandas")
     ).materialize()
-    ids_l = []
-    for b in raw.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        ids_l.append(b["a"].to_numpy(zero_copy_only=False).astype(np.int64))
-        ids_l.append(b["b"].to_numpy(zero_copy_only=False).astype(np.int64))
+    MERGE_PAIR_WALLS["emit_shuffle_sec"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+
+    @ray.remote
+    def _uniq(t: pa.Table) -> np.ndarray:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _EMPTY
+        return np.unique(
+            np.concatenate(
+                [
+                    t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    t["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+                ]
+            )
+        )
+
+    ids_l = [u for u in ray.get([_uniq.remote(r) for r in raw.to_arrow_refs()]) if len(u)]
     pair_ids = np.unique(np.concatenate(ids_l)) if ids_l else _EMPTY
+    MERGE_PAIR_WALLS["pair_ids_sec"] = round(time.monotonic() - t0, 3)
     return verify_pairs_broadcast_fused(raw, sig_view_ds, cfg, pair_ids=pair_ids)
 
 
@@ -553,13 +594,15 @@ def build_snapshot(
 
     # ---- verified_pairs: re-emit only delta-touched buckets --------------
     if not store.has_stage(snapshot, "verified_pairs"):
+        MERGE_PAIR_WALLS.clear()
         t0 = time.monotonic()
         if parent is None:
             pairs_delta = _emit_verify(lsh_delta, sig_delta, cfg, p).materialize()
             n_pairs = pairs_delta.count()
         else:
             sig_view = rd.read_parquet(parquet_files(store.stage_dirs(snapshot, "signatures")))
-            touched = _collect_unique_i64(lsh_delta, _col_i64("bucket"))
+            _tp = time.monotonic()
+            touched, delta_multi = _uniq_and_multi(lsh_delta, _col_i64("bucket"))
             if len(resurrected):
                 res_rows = _filter_ds(
                     rd.read_parquet(parquet_files(parent_lsh_dirs)),
@@ -581,10 +624,33 @@ def build_snapshot(
                 )
                 if len(extinct_all):
                     stored = _filter_ds(stored, _col_i64("doc_id"), extinct_all, False)
+                # every stored row shares its bucket with >= 1 delta row, so
+                # stored is collision-only; materialize it (small) and use its
+                # buckets to drop the delta's SINGLETON buckets before the
+                # emit shuffle — a delta row alone in its bucket can never
+                # pair, and most delta band rows are singletons (measured:
+                # 3.7M delta rows -> collision rows only, emit shuffle 7.4s
+                # -> sub-second at 1.2M/32cpus). Pairs need >= 2 members: a
+                # delta row pairs either with a stored row (bucket in
+                # stored_buckets) or another delta row (bucket in delta_multi).
+                MERGE_PAIR_WALLS["delta_multi_sec"] = round(time.monotonic() - _tp, 3)
+                _ts = time.monotonic()
+                stored = _arrow(stored).materialize()
+                MERGE_PAIR_WALLS["stored_scan_sec"] = round(time.monotonic() - _ts, 3)
+                _ts = time.monotonic()
+                stored_buckets = _collect_unique_i64(stored, _col_i64("bucket"))
+                keep_buckets = np.union1d(stored_buckets, delta_multi)
+                lsh_coll = _arrow(
+                    _filter_ds(lsh_delta, _col_i64("bucket"), keep_buckets, True)
+                ).materialize()
+                MERGE_PAIR_WALLS["coll_filter_sec"] = round(time.monotonic() - _ts, 3)
                 # only pairs INVOLVING a newly-signed or resurrected sig are
                 # new — everything else is already in the parent stage
                 involved = np.union1d(
                     _collect_unique_i64(lsh_delta, _col_i64("doc_id")), resurrected
+                )
+                MERGE_PAIR_WALLS["touched_collect_sec"] = round(
+                    time.monotonic() - _tp, 3
                 )
                 exclude_pairs = None
                 if len(resurrected):
@@ -610,14 +676,22 @@ def build_snapshot(
                     exclude_pairs = (
                         np.unique(np.concatenate(kept)) if kept else np.empty(0, "S16")
                     )
+                _tv = time.monotonic()
                 pairs_delta = _emit_verify(
-                    stored.union(lsh_delta),
+                    stored.union(lsh_coll),
                     sig_view,
                     cfg,
                     p,
                     exclude_pairs=exclude_pairs,
                     involved=involved,
                 ).materialize()
+                MERGE_PAIR_WALLS["verify_sec"] = round(
+                    time.monotonic()
+                    - _tv
+                    - MERGE_PAIR_WALLS.get("emit_shuffle_sec", 0)
+                    - MERGE_PAIR_WALLS.get("pair_ids_sec", 0),
+                    3,
+                )
         store.write_stage(
             snapshot,
             "verified_pairs",
