@@ -123,15 +123,29 @@ def _uniq_and_multi(ds, value_fn) -> tuple[np.ndarray, np.ndarray]:
     def pick(t: pa.Table):
         if t.num_rows == 0:
             return _EMPTY, _EMPTY
-        return np.unique(value_fn(t), return_counts=True)
+        u, c = np.unique(value_fn(t), return_counts=True)
+        return u, u[c >= 2]
 
+    _t = time.monotonic()
     res = [r for r in ray.get([pick.remote(b) for b in ds.to_arrow_refs()]) if len(r[0])]
+    MERGE_PAIR_WALLS["um_tasks_sec"] = round(time.monotonic() - _t, 3)
+    _t = time.monotonic()
     if not res:
         return _EMPTY, _EMPTY
-    u, inv = np.unique(np.concatenate([r[0] for r in res]), return_inverse=True)
-    tot = np.zeros(len(u), dtype=np.int64)
-    np.add.at(tot, inv, np.concatenate([r[1] for r in res]))
-    return u, u[tot >= 2]
+    # each block contributes its (sorted-unique values, locally-multi values);
+    # a value is globally multi iff locally multi somewhere OR present in >= 2
+    # blocks — detectable from a plain sort of the per-block uniques, no
+    # argsort/inverse (np.unique(return_inverse) measured 3x slower here)
+    v = np.sort(np.concatenate([r[0] for r in res]))
+    first = np.empty(len(v), dtype=bool)
+    first[0] = True
+    np.not_equal(v[1:], v[:-1], out=first[1:])
+    u = v[first]
+    cross = np.unique(v[~first])
+    local = [r[1] for r in res if len(r[1])]
+    multi = np.union1d(cross, np.concatenate(local)) if local else cross
+    MERGE_PAIR_WALLS["um_merge_sec"] = round(time.monotonic() - _t, 3)
+    return u, multi
 
 
 def _collect_unique_i64(ds, value_fn) -> np.ndarray:
@@ -403,6 +417,7 @@ def build_snapshot(
     if store.is_complete(snapshot):
         return store.read_stage(snapshot, "clusters")
     t_start = time.monotonic()
+    MERGE_PAIR_WALLS.clear()
     p = _pow2(suggest_num_partitions(per_cpu=2))
     nperm = cfg.num_perms
 
@@ -482,7 +497,13 @@ def build_snapshot(
         if parent is not None and docs_new.count() > 0:
             seen = _collect_unique_i64(
                 _filter_ds(
-                    rd.read_parquet(parquet_files(parent_meta_dirs)), doc_sig_combo, delta_combos, True
+                    rd.read_parquet(
+                        parquet_files(parent_meta_dirs),
+                        columns=["doc_id", "text_sha256"],
+                    ),
+                    doc_sig_combo,
+                    delta_combos,
+                    True,
                 ),
                 doc_sig_combo,
             )
@@ -590,11 +611,12 @@ def build_snapshot(
             rows=parent_sig_rows + n_signed + len(resurrected) - n_newly_extinct,
         )
 
+    _tm = time.monotonic()
     meta_all = store.read_stage(snapshot, "docs_meta").materialize()
+    MERGE_PAIR_WALLS["meta_all_sec"] = round(time.monotonic() - _tm, 3)
 
     # ---- verified_pairs: re-emit only delta-touched buckets --------------
     if not store.has_stage(snapshot, "verified_pairs"):
-        MERGE_PAIR_WALLS.clear()
         t0 = time.monotonic()
         if parent is None:
             pairs_delta = _emit_verify(lsh_delta, sig_delta, cfg, p).materialize()
@@ -707,6 +729,8 @@ def build_snapshot(
     # ---- union-find + clusters (sig-space roots → min-doc labels) --------
     t0 = time.monotonic()
     dup_ref = _dup_groups_broadcast(meta_all, p)
+    MERGE_PAIR_WALLS["cl_dupgroups_sec"] = round(time.monotonic() - t0, 3)
+    _tc = time.monotonic()
     dsu = DictDSU()
     n_pairs_total = 0
     for b in verified_all.select_columns(["a", "b"]).iter_batches(
@@ -717,6 +741,7 @@ def build_snapshot(
             b["a"].to_numpy(zero_copy_only=False).astype(np.int64),
             b["b"].to_numpy(zero_copy_only=False).astype(np.int64),
         )
+    MERGE_PAIR_WALLS["cl_dsu_sec"] = round(time.monotonic() - _tc, 3)
     pm_ent = store.manifest(snapshot)["stages"]["verified_pairs"]
     if pm_ent.get("rows") != n_pairs_total:
         pm_ent["rows"] = int(n_pairs_total)
@@ -725,7 +750,10 @@ def build_snapshot(
     nodes.sort()
     # min member doc per paired sig (pair-bounded), then min over each root's
     # sigs = the component's canonical doc id
+    _tc = time.monotonic()
     canon_per_sig = _min_per_key(meta_all, _sig_of, _col_i64("doc_id"), nodes)
+    MERGE_PAIR_WALLS["cl_canon_sec"] = round(time.monotonic() - _tc, 3)
+    _tc = time.monotonic()
     rootmin: dict[int, int] = {}
     roots: dict[int, int] = {}
     for s in nodes.tolist():
@@ -746,6 +774,7 @@ def build_snapshot(
     clusters = _assign_clusters_sigspace(
         meta_all, dup_ref, sig_arr[order], cl_arr[order]
     ).materialize()
+    MERGE_PAIR_WALLS["cl_assign_sec"] = round(time.monotonic() - _tc, 3)
     store.write_stage(
         snapshot, "clusters", _nonempty(clusters, _CLUSTERS_SCHEMA), t0=t0
     )
