@@ -295,7 +295,10 @@ def merge_bench() -> None:
     """Incremental-merge benchmark: base build (snapshot 0, ~80%) + merge of
     the delta (snapshot 1, ~20%) vs a full rebuild of the union — the
     BASELINE.md "merge wall ≪ rebuild wall" criterion. Corpus size via
-    GRAFT_MERGE_PAGES (default 1.2M)."""
+    GRAFT_MERGE_PAGES (default 1.2M); GRAFT_MERGE_DELTA_FRAC (default 1.0)
+    keeps only that fraction of the snapshot-1 rows in the delta and folds
+    the rest into the base, so merge cost can be measured as a function of
+    delta size on an identical total corpus."""
     import shutil
     import tempfile
 
@@ -323,8 +326,34 @@ def merge_bench() -> None:
     out = f"/tmp/graft_pages_n{n}"
     write_pages_corpus(out, n_pages=n, seed=42, with_truth=False)
     pages = rd.read_parquet(f"{out}/pages")
-    base = pages.filter(expr="snapshot == 0").materialize()
-    delta = pages.filter(expr="snapshot == 1").materialize()
+    base = pages.filter(expr="snapshot == 0")
+    delta = pages.filter(expr="snapshot == 1")
+    delta_frac = float(os.environ.get("GRAFT_MERGE_DELTA_FRAC", "1.0"))
+    if delta_frac < 1.0:
+        # deterministic sub-split of the snapshot-1 rows by the page index
+        # embedded in the url (…/p/{i:08d}); the moved rows join the base so
+        # the total corpus is identical at every delta fraction
+        thresh = int(round(delta_frac * 997))
+
+        def _delta_part(keep: bool):
+            def f(t):
+                import numpy as np
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                idx = pc.struct_field(
+                    pc.extract_regex(t["url"], r"/p/(?P<i>\d{8})$"), "i"
+                )
+                i = np.asarray(pc.cast(idx, pa.int64()))
+                mask = (i % 997) < thresh
+                return t.filter(pa.array(mask if keep else ~mask))
+
+            return f
+
+        base = base.union(delta.map_batches(_delta_part(False), batch_format="pyarrow"))
+        delta = delta.map_batches(_delta_part(True), batch_format="pyarrow")
+    base = base.materialize()
+    delta = delta.materialize()
     n_base, n_delta = base.count(), delta.count()
     _warm_workers()
 
@@ -359,6 +388,7 @@ def merge_bench() -> None:
                     "unit": "sec",
                     "n_base": n_base,
                     "n_delta": n_delta,
+                    "delta_frac": delta_frac,
                     "base_build_sec": round(t_base, 3),
                     "merge_sec": round(t_merge, 3),
                     "full_rebuild_sec": round(t_rebuild, 3),
