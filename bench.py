@@ -206,17 +206,27 @@ def _spin_worker(q):
     q.put(_t.monotonic() - t0)
 
 
-def host_cpu_ceiling(lo: int, hi: int) -> dict:
-    """Pure-register spin loop at ``lo`` and ``hi`` concurrent processes —
-    no memory traffic, no Ray. The ratio bounds ANY workload's lo→hi scaling
-    on this box (all-core clock / hypervisor throttling); reported alongside
-    the pipeline's efficiency so the sandbox artifact is visible in the same
-    JSON line the protocol produces."""
+def _stream_worker(q):
+    """Memory-bandwidth-bound work: repeated out-of-cache array sweeps —
+    the single-socket DRAM analogue of the spin loop's clock ceiling."""
+    import numpy as np
+    import time as _t
+
+    a = np.arange(32_000_000, dtype=np.int64)  # 256 MB, far beyond LLC
+    b = np.empty_like(a)
+    t0 = _t.monotonic()
+    for _ in range(6):
+        np.add(a, 1, out=b)
+        np.add(b, 1, out=a)
+    q.put(_t.monotonic() - t0)
+
+
+def _ceiling(worker, lo: int, hi: int, tag: str) -> dict:
     import multiprocessing as mp
 
     def run(n: int) -> float:
         q = mp.Queue()
-        ps = [mp.Process(target=_spin_worker, args=(q,)) for _ in range(n)]
+        ps = [mp.Process(target=worker, args=(q,)) for _ in range(n)]
         [p.start() for p in ps]
         res = [q.get() for _ in ps]
         [p.join() for p in ps]
@@ -226,9 +236,28 @@ def host_cpu_ceiling(lo: int, hi: int) -> dict:
     # per-proc slowdown t_hi/t_lo caps aggregate speedup at (hi/lo)·t_lo/t_hi;
     # efficiency vs the ideal hi/lo is therefore t_lo/t_hi
     return {
-        "spin_sec_per_proc": {str(lo): round(t_lo, 3), str(hi): round(t_hi, 3)},
+        f"{tag}_sec_per_proc": {str(lo): round(t_lo, 3), str(hi): round(t_hi, 3)},
         "ceiling_efficiency": round(t_lo / t_hi, 3),
     }
+
+
+def host_cpu_ceiling(lo: int, hi: int) -> dict:
+    """Pure-register spin loop at ``lo`` and ``hi`` concurrent processes —
+    no memory traffic, no Ray. The ratio bounds ANY workload's lo→hi scaling
+    on this box (all-core clock / hypervisor throttling); reported alongside
+    the pipeline's efficiency so the sandbox artifact is visible in the same
+    JSON line the protocol produces."""
+    return _ceiling(_spin_worker, lo, hi, "spin")
+
+
+def host_mem_ceiling(lo: int, hi: int) -> dict:
+    """Streaming-sweep ceiling: how memory-bandwidth-bound work scales lo→hi
+    concurrent processes on this single socket. A multi-node N→4N scale-out
+    multiplies DRAM channels with node count; a fixed single socket does not
+    — this measurement makes that gap visible in-protocol. Compute-bound
+    stages track the spin ceiling, exchange/scan-bound stages track this
+    one; the pipeline lands between them."""
+    return _ceiling(_stream_worker, lo, hi, "stream")
 
 
 def scaling() -> None:
@@ -255,6 +284,7 @@ def scaling() -> None:
     t_lo, t_hi = results[lo]["sec"], results[hi]["sec"]
     speedup = t_lo / t_hi
     ceiling = host_cpu_ceiling(lo, hi)
+    mem_ceiling = host_mem_ceiling(lo, hi)
     # per-stage scaling: which phase flattens first is auditable right here
     stage_scaling = {
         k: {
@@ -275,6 +305,7 @@ def scaling() -> None:
                 "value": round(speedup / (hi / lo), 3),
                 "unit": "fraction",
                 "host_cpu_ceiling": ceiling,
+                "host_mem_ceiling": mem_ceiling,
                 "sf": _sf_of(SF_DIR),
                 f"cpus_{lo}": {
                     "sec": round(t_lo, 3),

@@ -80,7 +80,7 @@ def run_dedup(
     t0 = _time.monotonic()
     docs = extract_stage(pages_ds)
     docs_unique, dup_map, docs_mat, dup_ref = exact_dedup(
-        docs, return_extras=True, strategy=exact_strategy
+        docs, return_extras=True, strategy=exact_strategy, metrics=metrics
     )
     metrics["extract_exact_sec"] = round(_time.monotonic() - t0, 3)
     # signatures feed two consumers (LSH + verify): materialize once so the
@@ -128,6 +128,7 @@ def run_dedup(
         pair_ids = (
             _np.unique(_np.concatenate(ids_l)) if ids_l else _np.empty(0, _np.int64)
         )
+        metrics["verify_pair_ids_sec"] = round(_time.monotonic() - t0, 3)
         verified = verify_pairs_broadcast_fused(
             raw_pairs, signatures, cfg, pair_ids=pair_ids
         )
@@ -136,9 +137,11 @@ def run_dedup(
     t0 = _time.monotonic()
     if cand_pairs is None:
         cand_pairs = lsh_candidate_pairs_from_raw(raw_pairs, cfg)
+    n_pairs = verified.count()  # metadata read — verified is materialized
+
     def components(edges_ds):
         if cluster_strategy == "label_prop" or (
-            cluster_strategy == "auto" and edges_ds.count() > label_prop_threshold
+            cluster_strategy == "auto" and n_pairs > label_prop_threshold
         ):
             from imagededupx_ray.stages.cluster import label_prop_components
 
@@ -150,6 +153,7 @@ def run_dedup(
         # through the sha→canonical broadcast at assignment time, so no
         # member→canonical edge list is ever materialized
         root_map = components(verified.select_columns(["a", "b"]))
+        metrics["cluster_components_sec"] = round(_time.monotonic() - t0, 3)
         clusters = assign_clusters_via_canonical(docs_mat, dup_ref, root_map)
     else:
         # join-strategy exact dedup (extreme dup rates): no broadcast dup map

@@ -189,6 +189,57 @@ def verify_pairs_broadcast(
     )
 
 
+@ray.remote
+def _pair_map_block(t: pa.Table, P: int):
+    """Map side of the fused pair-distinct+verify exchange: hash-split one
+    raw-pair block into P (a, b) partition slices by the pair key."""
+    from imagededupx_ray.functions import hashing as H
+
+    if t.num_rows == 0 or "a" not in t.column_names:
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        return tuple(empty for _ in range(P)) if P > 1 else empty
+    a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = (
+        H.splitmix64(a.astype(np.uint64) ^ (b.astype(np.uint64) << np.uint64(1))).astype(
+            np.int64
+        )
+        & np.int64(P - 1)
+    ).astype(np.int32)
+    order = np.argsort(key, kind="stable")
+    a, b, key = a[order], b[order], key[order]
+    offs = np.searchsorted(key, np.arange(P + 1))
+    out = tuple((a[offs[i] : offs[i + 1]], b[offs[i] : offs[i + 1]]) for i in range(P))
+    return out if P > 1 else out[0]
+
+
+@ray.remote
+def _pair_verify_part(sig, cfg, *parts) -> pa.Table:
+    """Reduce one pair partition: global pair-distinct (duplicates of a pair
+    always share a partition) then the vectorized signature compare. ``sig``
+    is the auto-dereferenced broadcast tuple — zero-copy plasma read."""
+    a = np.concatenate([p[0] for p in parts])
+    b = np.concatenate([p[1] for p in parts])
+    if len(a):
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.empty(len(a), dtype=bool)
+        keep[0] = True
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        a, b = a[keep], b[keep]
+    v = BroadcastVerify.__new__(BroadcastVerify)
+    v.ids_sorted, v.order, v.mh, v.sim = sig
+    v.cfg = cfg
+    return v(pa.table({"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}))
+
+
+# same crossover rationale as stages/dedup.py MANUAL_SHUFFLE_MAX_BLOCKS: the
+# manual exchange's B×P slice objects are cheap bookkeeping on any realistic
+# per-node block count; a giant pair explosion falls back to the Dataset
+# groupby (backpressured, spillable)
+_PAIR_MANUAL_MAX_BLOCKS = 4096
+
+
 def verify_pairs_broadcast_fused(
     raw_pairs_ds,
     signatures_ds,
@@ -198,9 +249,17 @@ def verify_pairs_broadcast_fused(
 ):
     """RAW (possibly duplicated) candidate pairs → verified pairs in ONE
     exchange: the cross-band pair-distinct and the signature-compare both run
-    inside the same ``groupby(_part).map_groups`` — fusing what was a dedup
-    shuffle followed by a separate verify pass (SURVEY.md §4.2: minimize
-    all-to-all exchanges)."""
+    inside the same hash exchange — fusing what was a dedup shuffle followed
+    by a separate verify pass (SURVEY.md §4.2: minimize all-to-all
+    exchanges).
+
+    Default path is a manual two-stage task exchange over the (materialized)
+    raw-pair blocks: per-block hash split into P slices, P reduce tasks do
+    the distinct+verify, output re-enters Ray Data via from_arrow_refs with
+    zero copies. Measured ~0.4s at 1.2M pages/32 CPUs where the equivalent
+    ``groupby(_part).map_groups`` execution took ~1.0s of mostly
+    parallelism-independent sort/planning machinery. Falls back to the
+    Dataset groupby above _PAIR_MANUAL_MAX_BLOCKS blocks."""
     from imagededupx_ray.stages.lsh import _pow2, decorate_pair_part
     from imagededupx_ray.util import suggest_num_partitions
 
@@ -208,6 +267,33 @@ def verify_pairs_broadcast_fused(
         num_partitions = suggest_num_partitions(per_cpu=2)
     p = _pow2(num_partitions)
     sig_ref = broadcast_signatures(signatures_ds, cfg, only_ids=pair_ids)
+
+    blocks = raw_pairs_ds.to_arrow_refs()
+    if len(blocks) <= _PAIR_MANUAL_MAX_BLOCKS:
+        import ray.data as rd
+
+        if not blocks:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "a": pa.array([], type=pa.int64()),
+                        "b": pa.array([], type=pa.int64()),
+                        "est_jaccard": pa.array([], type=pa.float32()),
+                        "hamming": pa.array([], type=pa.uint8()),
+                    }
+                )
+            )
+        P = min(p, 1 << max(0, (len(blocks) - 1).bit_length()))
+        per_block = [
+            _pair_map_block.options(num_returns=P if P > 1 else 1).remote(ref, P)
+            for ref in blocks
+        ]
+        cols = [per_block] if P == 1 else list(zip(*per_block))
+        out_refs = [
+            _pair_verify_part.remote(sig_ref, cfg, *col) for col in cols
+        ]
+        return rd.from_arrow_refs(out_refs)
+
     key = sig_ref.hex()
 
     def dedup_and_verify(df: pd.DataFrame) -> pd.DataFrame:
