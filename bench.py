@@ -354,8 +354,9 @@ def merge_bench() -> None:
     from imagededupx_ray.state.checkpoint import SnapshotStore
 
     n = int(os.environ.get("GRAFT_MERGE_PAGES", "1200000"))
-    out = f"/tmp/graft_pages_n{n}"
-    write_pages_corpus(out, n_pages=n, seed=42, with_truth=False)
+    tok_scale = int(os.environ.get("GRAFT_MERGE_TOKEN_SCALE", "1"))
+    out = f"/tmp/graft_pages_n{n}" + (f"_ts{tok_scale}" if tok_scale != 1 else "")
+    write_pages_corpus(out, n_pages=n, seed=42, with_truth=False, token_scale=tok_scale)
     pages = rd.read_parquet(f"{out}/pages")
     base = pages.filter(expr="snapshot == 0")
     delta = pages.filter(expr="snapshot == 1")
@@ -420,6 +421,7 @@ def merge_bench() -> None:
                     "n_base": n_base,
                     "n_delta": n_delta,
                     "delta_frac": delta_frac,
+                    "token_scale": tok_scale,
                     "base_build_sec": round(t_base, 3),
                     "merge_sec": round(t_merge, 3),
                     "full_rebuild_sec": round(t_rebuild, 3),

@@ -823,43 +823,51 @@ def _assign_clusters_sigspace(
 
 def _dup_groups_broadcast(meta_ds, p: int):
     """Dup-group broadcast (sorted S16 keys, canonical ids, counts) from a
-    meta Dataset — the exact_dedup broadcast rebuilt from the manifest (one
-    narrow coarse-partition groupby; dup-bounded result)."""
+    meta Dataset — the exact_dedup broadcast rebuilt from the manifest
+    through the same manual two-stage task exchange stages/dedup.py uses
+    (per-block distinct aggregation, hash-split slices, dup-bounded reduce;
+    the Dataset groupby it replaces spent ~1s of parallelism-independent
+    sort/planning machinery per merge)."""
+    from imagededupx_ray.stages.dedup import (
+        MANUAL_SHUFFLE_MAX_BLOCKS,
+        _dup_map_block,
+        _dup_reduce_part,
+    )
 
-    def decorate(t: pa.Table) -> pa.Table:
-        h1, h2 = sha_to_i64_pair(t["text_sha256"])
-        return pa.table(
-            {
-                "_part": pa.array((h1 & (p - 1)).astype(np.int32), type=pa.int32()),
-                "h1": pa.array(h1, type=pa.int64()),
-                "h2": pa.array(h2, type=pa.int64()),
-                "doc_id": t["doc_id"],
-            }
+    blocks = meta_ds.to_arrow_refs()
+    if not blocks:
+        return ray.put(
+            (np.empty(0, "S16"), np.empty(0, np.int64), np.empty(0, np.int64))
         )
+    if len(blocks) > MANUAL_SHUFFLE_MAX_BLOCKS:
+        # scale fallback: backpressured Dataset groupby (spillable)
+        from imagededupx_ray.stages.dedup import _dup_groups_df
 
-    def dup_groups(df):
-        g = df.groupby(["h1", "h2"])["doc_id"].agg(["min", "size"])
-        g = g[g["size"] >= 2].reset_index()
-        return g.rename(columns={"min": "canonical_doc_id", "size": "n_exact_dups"})
-
-    frames = []
-    for b in (
-        meta_ds.select_columns(["text_sha256", "doc_id"])
-        .map_batches(decorate, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(dup_groups, batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")
-        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-    ):
-        frames.append(b)
-    if frames:
-        tbl = pa.concat_tables(frames)
-        h1 = tbl["h1"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h2 = tbl["h2"].to_numpy(zero_copy_only=False).astype(np.int64)
-        canon = tbl["canonical_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        counts = tbl["n_exact_dups"].to_numpy(zero_copy_only=False).astype(np.int64)
-    else:
-        h1 = h2 = canon = counts = np.empty(0, dtype=np.int64)
-    keys16 = i64_pair_to_key16(h1, h2)
-    order = np.argsort(keys16)
-    return ray.put((keys16[order], canon[order], counts[order]))
+        frames = []
+        for b in _dup_groups_df(meta_ds, p).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        ):
+            frames.append(b)
+        if frames:
+            tbl = pa.concat_tables(frames)
+            h1 = tbl["h1"].to_numpy(zero_copy_only=False).astype(np.int64)
+            h2 = tbl["h2"].to_numpy(zero_copy_only=False).astype(np.int64)
+            canon = tbl["canonical_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            counts = tbl["n_exact_dups"].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            h1 = h2 = canon = counts = np.empty(0, dtype=np.int64)
+        keys16 = i64_pair_to_key16(h1, h2)
+        order = np.argsort(keys16)
+        return ray.put((keys16[order], canon[order], counts[order]))
+    P = 1 << max(0, (max(1, len(blocks)) - 1).bit_length() - 2)
+    per_block = [
+        _dup_map_block.options(num_returns=P if P > 1 else 1).remote(ref, P)
+        for ref in blocks
+    ]
+    cols = [per_block] if P == 1 else list(zip(*per_block))
+    res = ray.get([_dup_reduce_part.remote(*col) for col in cols])
+    ks = np.concatenate([r[0] for r in res])
+    mn = np.concatenate([r[1] for r in res])
+    ct = np.concatenate([r[2] for r in res])
+    order = np.argsort(ks)
+    return ray.put((ks[order], mn[order], ct[order]))

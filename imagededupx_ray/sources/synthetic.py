@@ -85,14 +85,21 @@ def generate_pages(
     with_truth: bool = True,
     n_sites: int = 20,
     jaccard_cluster_threshold: float = 0.7,
+    token_scale: int = 1,
 ) -> tuple[pa.Table, pa.Table | None, pa.Table | None]:
     """Return (pages, truth_pairs, truth_clusters); truth tables None when
-    ``with_truth`` is False (bench-scale runs skip truth emission)."""
+    ``with_truth`` is False (bench-scale runs skip truth emission).
+
+    ``token_scale`` multiplies every document's token-count range — the
+    dup-group structure (group sizes, edit rates, spans) is unchanged while
+    per-doc extract/shingle/sign work grows ~linearly. token_scale=1 keeps
+    the historical RNG stream byte-identical; larger values model real web
+    pages, whose per-doc work is 10-100x this generator's default."""
     rng = np.random.default_rng(seed)
     vocab = _make_vocab(rng, 4000)
 
     def rand_tokens(lo: int, hi: int) -> list[str]:
-        n = int(rng.integers(lo, hi))
+        n = int(rng.integers(lo * token_scale, hi * token_scale))
         return list(vocab[rng.integers(0, len(vocab), size=n)])
 
     # ---- allocation --------------------------------------------------------
@@ -291,6 +298,7 @@ def write_pages_corpus(
     seed: int = 42,
     with_truth: bool = True,
     rows_per_file: int = 8192,
+    token_scale: int = 1,
 ) -> str:
     """Materialize the corpus as a directory of parquet files (the pipeline's
     actual input format) + truth sidecars. Idempotent: skips if a _SUCCESS
@@ -308,12 +316,16 @@ def write_pages_corpus(
         "with_truth": with_truth,
         "rows_per_file": rows_per_file,
     }
+    if token_scale != 1:  # keep historical markers valid for the default
+        params["token_scale"] = token_scale
     if os.path.exists(marker):
         with open(marker) as f:
             if json.load(f) == params:
                 return out_dir
     os.makedirs(os.path.join(out_dir, "pages"), exist_ok=True)
-    pages, tp, tc = generate_pages(n_pages, seed=seed, with_truth=with_truth)
+    pages, tp, tc = generate_pages(
+        n_pages, seed=seed, with_truth=with_truth, token_scale=token_scale
+    )
     for i in range(0, max(1, pages.num_rows), rows_per_file):
         pq.write_table(
             pages.slice(i, rows_per_file),

@@ -179,6 +179,14 @@ def _dup_groups_df(docs_ds, p: int = 64):
 
 def _local_dup_agg(t: pa.Table):
     """One block → per-distinct-text (key16 sorted, h1, min doc_id, count)."""
+    if t.num_rows == 0 or "text_sha256" not in t.column_names:
+        # 0-row blocks may carry no schema at all
+        return (
+            np.empty(0, "S16"),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+        )
     h1, h2 = sha_to_i64_pair(t["text_sha256"])
     k = i64_pair_to_key16(h1, h2)
     ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
