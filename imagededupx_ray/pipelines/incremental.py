@@ -456,6 +456,9 @@ def build_snapshot(
         dead_all = store.read_sidecar(snapshot, "dead_row_keys")
         extinct_all = store.read_sidecar(snapshot, "extinct_sig_ids")
         resurrected = np.setdiff1d(parent_extinct, extinct_all)
+        cluster_patch_aux_ok = store.has_sidecar(snapshot, "cluster_patch_sigs")
+        cluster_patch_docs_aux = store.read_sidecar(snapshot, "cluster_patch_docs")
+        cluster_patch_sigs_aux = store.read_sidecar(snapshot, "cluster_patch_sigs")
         docs_new_meta = store.read_stage_own(snapshot, "docs_meta").materialize()
         n_new = docs_new_meta.count()
         sig_delta = store.read_stage_own(snapshot, "signatures").materialize()
@@ -488,6 +491,13 @@ def build_snapshot(
                 killed_combos = _collect_unique_i64(killed, doc_sig_combo)
                 cand_sigs = _collect_unique_i64(killed, _sig_of)
         revived = np.intersect1d(delta_combos, parent_dead)
+        revived_docs = (
+            _collect_unique_i64(
+                _filter_ds(docs_new, doc_sig_combo, revived, True), _col_i64("doc_id")
+            )
+            if len(revived)
+            else _EMPTY
+        )
         dead_all = np.union1d(np.setdiff1d(parent_dead, revived), killed_combos)
         store.write_sidecar(snapshot, "dead_row_keys", dead_all)
 
@@ -531,6 +541,20 @@ def build_snapshot(
             )
             extinct_all = np.union1d(extinct_all, np.setdiff1d(cand_sigs, alive))
         store.write_sidecar(snapshot, "extinct_sig_ids", extinct_all)
+
+        if parent is not None:
+            # aux inputs for the patch-based clusters merge, persisted so a
+            # crash-resume can rebuild the patch filter without the pages
+            # input: docs revived by this delta, and sigs whose exact-dedup
+            # canonical may shift (delta member adds, tombstone member
+            # removals, resurrections) — all delta/tombstone-bounded
+            cluster_patch_docs_aux = revived_docs
+            cluster_patch_sigs_aux = np.union1d(
+                np.union1d(delta_sigs, cand_sigs), resurrected
+            )
+            store.write_sidecar(snapshot, "cluster_patch_docs", cluster_patch_docs_aux)
+            store.write_sidecar(snapshot, "cluster_patch_sigs", cluster_patch_sigs_aux)
+        cluster_patch_aux_ok = True
 
         if not resume_meta:
             store.write_stage(
@@ -771,30 +795,131 @@ def build_snapshot(
     sig_arr = np.array(sig_l, dtype=np.int64)
     cl_arr = np.array(cl_l, dtype=np.int64)
     order = np.argsort(sig_arr)
+    new_keys, new_labels = sig_arr[order], cl_arr[order]
+
+    use_patch = (
+        parent is not None
+        and cluster_patch_aux_ok
+        and store.has_sidecar(parent, "cluster_sig_labels")
+    )
+    if use_patch:
+        # ---- patch-based clusters: rewrite only docs whose row can differ
+        # from the parent's, compose the rest from the parent parts. The
+        # label diff against the parent's persisted (sig, label) sidecar is
+        # the authoritative catch-all for every pair-path change (component
+        # merges/splits, canonical shifts, tombstone fallout); the aux sets
+        # cover the exact-dedup canonical path and revivals. The patch also
+        # carries forward the parent's previously-patched rows, so every doc
+        # in the cumulative exclusion sidecar has its live row in the NEWEST
+        # patch part (read_stage scope="parents" composition); compact_stage
+        # resets the churn when it accumulates.
+        pl = store.read_sidecar_cols(parent, "cluster_sig_labels")
+        changed_sigs = _changed_label_sigs(
+            pl.get("sig", _EMPTY), pl.get("label", _EMPTY), new_keys, new_labels
+        )
+        patch_sigs = np.union1d(changed_sigs, cluster_patch_sigs_aux)
+        delta_doc_ids = (
+            _collect_unique_i64(docs_new_meta, _col_i64("doc_id"))
+            if n_new > 0
+            else _EMPTY
+        )
+        parent_excl = store.read_sidecar(parent, "patched_cluster_docs")
+        patch_docs = np.union1d(
+            np.union1d(delta_doc_ids, cluster_patch_docs_aux), parent_excl
+        )
+        clusters_patch = _assign_clusters_sigspace(
+            meta_all,
+            dup_ref,
+            new_keys,
+            new_labels,
+            only_docs=patch_docs,
+            only_sigs=patch_sigs,
+        ).materialize()
+        emitted = _collect_unique_i64(clusters_patch, _col_i64("doc_id"))
+        excl_new = np.union1d(np.union1d(parent_excl, emitted), dead_new)
+        store.write_sidecar_cols(
+            snapshot, "cluster_sig_labels", {"sig": new_keys, "label": new_labels}
+        )
+        store.write_sidecar(snapshot, "patched_cluster_docs", excl_new)
+        MERGE_PAIR_WALLS["cl_assign_sec"] = round(time.monotonic() - _tc, 3)
+        store.write_stage(
+            snapshot,
+            "clusters",
+            _nonempty(clusters_patch, _CLUSTERS_SCHEMA),
+            t0=t0,
+            parent_dirs=store.stage_dirs(parent, "clusters"),
+            exclude={
+                "sidecar": "patched_cluster_docs",
+                "columns": ["doc_id"],
+                "scope": "parents",
+            },
+            rows=store.manifest(snapshot)["stages"]["docs_meta"]["rows"],
+        )
+        return store.read_stage(snapshot, "clusters")
+
     clusters = _assign_clusters_sigspace(
-        meta_all, dup_ref, sig_arr[order], cl_arr[order]
+        meta_all, dup_ref, new_keys, new_labels
     ).materialize()
     MERGE_PAIR_WALLS["cl_assign_sec"] = round(time.monotonic() - _tc, 3)
+    store.write_sidecar_cols(
+        snapshot, "cluster_sig_labels", {"sig": new_keys, "label": new_labels}
+    )
+    store.write_sidecar(snapshot, "patched_cluster_docs", _EMPTY)
     store.write_stage(
         snapshot, "clusters", _nonempty(clusters, _CLUSTERS_SCHEMA), t0=t0
     )
     return clusters
 
 
+def _changed_label_sigs(
+    pk: np.ndarray, pv: np.ndarray, nk: np.ndarray, nv: np.ndarray
+) -> np.ndarray:
+    """Sigs whose component label appears, disappears or changes between the
+    parent's persisted (sig, label) map and this merge's — both key-sorted.
+    Pair-bounded inputs, changed-bounded output."""
+    if len(pk) == 0:
+        return nk.copy()
+    if len(nk) == 0:
+        return pk.copy()
+    pos = np.searchsorted(nk, pk)
+    pos_c = np.minimum(pos, len(nk) - 1)
+    in_new = nk[pos_c] == pk
+    changed_old = pk[~in_new | (nv[pos_c] != pv)]
+    pos2 = np.searchsorted(pk, nk)
+    pos2_c = np.minimum(pos2, len(pk) - 1)
+    only_new = nk[pk[pos2_c] != nk]
+    return np.union1d(changed_old, only_new)
+
+
 def _assign_clusters_sigspace(
-    meta_ds, dup_ref, sig_sorted: np.ndarray, cl_vals: np.ndarray
+    meta_ds,
+    dup_ref,
+    sig_sorted: np.ndarray,
+    cl_vals: np.ndarray,
+    only_docs: np.ndarray | None = None,
+    only_sigs: np.ndarray | None = None,
 ):
     """Final ``clusters`` table in ONE map over the full docs_meta view:
     cluster(doc) = component label of sig(doc) when its text appears in any
     verified pair, else the exact-dedup canonical (min doc id of its sha
     group), else the doc itself. All lookups are broadcast sorted-array
-    searchsorted — no per-row python."""
+    searchsorted — no per-row python.
+
+    ``only_docs``/``only_sigs`` (sorted i64) restrict the OUTPUT to docs in
+    the set or with a sig in the set — the patch-based merge emits only rows
+    that can differ from the parent's clusters parts."""
     map_ref = ray.put((sig_sorted, cl_vals))
+    filt_ref = (
+        ray.put((only_docs, only_sigs))
+        if only_docs is not None or only_sigs is not None
+        else None
+    )
 
     def assign(batch: pa.Table) -> pa.Table:
         sigs, cls = ray.get(map_ref)
         d_keys, d_canon, _ = ray.get(dup_ref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sg = sig_ids_from_sha(batch["text_sha256"])
         canon = ids.copy()
         if len(d_keys):
             s16 = i64_pair_to_key16(*sha_to_i64_pair(batch["text_sha256"]))
@@ -804,12 +929,11 @@ def _assign_clusters_sigspace(
             canon[hit] = d_canon[pos[hit]]
         cl = canon.copy()
         if len(sigs):
-            sg = sig_ids_from_sha(batch["text_sha256"])
             pos = np.searchsorted(sigs, sg)
             pos[pos >= len(sigs)] = 0
             hit = sigs[pos] == sg
             cl[hit] = cls[pos[hit]]
-        return pa.table(
+        out = pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
                 "url": batch["url"],
@@ -817,6 +941,15 @@ def _assign_clusters_sigspace(
                 "is_canonical": pa.array(ids == cl),
             }
         )
+        if filt_ref is not None:
+            docs_f, sigs_f = ray.get(filt_ref)
+            keep = np.zeros(len(ids), dtype=bool)
+            if docs_f is not None and len(docs_f):
+                keep |= _in_sorted(docs_f, ids)
+            if sigs_f is not None and len(sigs_f):
+                keep |= _in_sorted(sigs_f, sg)
+            out = out.filter(pa.array(keep))
+        return out
 
     return meta_ds.map_batches(assign, batch_format="pyarrow")
 

@@ -181,10 +181,23 @@ class SnapshotStore:
         dirs = self.stage_dirs(snapshot, stage)
         if not dirs:
             dirs = [self.stage_dir(snapshot, stage)]
-        ds = rd.read_parquet(parquet_files(dirs))
         m = self.manifest(snapshot)
         ent = (m or {}).get("stages", {}).get(stage, {})
         exc = ent.get("exclude")
+        if exc and exc.get("scope") == "parents":
+            # patch composition: ancestor parts are filtered by the sidecar,
+            # this snapshot's own (patch) part rides through untouched — every
+            # excluded key's live row is guaranteed to be in the own part
+            own = os.path.join(self.root, ent["own"])
+            parent_dirs = [d for d in dirs if os.path.abspath(d) != os.path.abspath(own)]
+            arr = self.read_sidecar(snapshot, exc["sidecar"])
+            if parent_dirs:
+                parents = rd.read_parquet(parquet_files(parent_dirs))
+                if len(arr):
+                    parents = _exclude_rows(parents, exc["columns"], arr)
+                return parents.union(rd.read_parquet(parquet_files([own])))
+            return rd.read_parquet(parquet_files([own]))
+        ds = rd.read_parquet(parquet_files(dirs))
         if exc:
             arr = self.read_sidecar(snapshot, exc["sidecar"])
             if len(arr):
@@ -232,6 +245,42 @@ class SnapshotStore:
         return np.sort(
             pq.read_table(p)["v"].to_numpy(zero_copy_only=False).astype(np.int64)
         )
+
+    def write_sidecar_cols(
+        self, snapshot: str, name: str, cols: dict[str, np.ndarray]
+    ) -> None:
+        """Multi-column sidecar (parallel i64 arrays, row order preserved) —
+        for pair-bounded lookup tables like the per-snapshot (sig, cluster
+        label) map the patch-based clusters merge diffs against."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = self.sidecar_path(snapshot, name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        pq.write_table(
+            pa.table(
+                {
+                    k: pa.array(np.asarray(v, dtype=np.int64), type=pa.int64())
+                    for k, v in cols.items()
+                }
+            ),
+            tmp,
+        )
+        os.replace(tmp, p)
+
+    def read_sidecar_cols(self, snapshot: str, name: str) -> dict[str, np.ndarray]:
+        """Row-order-preserving read of a multi-column sidecar ({} if absent)."""
+        import pyarrow.parquet as pq
+
+        p = self.sidecar_path(snapshot, name)
+        if not os.path.exists(p):
+            return {}
+        t = pq.read_table(p)
+        return {
+            c: t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in t.column_names
+        }
 
     # ------------------------------------------------------------ compaction
     def compact_stage(self, snapshot: str, stage: str) -> str:

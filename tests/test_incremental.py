@@ -159,7 +159,13 @@ def test_crash_resume_mid_merge(ray_session, fixture_corpus, tmp_path):
         crashed._update_manifest("b", stage_update={st: m_full["stages"][st]})
     # sidecars are written before the signatures stage, so a crash after it
     # always leaves them on disk
-    for sc in ("tombstone_ids", "dead_row_keys", "extinct_sig_ids"):
+    for sc in (
+        "tombstone_ids",
+        "dead_row_keys",
+        "extinct_sig_ids",
+        "cluster_patch_docs",
+        "cluster_patch_sigs",
+    ):
         shutil.copy(store.sidecar_path("b", sc), crashed.sidecar_path("b", sc))
     assert not crashed.is_complete("b")
 
@@ -275,3 +281,55 @@ def test_tombstone_merge_equals_rebuild(ray_session, fixture_corpus, tmp_path):
     lm = merged.set_index("url")["cluster_id"].sort_index()
     lr = rebuilt.set_index("url")["cluster_id"].sort_index()
     assert (lm == lr).all()
+
+
+def test_chained_patch_merges_equal_rebuild(ray_session, fixture_corpus, tmp_path):
+    """Two successive patch-based merges (the second with tombstones) compose
+    to the same clusters as a one-shot rebuild, while each merge's own
+    clusters part stays patch-sized (docs whose rows could change), not
+    corpus-sized."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from imagededupx_ray.pipelines.incremental import build_snapshot
+    from imagededupx_ray.state.checkpoint import SnapshotStore
+
+    pages_tbl = pq.read_table(f"{fixture_corpus}/pages")
+    pages = rd.read_parquet(f"{fixture_corpus}/pages")
+    urls = sorted(pages_tbl["url"].to_pylist())
+    third = {u: i % 3 for i, u in enumerate(urls)}
+
+    def part(k):
+        return pages.filter(lambda r: third[r["url"]] == k)
+
+    cfg = CFG.__class__(max_bucket_size=4096)  # uncapped: exact equivalence
+    dead = urls[::17]
+
+    store = SnapshotStore(str(tmp_path / "inc"), cfg)
+    build_snapshot(store, part(0), "a", cfg=cfg)
+    build_snapshot(store, part(1), "b", parent="a", cfg=cfg)
+    merged = build_snapshot(
+        store, part(2), "c", parent="b", cfg=cfg, tombstones=dead
+    ).to_pandas()
+
+    alive = pages.filter(lambda r: r["url"] not in set(dead))
+    store2 = SnapshotStore(str(tmp_path / "full"), cfg)
+    rebuilt = build_snapshot(store2, alive, "full", cfg=cfg).to_pandas()
+
+    assert len(merged) == len(rebuilt)
+    assert not set(dead) & set(merged.url)
+    lm = merged.set_index("url")["cluster_id"].sort_index()
+    lr = rebuilt.set_index("url")["cluster_id"].sort_index()
+    assert (lm == lr).all()
+
+    # the merges actually took the patch path: composed from parent parts
+    # with a parents-scoped exclusion, own part smaller than the corpus
+    for snap in ("b", "c"):
+        ent = store.manifest(snap)["stages"]["clusters"]
+        assert ent["exclude"]["scope"] == "parents"
+        assert len(ent["dirs"]) > 1
+        own_rows = store.read_stage_own(snap, "clusters").count()
+        assert own_rows < len(merged)
+    # no duplicate doc rows leak through the composition
+    assert merged["doc_id"].is_unique
