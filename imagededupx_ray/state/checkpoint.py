@@ -305,9 +305,15 @@ class SnapshotStore:
         ent = m["stages"][stage]
         ent["dirs"] = [self._rel(final)]
         ent["own"] = self._rel(final)
-        ent.pop("exclude", None)
+        exc = ent.pop("exclude", None)
         ent["rows"] = int(rows)
         self._update_manifest(snapshot, stage_update={stage: ent})
+        if exc and exc.get("sidecar") == "patched_cluster_docs":
+            # the clusters churn set is purely a patch carry-set — folding the
+            # parts resets it so child merges stop re-carrying compacted rows.
+            # (NOT generic: e.g. extinct_sig_ids also drives resurrection
+            # semantics and must survive compaction.)
+            self.write_sidecar(snapshot, "patched_cluster_docs", np.empty(0, np.int64))
         return final
 
     def _update_manifest(

@@ -333,3 +333,40 @@ def test_chained_patch_merges_equal_rebuild(ray_session, fixture_corpus, tmp_pat
         assert own_rows < len(merged)
     # no duplicate doc rows leak through the composition
     assert merged["doc_id"].is_unique
+
+
+def test_compact_clusters_mid_lineage(ray_session, fixture_corpus, tmp_path):
+    """compact_stage folds a patch-composed clusters stage into one part
+    (resetting the churn carry-set) and later merges stay equivalent."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from imagededupx_ray.pipelines.incremental import build_snapshot
+    from imagededupx_ray.state.checkpoint import SnapshotStore
+
+    pages_tbl = pq.read_table(f"{fixture_corpus}/pages")
+    pages = rd.read_parquet(f"{fixture_corpus}/pages")
+    urls = sorted(pages_tbl["url"].to_pylist())
+    third = {u: i % 3 for i, u in enumerate(urls)}
+
+    def part(k):
+        return pages.filter(lambda r: third[r["url"]] == k)
+
+    cfg = CFG.__class__(max_bucket_size=4096)
+    store = SnapshotStore(str(tmp_path / "inc"), cfg)
+    build_snapshot(store, part(0), "a", cfg=cfg)
+    build_snapshot(store, part(1), "b", parent="a", cfg=cfg)
+    pre = store.read_stage("b", "clusters").to_pandas()
+    store.compact_stage("b", "clusters")
+    post = store.read_stage("b", "clusters").to_pandas()
+    assert len(store.read_sidecar("b", "patched_cluster_docs")) == 0
+    lm = pre.set_index("url")["cluster_id"].sort_index()
+    lp = post.set_index("url")["cluster_id"].sort_index()
+    assert (lm == lp).all() and post["doc_id"].is_unique
+
+    merged = build_snapshot(store, part(2), "c", parent="b", cfg=cfg).to_pandas()
+    store2 = SnapshotStore(str(tmp_path / "full"), cfg)
+    rebuilt = build_snapshot(store2, pages, "full", cfg=cfg).to_pandas()
+    lc = merged.set_index("url")["cluster_id"].sort_index()
+    lr = rebuilt.set_index("url")["cluster_id"].sort_index()
+    assert (lc == lr).all() and merged["doc_id"].is_unique
