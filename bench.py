@@ -74,6 +74,40 @@ def _warm_workers() -> None:
 
     rd.range(n * 4, override_num_blocks=n * 4).map_batches(touch).count()
 
+    # first .remote() on a function pays its export/pickling cost; spin the
+    # manual-exchange tasks once on a 1-row table so that fixed cost sits in
+    # warmup (like the import warmup above), not in the timed window
+    import pyarrow as _pa
+
+    from imagededupx_ray.stages import dedup as _dd, verify as _vf
+
+    t = _pa.table(
+        {
+            "text_sha256": _pa.array(["0" * 64]),
+            "doc_id": _pa.array([1], type=_pa.int64()),
+        }
+    )
+    ray.get(_dd._dup_reduce_part.remote(_dd._dup_map_block.remote(t, 1)))
+    pt = _pa.table(
+        {
+            "a": _pa.array([1], type=_pa.int64()),
+            "b": _pa.array([2], type=_pa.int64()),
+        }
+    )
+    import numpy as _np
+
+    sig = (
+        _np.empty(0, _np.int64),
+        _np.empty(0, _np.int64),
+        _np.empty((0, 128), _np.uint32),
+        _np.empty(0, _np.uint64),
+    )
+    from imagededupx_ray.config import DEFAULT_CONFIG as _CFG
+
+    ray.get(
+        _vf._pair_verify_part.remote(sig, _CFG, *[_vf._pair_map_block.remote(pt, 1)])
+    )
+
 
 def run_headline(sf: float, pages_per_sf: int = PAGES_PER_SF) -> dict:
     import ray.data as rd
