@@ -60,6 +60,19 @@ def main(argv: list[str] | None = None) -> int:
         help="file of urls (one per line) deleted in this snapshot",
     )
 
+    c = sub.add_parser(
+        "compact",
+        help="fold a snapshot stage's multi-part lineage (+ patch exclusions) "
+        "into one fresh part — maintenance for long merge chains",
+    )
+    c.add_argument("--store", required=True)
+    c.add_argument("--snapshot", default=None, help="defaults to the latest snapshot")
+    c.add_argument(
+        "--stage",
+        default="clusters",
+        help="stage to compact (clusters, signatures, lsh_index, verified_pairs, docs_meta)",
+    )
+
     s = sub.add_parser("spans", help="substring spans for verified pairs of a dedup run")
     s.add_argument("--input", required=True, help="pages parquet directory")
     s.add_argument("--output", required=True)
@@ -109,6 +122,26 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 clusters.write_parquet(args.output)
             print(json.dumps({"clusters": args.output, "rows": res.clusters.count()}))
+        elif args.cmd == "compact":
+            from imagededupx_ray.config import DEFAULT_CONFIG
+            from imagededupx_ray.state.checkpoint import SnapshotStore
+
+            store = SnapshotStore(args.store, DEFAULT_CONFIG)
+            snap = args.snapshot or store.latest_snapshot()
+            if snap is None:
+                print(json.dumps({"error": "store has no snapshots"}))
+                return 2
+            final = store.compact_stage(snap, args.stage)
+            print(
+                json.dumps(
+                    {
+                        "snapshot": snap,
+                        "stage": args.stage,
+                        "dir": final,
+                        "rows": store.manifest(snap)["stages"][args.stage]["rows"],
+                    }
+                )
+            )
         elif args.cmd in ("build", "merge"):
             from imagededupx_ray.pipelines.incremental import build_snapshot
             from imagededupx_ray.state.checkpoint import SnapshotStore
