@@ -181,14 +181,24 @@ def _min_per_key(ds, key_fn, val_fn, want: np.ndarray) -> dict[int, int]:
             {"k": pa.array(kk, type=pa.int64()), "m": pa.array(mins, type=pa.int64())}
         )
 
-    agg: dict[int, int] = {}
+    ks: list[np.ndarray] = []
+    ms: list[np.ndarray] = []
     for b in ds.map_batches(pick, batch_format="pyarrow").iter_batches(
         batch_size=1 << 16, batch_format="pyarrow"
     ):
-        for k, m in zip(b["k"].to_pylist(), b["m"].to_pylist()):
-            if k not in agg or m < agg[k]:
-                agg[k] = m
-    return agg
+        ks.append(b["k"].to_numpy(zero_copy_only=False).astype(np.int64))
+        ms.append(b["m"].to_numpy(zero_copy_only=False).astype(np.int64))
+    if not ks:
+        return {}
+    k = np.concatenate(ks)
+    m = np.concatenate(ms)
+    # vectorized min-reduce by key (was a per-row python dict loop)
+    order = np.lexsort((m, k))
+    k, m = k[order], m[order]
+    first = np.empty(len(k), dtype=bool)
+    first[0] = True
+    np.not_equal(k[1:], k[:-1], out=first[1:])
+    return dict(zip(k[first].tolist(), m[first].tolist()))
 
 
 def _meta_of(docs_ds):
