@@ -147,10 +147,17 @@ def _build_and_load():
     node) and dlopen it. Concurrent workers race benignly: each compiles to
     its own temp file and os.rename's into place (atomic on POSIX)."""
     src_hash = hashlib.blake2b(_SOURCE.encode(), digest_size=8).hexdigest()
-    cache_dir = os.path.join(tempfile.gettempdir(), "imagededupx_native")
+    # per-uid cache dir, created 0700 — a world-shared predictable /tmp path
+    # would let another local user pre-plant a .so that every worker dlopens
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"imagededupx_native_{os.getuid()}"
+    )
     so_path = os.path.join(cache_dir, f"sig_{src_hash}.so")
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    st = os.stat(cache_dir)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+        return None  # squatted or group/world-writable — refuse to load
     if not os.path.exists(so_path):
-        os.makedirs(cache_dir, exist_ok=True)
         c_path = os.path.join(cache_dir, f"sig_{src_hash}.c")
         with open(c_path, "w") as f:
             f.write(_SOURCE)

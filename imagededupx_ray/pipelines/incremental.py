@@ -100,6 +100,8 @@ def _filter_ds(ds, value_fn, sorted_arr: np.ndarray, keep_members: bool):
     ref = ray.put(np.ascontiguousarray(sorted_arr, dtype=np.int64))
 
     def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t  # 0-row blocks may carry no schema at all
         arr = ray.get(ref)
         m = _in_sorted(arr, value_fn(t))
         return t.filter(pa.array(m if keep_members else ~m))
@@ -170,6 +172,10 @@ def _min_per_key(ds, key_fn, val_fn, want: np.ndarray) -> dict[int, int]:
     want_ref = ray.put(np.ascontiguousarray(want, dtype=np.int64))
 
     def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], type=pa.int64()), "m": pa.array([], type=pa.int64())}
+            )
         w = ray.get(want_ref)
         k = key_fn(t)
         v = val_fn(t)
@@ -508,29 +514,65 @@ def build_snapshot(
             if len(revived)
             else _EMPTY
         )
-        dead_all = np.union1d(np.setdiff1d(parent_dead, revived), killed_combos)
+
+        # ---- delta classification against the parent's PHYSICAL rows -----
+        # one narrow scan serves both outcomes (reference M10 new/modified,
+        # improved_faiss_detector.py:269-295):
+        #   seen       = same (url, content) combo already stored  → nothing
+        #                to rewrite (revived rows fall out here too)
+        #   superseded = same url, DIFFERENT content → last-write-wins: the
+        #                parent row becomes a dead row (like a tombstone
+        #                kill, except the doc stays live under its new text)
+        seen = _EMPTY
+        superseded_combos = _EMPTY
+        superseded_sigs = _EMPTY
+        n_super = 0
+        if parent is not None and docs_new.count() > 0:
+            delta_doc_ids_pre = _collect_unique_i64(
+                docs_new.select_columns(["doc_id"]), _col_i64("doc_id")
+            )
+            combo_ref = ray.put(delta_combos)
+            docs_ref = ray.put(delta_doc_ids_pre)
+
+            def hit_fn(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return t
+                m = _in_sorted(ray.get(combo_ref), doc_sig_combo(t)) | _in_sorted(
+                    ray.get(docs_ref), t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+                return t.filter(pa.array(m))
+
+            hit_tables = [
+                b
+                for b in rd.read_parquet(
+                    parquet_files(parent_meta_dirs),
+                    columns=["doc_id", "text_sha256"],
+                )
+                .map_batches(hit_fn, batch_format="pyarrow")
+                .iter_batches(batch_size=1 << 18, batch_format="pyarrow")
+                if b.num_rows
+            ]
+            if hit_tables:
+                hits = pa.concat_tables(hit_tables)
+                combos_h = doc_sig_combo(hits)
+                in_delta = _in_sorted(delta_combos, combos_h)
+                seen = np.unique(combos_h[in_delta])
+                if not in_delta.all():
+                    superseded_combos = np.unique(combos_h[~in_delta])
+                    superseded_sigs = np.unique(_sig_of(hits)[~in_delta])
+                    n_super = int(
+                        (~_in_sorted(parent_dead, superseded_combos)).sum()
+                    )
+                    cand_sigs = np.union1d(cand_sigs, superseded_sigs)
+
+        dead_all = np.union1d(
+            np.union1d(np.setdiff1d(parent_dead, revived), killed_combos),
+            superseded_combos,
+        )
         store.write_sidecar(snapshot, "dead_row_keys", dead_all)
 
-        # ---- delta detection: drop rows already physically present -------
-        # (revived rows fall out here too — their stored row just became
-        # visible again, nothing to rewrite)
-        if parent is not None and docs_new.count() > 0:
-            seen = _collect_unique_i64(
-                _filter_ds(
-                    rd.read_parquet(
-                        parquet_files(parent_meta_dirs),
-                        columns=["doc_id", "text_sha256"],
-                    ),
-                    doc_sig_combo,
-                    delta_combos,
-                    True,
-                ),
-                doc_sig_combo,
-            )
-            if len(seen):
-                docs_new = _filter_ds(
-                    docs_new, doc_sig_combo, seen, False
-                ).materialize()
+        if len(seen):
+            docs_new = _filter_ds(docs_new, doc_sig_combo, seen, False).materialize()
         docs_new_meta = _meta_of(docs_new).materialize()
         n_new = docs_new_meta.count()
 
@@ -574,7 +616,7 @@ def build_snapshot(
                 t0=t_start,
                 parent_dirs=parent_meta_dirs,
                 exclude={"sidecar": "dead_row_keys", "columns": ["doc_sig_combo"]},
-                rows=parent_meta_rows - n_killed + len(revived) + n_new,
+                rows=parent_meta_rows - n_killed - n_super + len(revived) + n_new,
             )
 
         # ---- signatures: sign ONLY never-seen texts ----------------------

@@ -40,17 +40,9 @@ SIGNATURES = pa.schema(
     ]
 )
 
-# snapshot-store layout (pipelines/incremental.py): content-keyed — doc_id
-# holds the 63-bit sig_id (hash of text_sha256), minhash packed to fixed-width
-# binary (acero-join-safe, parquet-stable), simhash bit-cast to int64
-SIGNATURES_PACKED = pa.schema(
-    [
-        ("doc_id", pa.int64()),  # = sig_id
-        ("minhash", pa.binary(128 * 8)),
-        ("simhash", pa.int64()),
-        ("n_shingles", pa.int32()),
-    ]
-)
+# The snapshot store's persisted signature layout is content-keyed and
+# num_perms-dependent (minhash truncated to u32 components); it lives in
+# pipelines/incremental.py::_packed_schema, not here.
 
 LSH_ROWS = pa.schema(
     [

@@ -166,8 +166,13 @@ def ivf_dup_pairs(
         num_partitions = suggest_num_partitions(per_cpu=2)
     p = _pow2(num_partitions)
     if n_clusters is None:
-        n_clusters = max(16, int(np.sqrt(max(emb_ds.count(), 1))))
-    sample = emb_ds.limit(max(20000, 8 * n_clusters)).to_pandas()
+        # sqrt(n) keeps mean bucket ~sqrt(n), capped so the driver-side
+        # kmeans fit (sample x centroids per iteration) stays tractable; at
+        # true web scale pass an explicit n_clusters and a pre-trained /
+        # hierarchical centroid set instead — the driver fit is the oracle-
+        # scale path, the bucketed shuffle below is the part that scales
+        n_clusters = min(65536, max(16, int(np.sqrt(max(emb_ds.count(), 1)))))
+    sample = emb_ds.limit(min(1_000_000, max(20000, 8 * n_clusters))).to_pandas()
     X = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     centroids = kmeans_fit(X, n_clusters, seed)
     cent_ref = ray.put(centroids)

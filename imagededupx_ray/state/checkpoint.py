@@ -17,7 +17,8 @@ Reference analogues replaced:
   persistence SURVEY §1.2/§3.2 promises.
 
 Deletes never rewrite parts either: each snapshot carries small *sidecar*
-arrays (``dead_doc_ids``, ``extinct_sig_ids``) and a stage may declare an
+arrays (``dead_row_keys`` — (doc_id, sig_id)-combo keyed — and
+``extinct_sig_ids``) and a stage may declare an
 ``exclude`` filter — at read time, rows whose listed columns match the
 sidecar array are dropped (vectorized searchsorted, no python rows). A
 tombstoned doc that reappears later simply leaves the sidecar ("resurrection"
@@ -284,9 +285,27 @@ class SnapshotStore:
 
     # ------------------------------------------------------------ compaction
     def compact_stage(self, snapshot: str, stage: str) -> str:
-        """Fold a multi-part stage (+ its exclude filter) into one fresh part
-        under this snapshot — explicit maintenance for long lineages."""
-        ds = self.read_stage(snapshot, stage)
+        """Fold a multi-part stage into one fresh part under this snapshot —
+        explicit maintenance for long lineages.
+
+        The exclude filter folds in ONLY when its sidecar is the clusters
+        patch carry-set (``patched_cluster_docs``), whose excluded rows are
+        guaranteed re-written in the newest part. Revival-bearing sidecars
+        (``extinct_sig_ids``, ``dead_row_keys``) merely HIDE rows that a
+        later re-add reveals in place — folding their filter would
+        physically destroy state the resurrection path depends on, so those
+        stages compact the raw part union and keep the exclude entry."""
+        import ray.data as rd
+
+        m0 = self.manifest(snapshot)
+        ent0 = (m0 or {}).get("stages", {}).get(stage, {})
+        exc0 = ent0.get("exclude")
+        fold = not exc0 or exc0.get("sidecar") == "patched_cluster_docs"
+        if fold:
+            ds = self.read_stage(snapshot, stage)
+        else:
+            dirs = self.stage_dirs(snapshot, stage) or [self.stage_dir(snapshot, stage)]
+            ds = rd.read_parquet(parquet_files(dirs))
         final = self.stage_dir(snapshot, stage)
         tmp = final + ".compact"
         if os.path.exists(tmp):
@@ -305,14 +324,15 @@ class SnapshotStore:
         ent = m["stages"][stage]
         ent["dirs"] = [self._rel(final)]
         ent["own"] = self._rel(final)
-        exc = ent.pop("exclude", None)
-        ent["rows"] = int(rows)
+        if fold:
+            exc = ent.pop("exclude", None)
+            ent["rows"] = int(rows)
+        else:
+            exc = None  # exclude entry and logical row count stay as-is
         self._update_manifest(snapshot, stage_update={stage: ent})
         if exc and exc.get("sidecar") == "patched_cluster_docs":
             # the clusters churn set is purely a patch carry-set — folding the
-            # parts resets it so child merges stop re-carrying compacted rows.
-            # (NOT generic: e.g. extinct_sig_ids also drives resurrection
-            # semantics and must survive compaction.)
+            # parts resets it so child merges stop re-carrying compacted rows
             self.write_sidecar(snapshot, "patched_cluster_docs", np.empty(0, np.int64))
         return final
 

@@ -370,3 +370,104 @@ def test_compact_clusters_mid_lineage(ray_session, fixture_corpus, tmp_path):
     lc = merged.set_index("url")["cluster_id"].sort_index()
     lr = rebuilt.set_index("url")["cluster_id"].sort_index()
     assert (lc == lr).all() and merged["doc_id"].is_unique
+
+
+def test_compact_after_delete_preserves_resurrection(
+    ray_session, fixture_corpus, tmp_path
+):
+    """Compacting signatures/lsh_index/docs_meta AFTER a tombstone merge must
+    keep the hidden rows physical (the exclude filter must not fold), so a
+    later re-add still revives them and clusters match a never-deleted
+    build. Guards the data-loss path where compaction folded the extinct
+    filter and re-added texts lost all near-dup pairs silently."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from imagededupx_ray.pipelines.incremental import build_snapshot
+    from imagededupx_ray.state.checkpoint import SnapshotStore
+
+    pages_tbl = pq.read_table(f"{fixture_corpus}/pages")
+    pages = rd.read_parquet(f"{fixture_corpus}/pages")
+    urls = sorted(pages_tbl["url"].to_pylist())
+    dead = urls[::7]
+
+    cfg = CFG.__class__(max_bucket_size=4096)
+    store = SnapshotStore(str(tmp_path / "inc"), cfg)
+    build_snapshot(store, pages, "base", cfg=cfg)
+    build_snapshot(
+        store, pages.limit(0), "del", parent="base", cfg=cfg, tombstones=dead
+    )
+    for st in ("signatures", "lsh_index", "docs_meta"):
+        store.compact_stage("del", st)
+        # exclusion survives compaction for revival-bearing stages
+        assert "exclude" in store.manifest("del")["stages"][st]
+
+    dead_set = set(dead)
+    readd = pages.filter(lambda r: r["url"] in dead_set)
+    revived = build_snapshot(store, readd, "readd", parent="del", cfg=cfg).to_pandas()
+
+    store2 = SnapshotStore(str(tmp_path / "full"), cfg)
+    full = build_snapshot(store2, pages, "full", cfg=cfg).to_pandas()
+    assert len(revived) == len(full)
+    lr = revived.set_index("url")["cluster_id"].sort_index()
+    lf = full.set_index("url")["cluster_id"].sort_index()
+    assert (lr == lf).all()
+    # still no re-signing: the physical signature rows survived compaction
+    assert store.read_stage_own("readd", "signatures").count() == 0
+
+
+def test_modified_page_supersedes_old_text(ray_session, fixture_corpus, tmp_path):
+    """Re-crawling a url with CHANGED text in a merge is last-write-wins: the
+    parent row for that url dies, the clusters keep exactly one row per url,
+    and the result equals a rebuild over the latest-per-url corpus
+    (reference M10 'modified', improved_faiss_detector.py:269-295)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from imagededupx_ray.pipelines.incremental import build_snapshot
+    from imagededupx_ray.state.checkpoint import SnapshotStore
+
+    pages_tbl = pq.read_table(f"{fixture_corpus}/pages")
+    urls = sorted(pages_tbl["url"].to_pylist())
+    changed = set(urls[::9])
+    assert len(changed) > 20
+
+    # delta: the changed urls re-crawled with brand-new texts (html rewrites)
+    idx = [i for i, u in enumerate(pages_tbl["url"].to_pylist()) if u in changed]
+    sub = pages_tbl.take(idx)
+    new_htmls = [
+        f"<html><body><main><p>fresh recrawl body {i} of {u}</p>"
+        f"<p>entirely different content now</p></main></body></html>".encode()
+        for i, u in enumerate(sub["url"].to_pylist())
+    ]
+    from imagededupx_ray.functions.text import extract_text
+
+    delta_tbl = (
+        sub.set_column(sub.schema.get_field_index("html"), "html", pa.array(new_htmls, type=pa.binary()))
+        .set_column(
+            sub.schema.get_field_index("text"),
+            "text",
+            pa.array([extract_text(h) for h in new_htmls], type=pa.string()),
+        )
+    )
+
+    cfg = CFG.__class__(max_bucket_size=4096)
+    store = SnapshotStore(str(tmp_path / "inc"), cfg)
+    pages = rd.read_parquet(f"{fixture_corpus}/pages")
+    build_snapshot(store, pages, "base", cfg=cfg)
+    merged = build_snapshot(
+        store, rd.from_arrow(delta_tbl), "recrawl", parent="base", cfg=cfg
+    ).to_pandas()
+
+    # latest-per-url rebuild: original pages for unchanged urls + new texts
+    keep = pages.filter(lambda r: r["url"] not in changed)
+    latest = keep.union(rd.from_arrow(delta_tbl))
+    store2 = SnapshotStore(str(tmp_path / "full"), cfg)
+    rebuilt = build_snapshot(store2, latest, "full", cfg=cfg).to_pandas()
+
+    assert merged["doc_id"].is_unique and merged["url"].is_unique
+    assert len(merged) == len(rebuilt) == len(urls)
+    lm = merged.set_index("url")["cluster_id"].sort_index()
+    lr = rebuilt.set_index("url")["cluster_id"].sort_index()
+    assert (lm == lr).all()
