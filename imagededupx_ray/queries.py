@@ -136,94 +136,142 @@ def docs_top_longest(sf_dir: str):
     )
 
 
-def token_jaccard_pairs(sf_dir: str, threshold: float = 0.4):
+def token_jaccard_pairs(sf_dir: str, threshold: float = 0.4, block: int = 512):
     """All doc pairs with unigram token-set jaccard >= threshold — the n-gram
     jaccard dedup operator at n=1 (G4 jaccard_coef, utils/distance.py:129-134).
 
-    Exact all-pairs computed as a blocked incidence matmul: distributed
-    tokenize → collect the (small) distinct doc-token incidence to the driver,
-    code the vocab (np.unique), broadcast the bool incidence matrix once
-    (``ray.put``), then fan the upper-triangle row blocks out as tasks whose
-    per-block work is one float32 matmul. Inverted-index candidate generation
-    was tried and rejected: this corpus's vocab overlap makes nearly every
-    pair co-occur, so candidate pruning degenerates to O(n^2 * df) rows —
-    brute force IS the right algorithm at oracle scale, and the MinHash/LSH
-    pipeline (not this operator) is the 10^12-doc path.
+    Exact all-pairs via two-sided block tiling (same shape as
+    ``embedding_dup_pairs``): distributed tokenize to per-doc sorted distinct
+    token-hash sets, stream the corpus through the driver one ``block``-doc
+    slab at a time into per-block object-store entries (never a whole-corpus
+    incidence matrix anywhere), then fan the upper-triangle (row-block ×
+    col-block) tiles out as tasks. Each tile intersects the two blocks'
+    vocabularies first (tokens in only one block cannot contribute) and
+    accumulates intersection counts by chunked dense matmul over that shared
+    vocabulary, so per-task memory is bounded by the block/chunk sizes.
+    Inverted-index candidate generation was tried and rejected: this corpus's
+    vocab overlap makes nearly every pair co-occur (86% of all pairs pass
+    the 0.4 oracle threshold), so candidate pruning degenerates to
+    O(n^2 * df) emitted rows — exhaustive tiles ARE the right algorithm at
+    oracle scale, and the MinHash/LSH pipeline is the 10^12-doc path.
     """
 
-    def distinct_tokens(batch: pa.Table) -> pa.Table:
+    def doc_token_sets(batch: pa.Table) -> pa.Table:
         flat, offsets = tokenize_batch(batch["text"])
         tok_h = H.token_hash_flat(flat)
         n_tok = np.diff(offsets)
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         d = np.repeat(doc_ids, n_tok)
-        df = pd.DataFrame({"d": d, "t": tok_h}).drop_duplicates()
+        df = (
+            pd.DataFrame({"d": d, "t": tok_h.astype(np.int64)})
+            .drop_duplicates()
+            .sort_values(["d", "t"])
+        )
+        dd = df["d"].to_numpy()
+        uniq_docs, counts = np.unique(dd, return_counts=True)
+        # one row per doc with >= 1 token: sorted distinct token hashes
+        off = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        toks = pa.ListArray.from_arrays(
+            pa.array(off), pa.array(df["t"].to_numpy(), type=pa.int64())
+        )
         return pa.table(
-            {
-                "doc_id": pa.array(df["d"].to_numpy(), type=pa.int64()),
-                "token": pa.array(df["t"].to_numpy().astype(np.int64), type=pa.int64()),
-            }
+            {"doc_id": pa.array(uniq_docs, type=pa.int64()), "toks": toks}
         )
 
-    inc_rows = (
-        _read(sf_dir, "documents")
-        .map_batches(distinct_tokens, batch_format="pyarrow")
-        .materialize()
+    sets_ds = _read(sf_dir, "documents").map_batches(
+        doc_token_sets, batch_format="pyarrow"
     )
-    n = len(inc_rows.unique("doc_id"))
 
-    @ray.remote
-    def assemble(*tbls):
-        """Dense doc×token incidence built INSIDE a worker (the driver holds
-        only the object ref; oracle-scale by declared design — MinHash/LSH is
-        the 10^12 path for this operator)."""
-        tbl = pa.concat_tables(tbls)
-        d = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        t = tbl["token"].to_numpy(zero_copy_only=False).astype(np.int64)
-        doc_ids, doc_codes = np.unique(d, return_inverse=True)
-        _, tok_codes = np.unique(t, return_inverse=True)
-        v = int(tok_codes.max()) + 1 if len(tok_codes) else 0
-        inc = np.zeros((len(doc_ids), v), dtype=np.float32)
-        inc[doc_codes, tok_codes] = 1.0
-        return doc_ids, inc, inc.sum(axis=1)
+    # stream doc blocks into per-block objects: (ids, sizes, tok_by_token_order,
+    # doc_code_by_token_order, sorted unique tokens of the block)
+    block_refs: list = []
+    for b in sets_ds.iter_batches(batch_size=block, batch_format="pyarrow"):
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = b["toks"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        sizes = np.diff(offs)
+        doc_code = np.repeat(np.arange(len(ids), dtype=np.int32), sizes)
+        order = np.argsort(flat, kind="stable")
+        tok_s = flat[order]
+        doc_s = doc_code[order]
+        uniq = np.unique(tok_s)
+        block_refs.append(
+            ray.put((ids, sizes.astype(np.float64), tok_s, doc_s, uniq))
+        )
 
-    inc_ref = assemble.remote(*inc_rows.to_arrow_refs())
-
-    block = 512
-    starts = list(range(0, n, block))
+    nb = len(block_refs)
+    tiles = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
     thr = threshold
+    vchunk = 16384  # shared-vocab chunk: bounds each dense slab to block×vchunk
 
-    def pairs_for_block(batch: pa.Table) -> pa.Table:
-        ids, M, sz = ray.get(inc_ref)
-        out = []
-        for s in batch["start"].to_pylist():
-            e = min(s + block, len(ids))
-            inter = (M[s:e] @ M.T).astype(np.float64)  # counts exact (< 2^24)
-            union = sz[s:e, None].astype(np.float64) + sz[None, :] - inter
-            with np.errstate(invalid="ignore"):
-                jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    def _shared_codes(tok_s, doc_s, shared):
+        pos = np.searchsorted(shared, tok_s)
+        pos_c = np.minimum(pos, len(shared) - 1)
+        ok = shared[pos_c] == tok_s
+        return pos_c[ok], doc_s[ok]  # token codes ascending (tok_s is sorted)
+
+    def pairs_for_tile(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ids_i, sz_i, tok_i, doc_i, uq_i = ray.get(block_refs[i])
+            ids_j, sz_j, tok_j, doc_j, uq_j = ray.get(block_refs[j])
+            shared = np.intersect1d(uq_i, uq_j, assume_unique=True)
+            if len(shared) == 0:
+                continue
+            ci, di = _shared_codes(tok_i, doc_i, shared)
+            cj, dj = _shared_codes(tok_j, doc_j, shared)
+            inter = np.zeros((len(ids_i), len(ids_j)), dtype=np.float32)
+            for c0 in range(0, len(shared), vchunk):
+                c1 = min(c0 + vchunk, len(shared))
+                li, hi = np.searchsorted(ci, (c0, c1))
+                lj, hj = np.searchsorted(cj, (c0, c1))
+                if hi == li or hj == lj:
+                    continue
+                A = np.zeros((len(ids_i), c1 - c0), dtype=np.float32)
+                A[di[li:hi], ci[li:hi] - c0] = 1.0
+                B = np.zeros((len(ids_j), c1 - c0), dtype=np.float32)
+                B[dj[lj:hj], cj[lj:hj] - c0] = 1.0
+                inter += A @ B.T
+            interd = inter.astype(np.float64)  # counts exact (< 2^24)
+            union = sz_i[:, None] + sz_j[None, :] - interd
+            jac = interd / np.maximum(union, 1.0)  # union >= 1 (docs non-empty)
             ii, jj = np.nonzero(jac >= thr)
-            keep = (ii + s) < jj  # upper triangle, a < b
-            out.append(
-                (
-                    ids[ii[keep] + s],
-                    ids[jj[keep]],
-                    jac[ii[keep], jj[keep]].astype(np.float64),
-                )
-            )
-        a = np.concatenate([o[0] for o in out]) if out else np.empty(0, np.int64)
-        b = np.concatenate([o[1] for o in out]) if out else np.empty(0, np.int64)
-        j = np.concatenate([o[2] for o in out]) if out else np.empty(0, np.float64)
+            if i == j:
+                keep = ids_i[ii] < ids_j[jj]  # upper triangle, a < b
+                out_a.append(ids_i[ii[keep]])
+                out_b.append(ids_j[jj[keep]])
+                out_j.append(jac[ii[keep], jj[keep]])
+            else:
+                ai, bj = ids_i[ii], ids_j[jj]
+                out_a.append(np.minimum(ai, bj))
+                out_b.append(np.maximum(ai, bj))
+                out_j.append(jac[ii, jj])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        jv = np.concatenate(out_j) if out_j else np.empty(0, np.float64)
         return pa.table(
             {
                 "a": pa.array(a, type=pa.int64()),
                 "b": pa.array(b, type=pa.int64()),
-                "jaccard": _round_col(j, 6),
+                "jaccard": _round_col(jv, 6),
             }
         )
 
-    return rd.from_items([{"start": s} for s in starts]).map_batches(
-        pairs_for_block, batch_format="pyarrow", batch_size=1
+    if not tiles:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    return rd.from_items(tiles).map_batches(
+        pairs_for_tile, batch_format="pyarrow", batch_size=1
     )
 
 
