@@ -46,6 +46,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_customer": Q.orders_per_customer,
         "events_hourly": Q.events_hourly,
         "events_user_stats": Q.events_user_stats,
+        "events_sessionize": Q.events_sessionize,
+        "events_orders_asof": Q.events_orders_asof,
+        "q3_shipping_priority": Q.q3_shipping_priority,
+        "shingle_jaccard_pairs": Q.shingle_jaccard_pairs,
         "knn_cosine": Q.knn_cosine,
         "tfidf_cosine_topk": Q.tfidf_cosine_topk,
         "docs_quality": Q.docs_quality,
@@ -211,6 +215,51 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(value), 4) AS total_value, "
             "epoch_us(MIN(ts)) AS first_ts_us, epoch_us(MAX(ts)) AS last_ts_us "
             "FROM events GROUP BY user_id"
+        ),
+        "events_sessionize": (
+            # 30-min inactivity gap; session_id 1-based per user in start order
+            "WITH o AS (SELECT user_id, ts, value, CASE WHEN "
+            "lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) "
+            "> 1800000000 THEN 1 ELSE 0 END AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, ts, value, SUM(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) "
+            "AS session_id FROM o) "
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+            "COUNT(*) AS n_events, "
+            "epoch_us(MIN(ts)) AS start_ts_us, epoch_us(MAX(ts)) AS end_ts_us, "
+            "ROUND(SUM(value), 4) AS sum_value FROM s GROUP BY 1, 2"
+        ),
+        "events_orders_asof": (
+            # as-of: latest order of the same customer at or before the event;
+            # -1 sentinels when the user has no earlier order
+            "SELECT e.event_id, e.user_id, "
+            "COALESCE(epoch_us(MAX(o.o_orderdate)), -1) AS last_order_ts_us, "
+            "ROUND(COALESCE((epoch_us(e.ts) - epoch_us(MAX(o.o_orderdate))) "
+            "/ 1000000.0, -1.0), 6) AS lag_sec "
+            "FROM events e LEFT JOIN orders o ON o.o_custkey = e.user_id "
+            "AND o.o_orderdate <= e.ts GROUP BY e.event_id, e.user_id, e.ts"
+        ),
+        "q3_shipping_priority": (
+            "WITH r AS (SELECT l_orderkey, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem GROUP BY l_orderkey) "
+            "SELECT r.l_orderkey, r.revenue, c.c_mktsegment "
+            "FROM r JOIN orders o ON o.o_orderkey = r.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "ORDER BY r.revenue DESC, r.l_orderkey LIMIT 10"
+        ),
+        "shingle_jaccard_pairs": (
+            # char 5-gram shingle sets over lower(trim(text)); jaccard >= 0.8
+            "WITH t AS (SELECT doc_id, list_distinct(list_transform("
+            "generate_series(1, length(lower(trim(text))) - 4), "
+            "i -> substr(lower(trim(text)), CAST(i AS INTEGER), 5))) AS sh "
+            "FROM documents WHERE length(lower(trim(text))) >= 5), "
+            "s AS (SELECT a.doc_id AS a, b.doc_id AS b, "
+            "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j "
+            "FROM t a JOIN t b ON a.doc_id < b.doc_id) "
+            "SELECT a, b, ROUND(j, 6) AS jaccard FROM s WHERE j >= 0.8"
         ),
         "tfidf_cosine_topk": (
             "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), "

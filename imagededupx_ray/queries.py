@@ -136,52 +136,43 @@ def docs_top_longest(sf_dir: str):
     )
 
 
-def token_jaccard_pairs(sf_dir: str, threshold: float = 0.4, block: int = 512):
-    """All doc pairs with unigram token-set jaccard >= threshold — the n-gram
-    jaccard dedup operator at n=1 (G4 jaccard_coef, utils/distance.py:129-134).
-
-    Exact all-pairs via two-sided block tiling (same shape as
-    ``embedding_dup_pairs``): distributed tokenize to per-doc sorted distinct
-    token-hash sets, stream the corpus through the driver one ``block``-doc
-    slab at a time into per-block object-store entries (never a whole-corpus
-    incidence matrix anywhere), then fan the upper-triangle (row-block ×
-    col-block) tiles out as tasks. Each tile intersects the two blocks'
-    vocabularies first (tokens in only one block cannot contribute) and
-    accumulates intersection counts by chunked dense matmul over that shared
-    vocabulary, so per-task memory is bounded by the block/chunk sizes.
-    Inverted-index candidate generation was tried and rejected: this corpus's
-    vocab overlap makes nearly every pair co-occur (86% of all pairs pass
-    the 0.4 oracle threshold), so candidate pruning degenerates to
-    O(n^2 * df) emitted rows — exhaustive tiles ARE the right algorithm at
-    oracle scale, and the MinHash/LSH pipeline is the 10^12-doc path.
-    """
-
-    def doc_token_sets(batch: pa.Table) -> pa.Table:
-        flat, offsets = tokenize_batch(batch["text"])
-        tok_h = H.token_hash_flat(flat)
-        n_tok = np.diff(offsets)
-        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = np.repeat(doc_ids, n_tok)
-        df = (
-            pd.DataFrame({"d": d, "t": tok_h.astype(np.int64)})
-            .drop_duplicates()
-            .sort_values(["d", "t"])
-        )
-        dd = df["d"].to_numpy()
-        uniq_docs, counts = np.unique(dd, return_counts=True)
-        # one row per doc with >= 1 token: sorted distinct token hashes
-        off = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
-        toks = pa.ListArray.from_arrays(
-            pa.array(off), pa.array(df["t"].to_numpy(), type=pa.int64())
-        )
-        return pa.table(
-            {"doc_id": pa.array(uniq_docs, type=pa.int64()), "toks": toks}
-        )
-
-    sets_ds = _read(sf_dir, "documents").map_batches(
-        doc_token_sets, batch_format="pyarrow"
+def _distinct_sets_table(d: np.ndarray, t: np.ndarray) -> pa.Table:
+    """Pack (doc, element-hash) pairs into one row per doc holding its sorted
+    distinct element set; docs with zero elements are dropped (they cannot
+    pair above a positive threshold)."""
+    df = (
+        pd.DataFrame({"d": d, "t": t.astype(np.int64)})
+        .drop_duplicates()
+        .sort_values(["d", "t"])
     )
+    dd = df["d"].to_numpy()
+    uniq_docs, counts = np.unique(dd, return_counts=True)
+    off = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    toks = pa.ListArray.from_arrays(
+        pa.array(off), pa.array(df["t"].to_numpy(), type=pa.int64())
+    )
+    return pa.table({"doc_id": pa.array(uniq_docs, type=pa.int64()), "toks": toks})
 
+
+def _tiled_set_jaccard(
+    sets_ds: "rd.Dataset", threshold: float, block: int, score_name: str
+) -> "rd.Dataset":
+    """Exact all-pairs set jaccard >= threshold via two-sided block tiling
+    (same shape as ``embedding_dup_pairs``): ``sets_ds`` has one row per doc
+    (doc_id, toks: sorted distinct int64 element hashes). The corpus streams
+    through the driver one ``block``-doc slab at a time into per-block
+    object-store entries (never a whole-corpus incidence matrix anywhere),
+    then the upper-triangle (row-block × col-block) tiles fan out as tasks.
+    Each tile intersects the two blocks' vocabularies first (elements in only
+    one block cannot contribute) and accumulates intersection counts by
+    chunked dense matmul over that shared vocabulary, so per-task memory is
+    bounded by the block/chunk sizes. Inverted-index candidate generation was
+    tried and rejected: this corpus's vocab overlap makes nearly every pair
+    co-occur (86% of all pairs pass the 0.4 oracle threshold), so candidate
+    pruning degenerates to O(n^2 * df) emitted rows — exhaustive tiles ARE
+    the right algorithm at oracle scale, and the MinHash/LSH pipeline is the
+    10^12-doc path.
+    """
     # stream doc blocks into per-block objects: (ids, sizes, tok_by_token_order,
     # doc_code_by_token_order, sorted unique tokens of the block)
     block_refs: list = []
@@ -256,7 +247,7 @@ def token_jaccard_pairs(sf_dir: str, threshold: float = 0.4, block: int = 512):
             {
                 "a": pa.array(a, type=pa.int64()),
                 "b": pa.array(b, type=pa.int64()),
-                "jaccard": _round_col(jv, 6),
+                score_name: _round_col(jv, 6),
             }
         )
 
@@ -266,13 +257,65 @@ def token_jaccard_pairs(sf_dir: str, threshold: float = 0.4, block: int = 512):
                 {
                     "a": pa.array([], type=pa.int64()),
                     "b": pa.array([], type=pa.int64()),
-                    "jaccard": pa.array([], type=pa.float64()),
+                    score_name: pa.array([], type=pa.float64()),
                 }
             )
         )
     return rd.from_items(tiles).map_batches(
         pairs_for_tile, batch_format="pyarrow", batch_size=1
     )
+
+
+def token_jaccard_pairs(sf_dir: str, threshold: float = 0.4, block: int = 512):
+    """All doc pairs with unigram token-set jaccard >= threshold — the n-gram
+    jaccard dedup operator at n=1 (G4 jaccard_coef, utils/distance.py:129-134).
+    Exact via the two-sided tiled miner (``_tiled_set_jaccard``)."""
+
+    def doc_token_sets(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokenize_batch(batch["text"])
+        tok_h = H.token_hash_flat(flat)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.repeat(doc_ids, np.diff(offsets))
+        return _distinct_sets_table(d, tok_h)
+
+    sets_ds = _read(sf_dir, "documents").map_batches(
+        doc_token_sets, batch_format="pyarrow"
+    )
+    return _tiled_set_jaccard(sets_ds, threshold, block, "jaccard")
+
+
+def shingle_jaccard_pairs(
+    sf_dir: str, threshold: float = 0.8, k: int = 5, block: int = 512
+):
+    """All doc pairs with character k-gram (shingle) set jaccard >= threshold
+    — the exact n-gram-jaccard dedup tier whose 10^12-doc approximation is
+    the MinHash pipeline (same 5-gram shingles, stages/signatures.py).
+    Shingles are taken over lower(trim(text)) to match the SQL twin exactly;
+    the per-doc python slice loop is oracle-scale-only by design (the scale
+    path shingles inside the fused C kernel, functions/native.py)."""
+
+    def doc_shingle_sets(batch: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(pc.utf8_trim_whitespace(batch["text"]))
+        texts = s.to_pylist()
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shingles: list[str] = []
+        docs: list[np.ndarray] = []
+        for did, t in zip(doc_ids, texts):
+            t = t or ""
+            n = len(t) - k + 1
+            if n <= 0:
+                continue
+            sh = list({t[i : i + k] for i in range(n)})
+            shingles.extend(sh)
+            docs.append(np.full(len(sh), did, dtype=np.int64))
+        d = np.concatenate(docs) if docs else np.empty(0, np.int64)
+        th = H.token_hash_flat(pa.array(shingles, type=pa.string()))
+        return _distinct_sets_table(d, th)
+
+    sets_ds = _read(sf_dir, "documents").map_batches(
+        doc_shingle_sets, batch_format="pyarrow"
+    )
+    return _tiled_set_jaccard(sets_ds, threshold, block, "jaccard")
 
 
 def tfidf_cosine_topk(sf_dir: str, n_queries: int = 10, k: int = 10):
@@ -486,6 +529,210 @@ def events_user_stats(sf_dir: str):
             _round_col(t["total_value"].to_numpy(zero_copy_only=False), 4),
         ),
         batch_format="pyarrow",
+    )
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Windowed sessionization — split each user's event stream into sessions
+    at inactivity gaps > ``gap_minutes``; one row per session with count,
+    bounds and value sum. A streaming-window operator the reference lacks,
+    expressed as a key-partitioned ``groupby().map_groups`` (each user's
+    events sort locally inside its group task — no global sort, the shuffle
+    is the one hash exchange on user_id)."""
+    gap_us = gap_minutes * 60_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "value": batch["value"],
+            }
+        )
+
+    def sessionize(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        val = group["value"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts, val = ts[order], val[order]
+        brk = np.ones(len(ts), dtype=np.int64)
+        brk[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(brk)  # 1-based session id in start-time order
+        starts = np.flatnonzero(brk)
+        n_ev = np.diff(np.append(starts, len(ts)))
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(len(starts), group["user_id"][0].as_py(), dtype=np.int64)
+                ),
+                "session_id": pa.array(sid[starts], type=pa.int64()),
+                "n_events": pa.array(n_ev, type=pa.int64()),
+                "start_ts_us": pa.array(ts[starts], type=pa.int64()),
+                "end_ts_us": pa.array(ts[np.append(starts[1:], len(ts)) - 1], type=pa.int64()),
+                "sum_value": _round_col(np.add.reduceat(val, starts), 4),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events")
+        .select_columns(["user_id", "ts", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(sessionize, batch_format="pyarrow")
+    )
+
+
+def events_orders_asof(sf_dir: str):
+    """As-of join: for every event, the most recent order timestamp of the
+    same customer at or before the event time (orders ⟵asof events on
+    user_id). A custom temporal-join operator Ray Data lacks, composed as
+    tag-union → one hash shuffle on the key → per-key sorted searchsorted
+    inside ``map_groups`` (sort-merge-within-group; no broadcast of the
+    orders side, which is corpus-sized at web scale). Events whose user has
+    no earlier order emit -1 sentinels (the SQL twin's COALESCE)."""
+
+    def prep_events(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["user_id"].cast(pa.int64()),
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["o_custkey"].cast(pa.int64()),
+                "ts_us": batch["o_orderdate"].cast(pa.int64()),
+                "event_id": pa.array(np.full(n, -1, dtype=np.int64)),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    ev = (
+        _read(sf_dir, "events")
+        .select_columns(["user_id", "ts", "event_id"])
+        .map_batches(prep_events, batch_format="pyarrow")
+    )
+    od = (
+        _read(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_orderdate"])
+        .map_batches(prep_orders, batch_format="pyarrow")
+    )
+
+    def asof_group(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        ev_mask = side == 0
+        e_ts, e_id = ts[ev_mask], eid[ev_mask]
+        o_ts = np.sort(ts[~ev_mask])
+        if len(e_ts) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "last_order_ts_us": pa.array([], type=pa.int64()),
+                    "lag_sec": pa.array([], type=pa.float64()),
+                }
+            )
+        if len(o_ts) == 0:
+            last = np.full(len(e_ts), -1, dtype=np.int64)
+            lag = np.full(len(e_ts), -1.0, dtype=np.float64)
+        else:
+            pos = np.searchsorted(o_ts, e_ts, side="right") - 1
+            hit = pos >= 0
+            last = np.where(hit, o_ts[np.maximum(pos, 0)], -1)
+            lag = np.where(hit, (e_ts - last) / 1_000_000.0, -1.0)
+        key = group["key"][0].as_py()
+        return pa.table(
+            {
+                "event_id": pa.array(e_id, type=pa.int64()),
+                "user_id": pa.array(np.full(len(e_id), key, dtype=np.int64)),
+                "last_order_ts_us": pa.array(last, type=pa.int64()),
+                "lag_sec": _round_col(lag, 6),
+            }
+        )
+
+    return ev.union(od).groupby("key").map_groups(asof_group, batch_format="pyarrow")
+
+
+def q3_shipping_priority(sf_dir: str, topk: int = 10):
+    """Revenue top-k orders with customer segment — a 3-way join
+    (lineitem ⋈ orders ⋈ customer) shaped for scale: the fact table
+    pre-aggregates per order BEFORE any join (combiner on the wide side),
+    the orders bridge joins via the hash-partitioned ``Dataset.join``, and
+    the customer dimension attaches map-side from a broadcast sorted array
+    (small side, ``ray.put`` once)."""
+    from ray.data.aggregate import Sum
+
+    def rev(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"].cast(pa.int64()),
+                "rev": pa.array(p * (1.0 - d), type=pa.float64()),
+            }
+        )
+
+    per_order = (
+        _read(sf_dir, "lineitem")
+        .select_columns(["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(rev, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "o_custkey": batch["o_custkey"].cast(pa.int64()),
+            }
+        )
+
+    orders = (
+        _read(sf_dir, "orders")
+        .select_columns(["o_orderkey", "o_custkey"])
+        .map_batches(prep_orders, batch_format="pyarrow")
+    )
+    joined = per_order.join(
+        orders, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    cust_df = (
+        _read(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"]).to_pandas()
+    )
+    ck = cust_df["c_custkey"].to_numpy().astype(np.int64)
+    order = np.argsort(ck)
+    cust_ref = ray.put((ck[order], cust_df["c_mktsegment"].to_numpy()[order]))
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys, segs = ray.get(cust_ref)
+        cks = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, cks)
+        pos[pos >= len(keys)] = 0
+        hit = keys[pos] == cks
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].filter(pa.array(hit)),
+                "revenue": _round_col(
+                    t["revenue"].to_numpy(zero_copy_only=False)[hit], 2
+                ),
+                "c_mktsegment": pa.array(segs[pos[hit]], type=pa.string()),
+            }
+        )
+
+    out = joined.map_batches(attach, batch_format="pyarrow")
+    return (
+        out.sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(topk)
+        .to_pandas()
     )
 
 
