@@ -58,12 +58,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": Q.bm25_search,
         "tfidf_search": Q.tfidf_search,
         "ensemble_search": Q.ensemble_search,
+        "docs_langid": Q.docs_langid,
         # non-SQL-expressible (rows-only check; gated by pytest oracle instead)
         "dedup_clusters": Q.dedup_clusters,
         "dedup_cluster_report": Q.dedup_cluster_report,
         "minhash_signatures": Q.minhash_signatures,
         "lsh_pairs": Q.lsh_pairs,
-        "docs_langid": Q.docs_langid,
         "docs_winnow_fingerprints": Q.docs_winnow_fingerprints,
         "simhash_dup_pairs": Q.simhash_dup_pairs,
         "ann_cosine": Q.ann_cosine,
@@ -298,6 +298,42 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_fingerprint_md5": (
             "SELECT doc_id, md5(text) AS md5 FROM documents"
+        ),
+        "docs_langid": (
+            # mirror of functions/textstats.langid_batch: CJK share → zh,
+            # else first-wins argmax of stopword hit-rate over 4 profiles
+            "WITH b AS (SELECT doc_id, lower(text) AS low FROM documents), "
+            "s AS (SELECT doc_id, low, substr(low, 1, 2000) AS smp FROM b), "
+            "c AS (SELECT doc_id, low, "
+            "CAST(length(smp) AS DOUBLE) AS ls, "
+            "CAST(length(smp) - length(regexp_replace(smp, '[一-鿿]', '', 'g')) "
+            "AS DOUBLE) AS ncjk, "
+            "string_split_regex(trim(smp), '\\s+') AS toks FROM s), "
+            "sc AS (SELECT doc_id, low, ls, ncjk, "
+            "len(list_filter(toks, w -> list_contains(['the','of','and','to',"
+            "'in','is','that','it','was','for','with','on','as','are','this',"
+            "'be','at','by','not','or'], w))) / CAST(len(toks) AS DOUBLE) AS s_en, "
+            "len(list_filter(toks, w -> list_contains(['der','die','das','und',"
+            "'ist','nicht','mit','ein','eine','zu','den','von','für','auf','im',"
+            "'des','sich','auch'], w))) / CAST(len(toks) AS DOUBLE) AS s_de, "
+            "len(list_filter(toks, w -> list_contains(['le','la','les','de',"
+            "'des','et','est','un','une','du','que','qui','dans','pour','pas',"
+            "'sur','avec','au'], w))) / CAST(len(toks) AS DOUBLE) AS s_fr, "
+            "len(list_filter(toks, w -> list_contains(['el','la','los','las',"
+            "'de','y','es','un','una','que','en','por','con','para','del','se',"
+            "'no','su'], w))) / CAST(len(toks) AS DOUBLE) AS s_es FROM c), "
+            "g AS (SELECT *, GREATEST(s_en, s_de, s_fr, s_es) AS best FROM sc) "
+            "SELECT doc_id, "
+            "CASE WHEN trim(low) = '' THEN 'und' "
+            "WHEN ncjk >= GREATEST(4.0, 0.05 * ls) THEN 'zh' "
+            "WHEN best <= 0.02 THEN 'und' "
+            "WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de' "
+            "WHEN s_fr = best THEN 'fr' ELSE 'es' END AS lang_pred, "
+            "CASE WHEN trim(low) = '' THEN 0.0 "
+            "WHEN ncjk >= GREATEST(4.0, 0.05 * ls) "
+            "THEN ROUND(LEAST(1.0, ncjk / ls * 4), 6) "
+            "ELSE ROUND(LEAST(1.0, best * 5), 6) END AS confidence "
+            "FROM g"
         ),
         "embedding_dup_pairs": (
             "WITH e AS (SELECT vec_id, "

@@ -72,39 +72,75 @@ _PROFILES = {
 }
 
 
+def _round_half_away(x: np.ndarray, nd: int) -> np.ndarray:
+    """DuckDB ROUND semantics (half away from zero) — the oracle contract."""
+    p = 10.0 ** nd
+    return np.copysign(np.floor(np.abs(x) * p + 0.5) / p, x)
+
+
 def langid_batch(text_col) -> tuple[list[str], np.ndarray]:
     """Heuristic language-ID: CJK codepoint share → zh; else argmax stopword
-    hit-rate over per-language profiles; 'und' (undetermined) when no profile
-    scores. Returns (lang codes, confidence in [0,1])."""
+    hit-rate over per-language profiles (first profile wins score ties);
+    'und' (undetermined) when nothing scores > 0.02 or the text is blank.
+    Returns (lang codes, confidence in [0,1] rounded half-away to 6).
+
+    Fully vectorized (Arrow kernels + one ``is_in`` pass per profile; no
+    per-row python) and SQL-expressible — the DuckDB twin in
+    ``__ray_entry__.oracle_sql()['docs_langid']`` hash-gates it."""
     arr = text_col if isinstance(text_col, (pa.Array, pa.ChunkedArray)) else pa.array(
         text_col, type=pa.string()
     )
-    texts = arr.to_pylist()
-    langs: list[str] = []
-    conf = np.zeros(len(texts), dtype=np.float64)
-    for i, t in enumerate(texts):
-        t = (t or "").lower()
-        if not t.strip():
-            langs.append("und")
-            continue
-        sample = t[:2000]
-        n_cjk = sum(1 for ch in sample if "一" <= ch <= "鿿")
-        if n_cjk >= max(4, 0.05 * len(sample)):
-            langs.append("zh")
-            conf[i] = min(1.0, n_cjk / max(1, len(sample)) * 4)
-            continue
-        toks = sample.split()
-        if not toks:
-            langs.append("und")
-            continue
-        best, best_score = "und", 0.0
-        for lang, words in _PROFILES.items():
-            score = sum(1 for w in toks if w in words) / len(toks)
-            if score > best_score:
-                best, best_score = lang, score
-        langs.append(best if best_score > 0.02 else "und")
-        conf[i] = round(min(1.0, best_score * 5), 6)
-    return langs, conf
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return [], np.zeros(0, dtype=np.float64)
+    low = pc.utf8_lower(pc.fill_null(arr, ""))
+    blank = (
+        pc.utf8_length(pc.utf8_trim_whitespace(low))
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+        == 0
+    )
+    sample = pc.utf8_slice_codeunits(low, start=0, stop=2000)
+    ls = pc.utf8_length(sample).to_numpy(zero_copy_only=False).astype(np.float64)
+    ncjk = (
+        pc.count_substring_regex(sample, pattern="[一-鿿]")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    zh = ncjk >= np.maximum(4.0, 0.05 * ls)
+
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(sample), pattern=r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    ntok = np.diff(offs).astype(np.float64)
+    doc_idx = np.repeat(np.arange(n), np.diff(offs))
+    scores = np.zeros((len(_PROFILES), n), dtype=np.float64)
+    for li, words in enumerate(_PROFILES.values()):
+        hit = (
+            pc.is_in(flat, value_set=pa.array(sorted(words), type=pa.string()))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        # blank-trimmed samples split to [''], never a profile word → score 0
+        scores[li] = np.bincount(doc_idx, weights=hit, minlength=n) / np.maximum(
+            ntok, 1.0
+        )
+    best_idx = np.argmax(scores, axis=0)  # first max wins (profile order)
+    best = scores[best_idx, np.arange(n)]
+
+    names = np.array(list(_PROFILES.keys()))
+    langs = np.where(best > 0.02, names[best_idx], "und")
+    conf = _round_half_away(np.minimum(1.0, best * 5.0), 6)
+    conf_zh = _round_half_away(np.minimum(1.0, ncjk / np.maximum(ls, 1.0) * 4.0), 6)
+    langs = np.where(zh, "zh", langs)
+    conf = np.where(zh, conf_zh, conf)
+    langs = np.where(blank, "und", langs)
+    conf = np.where(blank, 0.0, conf)
+    return langs.tolist(), conf
 
 
 # ---------------------------------------------------------------- fingerprints
