@@ -1184,25 +1184,46 @@ def image_decode_features(sf_dir: str):
 
 def image_perceptual_hashes(sf_dir: str):
     """Real perceptual hashes (pHash DCT / dHash / aHash / wHash / colorhash,
-    reference utils/imagehash.py:159-347) over GENUINE PNG-encoded images
-    (stdlib-zlib decode, functions/png.py — the reference's input shape,
-    utils/image_util.py:23-107) via the actor-pool stage; rows-only — kernel
-    parity vs per-pixel oracles is gated in tests/test_imagehash.py, PNG
-    decode exactness in tests/test_png.py."""
-    from imagededupx_ray.stages.multimodal import perceptual_hashes, synthetic_png_images
+    reference utils/imagehash.py:159-347) over GENUINE encoded images —
+    mixed PNG (stdlib-zlib, functions/png.py) and baseline JPEG (numpy
+    Huffman+IDCT, functions/jpeg.py); the reference's input shape,
+    utils/image_util.py:23-107 — via the actor-pool stage; rows-only —
+    kernel parity vs per-pixel oracles is gated in tests/test_imagehash.py,
+    codec correctness in tests/test_png.py and tests/test_jpeg.py."""
+    from imagededupx_ray.stages.multimodal import perceptual_hashes
 
-    return perceptual_hashes(rd.from_arrow(synthetic_png_images(200)))
+    return perceptual_hashes(rd.from_arrow(_mixed_codec_images(200)))
+
+
+def _mixed_codec_images(n: int):
+    """Half PNG / half baseline JPEG over the SAME raster corpus — every
+    driver run exercises both real stdlib codecs. Planted near-dup pairs
+    stay intra-corpus (pixels match across the codec split up to JPEG
+    quantization)."""
+    import pyarrow as pa
+
+    from imagededupx_ray.stages.multimodal import (
+        synthetic_jpeg_images,
+        synthetic_png_images,
+    )
+
+    png = synthetic_png_images(n)
+    jpg = synthetic_jpeg_images(n)
+    keep_png = [i for i in range(n) if i % 2 == 0]
+    keep_jpg = [i for i in range(n) if i % 2 == 1]
+    return pa.concat_tables([png.take(keep_png), jpg.take(keep_jpg)]).sort_by("image_id")
 
 
 def image_phash_dup_pairs(sf_dir: str, hamming_max: int = 10):
     """Image near-dup pairs: phash-band LSH (4x16-bit bands over the 64-bit
     code → bucket groupby → popcount verify) — the namesake image-dedup
-    pipeline at LSH scale over genuine PNG files; planted near-dups in the
-    synthetic corpus are the expected output (rows-only)."""
-    from imagededupx_ray.stages.multimodal import perceptual_hashes, synthetic_png_images
+    pipeline at LSH scale over genuine PNG + baseline-JPEG files (mixed
+    codecs, stdlib decode both); planted near-dups in the synthetic corpus
+    are the expected output (rows-only)."""
+    from imagededupx_ray.stages.multimodal import perceptual_hashes
     from imagededupx_ray.stages.simhash_lsh import hamming_band_pairs
 
-    hashes = perceptual_hashes(rd.from_arrow(synthetic_png_images(200)))
+    hashes = perceptual_hashes(rd.from_arrow(_mixed_codec_images(200)))
     return hamming_band_pairs(
         hashes.select_columns(["image_id", "phash"]),
         id_col="image_id",

@@ -4,13 +4,15 @@ extraction, re-expressed as actor-pool map_batches stages).
 
 Decode support without any image library: PNG decodes FOR REAL through the
 stdlib-zlib codec in functions/png.py (all five scanline filters, gray /
-RGB / RGBA / palette), and the self-describing RAW1 raster needs no codec at
-all — so the perceptual-hash and decode stages run on genuine encoded
-images. Other formats (JPEG etc.): with ``allow_fake=True`` (default) a
-deterministic fake decoder derives (width, height, mean_luma) and a 64-d
-feature vector from the bytes' blake2b stream; with ``allow_fake=False``
-the stage raises NotImplementedError at construction unless PIL is
-importable. The deep-feature kernel remains a deterministic fake (no torch
+RGB / RGBA / palette), baseline JPEG decodes FOR REAL through the numpy
+codec in functions/jpeg.py (Huffman + IDCT + chroma upsampling + restart
+markers), and the self-describing RAW1 raster needs no codec at all — so
+the perceptual-hash and decode stages run on genuine encoded images in the
+two dominant web formats. Other formats (progressive JPEG, GIF, WebP...):
+with ``allow_fake=True`` (default) a deterministic fake decoder derives
+(width, height, mean_luma) and a 64-d feature vector from the bytes'
+blake2b stream; with ``allow_fake=False`` the stage raises
+NotImplementedError at construction unless PIL is importable. The deep-feature kernel remains a deterministic fake (no torch
 in the container); the Ray side — schema, actor-pool shape, batch sizing,
 output layout — is real and tested, and swapping in a real model touches
 only ``_features_one``.
@@ -71,13 +73,21 @@ class ImageDecodeStage:
                 "install Pillow or pass allow_fake=True"
             )
 
-    # ---- kernels (PNG decodes for real via stdlib zlib; swap the rest for
-    # real decode when PIL/torch exist) ----------------------------------
+    # ---- kernels (PNG/baseline-JPEG decode for real via stdlib codecs;
+    # swap the rest for real decode when PIL/torch exist) -----------------
     def _decode_one(self, payload: bytes) -> tuple[int, int, float]:
+        from imagededupx_ray.functions.jpeg import JPEG_SIGNATURE, decode_jpeg
         from imagededupx_ray.functions.png import PNG_SIGNATURE, decode_png
 
+        arr = None
         if payload[:8] == PNG_SIGNATURE:
             arr = decode_png(payload)
+        elif payload[:3] == JPEG_SIGNATURE:
+            try:
+                arr = decode_jpeg(payload)
+            except ValueError:
+                arr = None  # progressive/arithmetic: fall through to PIL/fake
+        if arr is not None:
             from imagededupx_ray.functions.imagehash import to_grayscale
 
             g = to_grayscale(arr).astype(np.float32)
@@ -198,20 +208,27 @@ class PerceptualHashStage:
     """Actor-pool stage: RAW raster payloads → real perceptual hashes
     (pHash DCT / dHash / aHash / wHash [+ colorhash for RGB]) — the
     reference's namesake operators (utils/imagehash.py:159-297) as numpy
-    kernels. Non-RAW payloads hash via the PIL path when importable, else
-    raise (clearly-marked stub boundary)."""
+    kernels. PNG and baseline JPEG decode via the stdlib codecs; other
+    payloads hash via the PIL path when importable, else raise
+    (clearly-marked stub boundary)."""
 
     def __init__(self, allow_fake: bool = True):
         self._pil = _try_import_pil()
         self.allow_fake = allow_fake
 
     def _to_array(self, payload: bytes):
+        from imagededupx_ray.functions.jpeg import JPEG_SIGNATURE, decode_jpeg
         from imagededupx_ray.functions.png import PNG_SIGNATURE, decode_png
 
         if payload[:4] == RAW_MAGIC:
             return decode_raw_image(payload)
         if payload[:8] == PNG_SIGNATURE:
             return decode_png(payload)
+        if payload[:3] == JPEG_SIGNATURE:
+            try:
+                return decode_jpeg(payload)
+            except ValueError:
+                pass  # progressive/arithmetic: fall through to PIL/fake
         if self._pil is not None:
             import io
 
@@ -272,6 +289,36 @@ def synthetic_png_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table
             "image_id": raw["image_id"],
             "payload": pa.array(payloads, type=pa.binary()),
             "format": pa.array(["png"] * n, type=pa.string()),
+        }
+    )
+
+
+def synthetic_jpeg_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table:
+    """The synthetic_raw_images corpus JPEG-ENCODED (baseline numpy codec,
+    varied subsampling/quality/restart settings) — planted near-duplicates
+    as genuine encoded files. Lossy encode preserves perceptual-hash
+    closeness: the planted pairs stay hamming-close."""
+    from imagededupx_ray.functions.jpeg import encode_jpeg
+
+    raw = synthetic_raw_images(n, seed=seed, dup_every=dup_every)
+    payloads = []
+    for i, p in enumerate(raw["payload"].to_pylist()):
+        arr = decode_raw_image(p)
+        if arr.ndim == 2:
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        payloads.append(
+            encode_jpeg(
+                arr,
+                quality=(85, 90, 95)[i % 3],
+                subsample=i % 2 == 0,
+                restart_interval=(0, 0, 4)[i % 3],
+            )
+        )
+    return pa.table(
+        {
+            "image_id": raw["image_id"],
+            "payload": pa.array(payloads, type=pa.binary()),
+            "format": pa.array(["jpeg"] * n, type=pa.string()),
         }
     )
 
