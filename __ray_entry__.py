@@ -72,6 +72,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_features": Q.image_decode_features,
         "image_perceptual_hashes": Q.image_perceptual_hashes,
         "image_phash_dup_pairs": Q.image_phash_dup_pairs,
+        "audio_clip_features": Q.audio_clip_features,
+        "audio_dup_pairs": Q.audio_dup_pairs,
+        "video_dup_pairs": Q.video_dup_pairs,
         "substring_spans_docs": Q.substring_spans_docs,
     }
 

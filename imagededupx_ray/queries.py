@@ -1232,6 +1232,54 @@ def image_phash_dup_pairs(sf_dir: str, hamming_max: int = 10):
     )
 
 
+def audio_clip_features(sf_dir: str):
+    """Audio-modality features (duration / RMS / ZCR / spectral centroid,
+    bandwidth, rolloff) + Wang-2003 landmark fingerprints over GENUINE WAV
+    files (stdlib RIFF decode, functions/wav.py) via the actor-pool stage —
+    the reference's multimodal feature extraction
+    (improved_faiss_detector.py:145-257) generalized to audio; rows-only —
+    kernel correctness vs analytical signals is gated in
+    tests/test_audio.py."""
+    from imagededupx_ray.stages.audio import audio_features, synthetic_wav_clips
+
+    return audio_features(rd.from_arrow(synthetic_wav_clips(120))).drop_columns(
+        ["fingerprints"]
+    )
+
+
+def audio_dup_pairs(sf_dir: str):
+    """Audio near-dup pairs via the landmark-hash bucket join (exact-match
+    groupby — the same exchange shape as MinHash LSH banding; no O(n²)
+    stage); planted re-gained+noised copies in the synthetic WAV corpus are
+    the expected output (rows-only; full-recall/zero-false gate in
+    tests/test_audio.py)."""
+    from imagededupx_ray.stages.audio import (
+        audio_features,
+        fingerprint_dup_pairs,
+        synthetic_wav_clips,
+    )
+
+    feats = audio_features(rd.from_arrow(synthetic_wav_clips(120)))
+    return fingerprint_dup_pairs(feats)
+
+
+def video_dup_pairs(sf_dir: str):
+    """Video near-dup pairs: sample every 2nd frame from MJV1 (length-
+    prefixed baseline-JPEG frames — real numpy codec decode), pHash each
+    sampled frame, mine frame pairs with the image tier's hamming-band LSH,
+    lift to video level by matched-frame fraction. Planted
+    re-encoded-at-lower-quality copies are the expected output (rows-only;
+    full-recall/zero-false gate in tests/test_video.py)."""
+    from imagededupx_ray.stages.video import (
+        synthetic_video_clips,
+        video_dup_pairs as _vdp,
+        video_frame_hashes,
+    )
+
+    fh = video_frame_hashes(rd.from_arrow(synthetic_video_clips(60)), every_k=2)
+    return _vdp(fh)
+
+
 def bm25_search(sf_dir: str, k: int = 10):
     """BM25 Okapi top-k over documents for fixed deterministic queries
     (reference A3 rank_bm25 rebuilt distributed; rows-only — exact-score
