@@ -1185,9 +1185,10 @@ def image_decode_features(sf_dir: str):
 def image_perceptual_hashes(sf_dir: str):
     """Real perceptual hashes (pHash DCT / dHash / aHash / wHash / colorhash,
     reference utils/imagehash.py:159-347) over GENUINE encoded images —
-    mixed PNG (stdlib-zlib, functions/png.py) and baseline JPEG (numpy
-    Huffman+IDCT, functions/jpeg.py); the reference's input shape,
-    utils/image_util.py:23-107 — via the actor-pool stage; rows-only —
+    mixed PNG (stdlib-zlib, functions/png.py), baseline JPEG (numpy
+    Huffman+IDCT, functions/jpeg.py) and GIF (LZW, functions/gif.py); the
+    reference's input shape, utils/image_util.py:23-107 — via the
+    actor-pool stage; rows-only —
     kernel parity vs per-pixel oracles is gated in tests/test_imagehash.py,
     codec correctness in tests/test_png.py and tests/test_jpeg.py."""
     from imagededupx_ray.stages.multimodal import perceptual_hashes
@@ -1196,30 +1197,29 @@ def image_perceptual_hashes(sf_dir: str):
 
 
 def _mixed_codec_images(n: int):
-    """Half PNG / half baseline JPEG over the SAME raster corpus — every
-    driver run exercises both real stdlib codecs. Planted near-dup pairs
-    stay intra-corpus (pixels match across the codec split up to JPEG
-    quantization)."""
+    """PNG / baseline-JPEG / GIF thirds over the SAME raster corpus — every
+    driver run exercises all three real stdlib codecs. Planted near-dup
+    pairs stay intra-corpus (pixels match across the codec split up to JPEG
+    quantization; PNG and GIF are lossless)."""
     import pyarrow as pa
 
     from imagededupx_ray.stages.multimodal import (
+        synthetic_gif_images,
         synthetic_jpeg_images,
         synthetic_png_images,
     )
 
-    png = synthetic_png_images(n)
-    jpg = synthetic_jpeg_images(n)
-    keep_png = [i for i in range(n) if i % 2 == 0]
-    keep_jpg = [i for i in range(n) if i % 2 == 1]
-    return pa.concat_tables([png.take(keep_png), jpg.take(keep_jpg)]).sort_by("image_id")
+    tables = [synthetic_png_images(n), synthetic_jpeg_images(n), synthetic_gif_images(n)]
+    parts = [t.take([i for i in range(n) if i % 3 == k]) for k, t in enumerate(tables)]
+    return pa.concat_tables(parts).sort_by("image_id")
 
 
 def image_phash_dup_pairs(sf_dir: str, hamming_max: int = 10):
     """Image near-dup pairs: phash-band LSH (4x16-bit bands over the 64-bit
     code → bucket groupby → popcount verify) — the namesake image-dedup
-    pipeline at LSH scale over genuine PNG + baseline-JPEG files (mixed
-    codecs, stdlib decode both); planted near-dups in the synthetic corpus
-    are the expected output (rows-only)."""
+    pipeline at LSH scale over genuine PNG + baseline-JPEG + GIF files
+    (mixed codecs, stdlib decode all three); planted near-dups in the
+    synthetic corpus are the expected output (rows-only)."""
     from imagededupx_ray.stages.multimodal import perceptual_hashes
     from imagededupx_ray.stages.simhash_lsh import hamming_band_pairs
 

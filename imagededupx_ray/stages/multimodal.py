@@ -6,9 +6,11 @@ Decode support without any image library: PNG decodes FOR REAL through the
 stdlib-zlib codec in functions/png.py (all five scanline filters, gray /
 RGB / RGBA / palette), baseline JPEG decodes FOR REAL through the numpy
 codec in functions/jpeg.py (Huffman + IDCT + chroma upsampling + restart
-markers), and the self-describing RAW1 raster needs no codec at all — so
-the perceptual-hash and decode stages run on genuine encoded images in the
-two dominant web formats. Other formats (progressive JPEG, GIF, WebP...):
+markers), GIF decodes FOR REAL through the LZW codec in functions/gif.py
+(87a/89a, interlace, transparency), and the self-describing RAW1 raster
+needs no codec at all — so the perceptual-hash and decode stages run on
+genuine encoded images in the three dominant web formats. Other formats
+(progressive JPEG, WebP...):
 with ``allow_fake=True`` (default) a deterministic fake decoder derives
 (width, height, mean_luma) and a 64-d feature vector from the bytes'
 blake2b stream; with ``allow_fake=False`` the stage raises
@@ -79,6 +81,8 @@ class ImageDecodeStage:
         from imagededupx_ray.functions.jpeg import JPEG_SIGNATURE, decode_jpeg
         from imagededupx_ray.functions.png import PNG_SIGNATURE, decode_png
 
+        from imagededupx_ray.functions.gif import GIF_SIGNATURES, decode_gif
+
         arr = None
         if payload[:8] == PNG_SIGNATURE:
             arr = decode_png(payload)
@@ -87,6 +91,8 @@ class ImageDecodeStage:
                 arr = decode_jpeg(payload)
             except ValueError:
                 arr = None  # progressive/arithmetic: fall through to PIL/fake
+        elif payload[:6] in GIF_SIGNATURES:
+            arr = decode_gif(payload)
         if arr is not None:
             from imagededupx_ray.functions.imagehash import to_grayscale
 
@@ -229,6 +235,10 @@ class PerceptualHashStage:
                 return decode_jpeg(payload)
             except ValueError:
                 pass  # progressive/arithmetic: fall through to PIL/fake
+        from imagededupx_ray.functions.gif import GIF_SIGNATURES, decode_gif
+
+        if payload[:6] in GIF_SIGNATURES:
+            return decode_gif(payload)
         if self._pil is not None:
             import io
 
@@ -289,6 +299,25 @@ def synthetic_png_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table
             "image_id": raw["image_id"],
             "payload": pa.array(payloads, type=pa.binary()),
             "format": pa.array(["png"] * n, type=pa.string()),
+        }
+    )
+
+
+def synthetic_gif_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table:
+    """The synthetic_raw_images corpus GIF-ENCODED (LZW codec, alternating
+    interlace) — grayscale rasters have <=256 colors so the palette
+    quantization is lossless; planted near-dups decode pixel-exact."""
+    from imagededupx_ray.functions.gif import encode_gif
+
+    raw = synthetic_raw_images(n, seed=seed, dup_every=dup_every)
+    payloads = []
+    for i, p in enumerate(raw["payload"].to_pylist()):
+        payloads.append(encode_gif(decode_raw_image(p), interlace=i % 2 == 0))
+    return pa.table(
+        {
+            "image_id": raw["image_id"],
+            "payload": pa.array(payloads, type=pa.binary()),
+            "format": pa.array(["gif"] * n, type=pa.string()),
         }
     )
 
