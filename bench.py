@@ -151,6 +151,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("ann_hnsw", Q.ann_hnsw),
         ("simhash_dup_pairs", Q.simhash_dup_pairs),
         ("embedding_dup_pairs_ann", Q.embedding_dup_pairs_ann),
+        ("image_phash_dup_pairs", Q.image_phash_dup_pairs),
+        ("audio_dup_pairs", Q.audio_dup_pairs),
+        ("video_dup_pairs", Q.video_dup_pairs),
     ]:
         t0 = time.monotonic()
         res = fn(sf_dir)

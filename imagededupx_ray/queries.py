@@ -1193,25 +1193,25 @@ def image_perceptual_hashes(sf_dir: str):
     codec correctness in tests/test_png.py and tests/test_jpeg.py."""
     from imagededupx_ray.stages.multimodal import perceptual_hashes
 
-    return perceptual_hashes(rd.from_arrow(_mixed_codec_images(200)))
+    return perceptual_hashes(_mixed_codec_dataset(200), concurrency=(2, 8))
 
 
-def _mixed_codec_images(n: int):
-    """PNG / baseline-JPEG / GIF thirds over the SAME raster corpus — every
-    driver run exercises all three real stdlib codecs. Planted near-dup
-    pairs stay intra-corpus (pixels match across the codec split up to JPEG
-    quantization; PNG and GIF are lossless)."""
-    import pyarrow as pa
+def _split_blocks(tbl, n_blocks: int = 16):
+    """Split one Arrow table into n_blocks Dataset blocks (actor-pool
+    stages otherwise see a single input block and serialize)."""
+    step = -(-tbl.num_rows // n_blocks)
+    return rd.from_arrow([tbl.slice(s, step) for s in range(0, tbl.num_rows, step)])
 
-    from imagededupx_ray.stages.multimodal import (
-        synthetic_gif_images,
-        synthetic_jpeg_images,
-        synthetic_png_images,
-    )
 
-    tables = [synthetic_png_images(n), synthetic_jpeg_images(n), synthetic_gif_images(n)]
-    parts = [t.take([i for i in range(n) if i % 3 == k]) for k, t in enumerate(tables)]
-    return pa.concat_tables(parts).sort_by("image_id")
+def _mixed_codec_dataset(n: int, n_blocks: int = 16):
+    """PNG / baseline-JPEG / GIF rotating by index over the SAME raster
+    corpus (one encode per image — every driver run exercises all three
+    real stdlib codecs, and planted near-dup pairs span codecs), pre-split
+    into Dataset blocks so the actor-pool hash stage parallelizes from the
+    first batch."""
+    from imagededupx_ray.stages.multimodal import synthetic_mixed_images
+
+    return _split_blocks(synthetic_mixed_images(n), n_blocks)
 
 
 def image_phash_dup_pairs(sf_dir: str, hamming_max: int = 10):
@@ -1223,7 +1223,7 @@ def image_phash_dup_pairs(sf_dir: str, hamming_max: int = 10):
     from imagededupx_ray.stages.multimodal import perceptual_hashes
     from imagededupx_ray.stages.simhash_lsh import hamming_band_pairs
 
-    hashes = perceptual_hashes(rd.from_arrow(_mixed_codec_images(200)))
+    hashes = perceptual_hashes(_mixed_codec_dataset(200), concurrency=(2, 8))
     return hamming_band_pairs(
         hashes.select_columns(["image_id", "phash"]),
         id_col="image_id",
@@ -1242,7 +1242,7 @@ def audio_clip_features(sf_dir: str):
     tests/test_audio.py."""
     from imagededupx_ray.stages.audio import audio_features, synthetic_wav_clips
 
-    return audio_features(rd.from_arrow(synthetic_wav_clips(120))).drop_columns(
+    return audio_features(_split_blocks(synthetic_wav_clips(120))).drop_columns(
         ["fingerprints"]
     )
 
@@ -1259,7 +1259,7 @@ def audio_dup_pairs(sf_dir: str):
         synthetic_wav_clips,
     )
 
-    feats = audio_features(rd.from_arrow(synthetic_wav_clips(120)))
+    feats = audio_features(_split_blocks(synthetic_wav_clips(120)))
     return fingerprint_dup_pairs(feats)
 
 
@@ -1276,7 +1276,7 @@ def video_dup_pairs(sf_dir: str):
         video_frame_hashes,
     )
 
-    fh = video_frame_hashes(rd.from_arrow(synthetic_video_clips(60)), every_k=2)
+    fh = video_frame_hashes(_split_blocks(synthetic_video_clips(60)), every_k=2)
     return _vdp(fh)
 
 

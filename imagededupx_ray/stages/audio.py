@@ -119,15 +119,12 @@ def fingerprint_dup_pairs(
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t["clip_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        fps = t["fingerprints"]
-        flat = []
-        owners = []
-        for i in range(len(ids)):
-            v = np.asarray(fps[i].as_py(), dtype=np.int64)
-            flat.append(v)
-            owners.append(np.full(len(v), ids[i], dtype=np.int64))
-        fp = np.concatenate(flat) if flat else np.empty(0, np.int64)
-        owner = np.concatenate(owners) if owners else np.empty(0, np.int64)
+        col = t["fingerprints"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        fp = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = pa.compute.list_value_length(col).to_numpy(zero_copy_only=False)
+        owner = np.repeat(ids, lengths)
         return pa.table(
             {
                 "_part": pa.array((fp & np.int64(p - 1)).astype(np.int32)),
@@ -211,19 +208,11 @@ def fingerprint_dup_pairs(
     return pairs.map_batches(add_frac, batch_format="pyarrow").sort(["a", "b"])
 
 
-def synthetic_wav_clips(
-    n: int, seed: int = 42, dup_every: int = 5, rate: int = 8000
-) -> pa.Table:
-    """Deterministic WAV corpus with planted near-duplicates: every
-    ``dup_every``-th clip is its predecessor re-gained + lightly noised
-    (same spectral peaks → overlapping landmark fingerprints); the rest are
-    independent random tone mixtures."""
-    from imagededupx_ray.functions.wav import encode_wav
-
-    rng = np.random.default_rng(seed)
-    payloads = []
+def _clip_block(start: int, stop: int, seed: int, dup_every: int, rate: int):
+    rng = np.random.default_rng((seed, start))
+    clips = []
     prev = None
-    for i in range(n):
+    for i in range(start, stop):
         if prev is not None and i % dup_every == dup_every - 1:
             x = prev * 0.9 + rng.normal(0, 0.003, len(prev))
         else:
@@ -239,12 +228,36 @@ def synthetic_wav_clips(
                     2 * np.pi * (f0 * t + 0.5 * slope * t**2)
                 )
             x *= np.minimum(1.0, 10 * np.minimum(t, t[::-1]))  # fade in/out
-        payloads.append(encode_wav(np.clip(x, -1, 1), rate))
+        clips.append(x)
         prev = x
-    return pa.table(
-        {
-            "clip_id": pa.array(np.arange(n), type=pa.int64()),
-            "payload": pa.array(payloads, type=pa.binary()),
-            "format": pa.array(["wav"] * n, type=pa.string()),
-        }
-    )
+    return clips
+
+
+def synthetic_wav_clips(
+    n: int, seed: int = 42, dup_every: int = 5, rate: int = 8000
+) -> pa.Table:
+    """Deterministic WAV corpus with planted near-duplicates: every
+    ``dup_every``-th clip is its predecessor re-gained + lightly noised
+    (same spectral peaks → overlapping landmark fingerprints); the rest are
+    independent random chirp mixtures. Generated in independent
+    dup-chain-aligned blocks fanned out over Ray tasks when a session
+    exists (util.parallel_block_table)."""
+    from imagededupx_ray.functions.wav import encode_wav
+    from imagededupx_ray.util import parallel_block_table
+
+    block_size = dup_every * max(4, -(-n // (32 * dup_every)))
+
+    def block(s: int, e: int) -> pa.Table:
+        payloads = [
+            encode_wav(np.clip(x, -1, 1), rate)
+            for x in _clip_block(s, e, seed, dup_every, rate)
+        ]
+        return pa.table(
+            {
+                "clip_id": pa.array(np.arange(s, e), type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "format": pa.array(["wav"] * (e - s), type=pa.string()),
+            }
+        )
+
+    return parallel_block_table(n, block_size, block)

@@ -303,63 +303,16 @@ def synthetic_png_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table
     )
 
 
-def synthetic_gif_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table:
-    """The synthetic_raw_images corpus GIF-ENCODED (LZW codec, alternating
-    interlace) — grayscale rasters have <=256 colors so the palette
-    quantization is lossless; planted near-dups decode pixel-exact."""
-    from imagededupx_ray.functions.gif import encode_gif
+def _raw_block(start: int, stop: int, seed: int, dup_every: int) -> list[np.ndarray]:
+    """Rasters for indices [start, stop): deterministic per (seed, start),
+    dup chain local to the block (callers keep block size a multiple of
+    ``dup_every`` so planted pairs never cross a boundary)."""
+    from imagededupx_ray.functions.imagehash import resize_area
 
-    raw = synthetic_raw_images(n, seed=seed, dup_every=dup_every)
-    payloads = []
-    for i, p in enumerate(raw["payload"].to_pylist()):
-        payloads.append(encode_gif(decode_raw_image(p), interlace=i % 2 == 0))
-    return pa.table(
-        {
-            "image_id": raw["image_id"],
-            "payload": pa.array(payloads, type=pa.binary()),
-            "format": pa.array(["gif"] * n, type=pa.string()),
-        }
-    )
-
-
-def synthetic_jpeg_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table:
-    """The synthetic_raw_images corpus JPEG-ENCODED (baseline numpy codec,
-    varied subsampling/quality/restart settings) — planted near-duplicates
-    as genuine encoded files. Lossy encode preserves perceptual-hash
-    closeness: the planted pairs stay hamming-close."""
-    from imagededupx_ray.functions.jpeg import encode_jpeg
-
-    raw = synthetic_raw_images(n, seed=seed, dup_every=dup_every)
-    payloads = []
-    for i, p in enumerate(raw["payload"].to_pylist()):
-        arr = decode_raw_image(p)
-        if arr.ndim == 2:
-            arr = np.repeat(arr[:, :, None], 3, axis=2)
-        payloads.append(
-            encode_jpeg(
-                arr,
-                quality=(85, 90, 95)[i % 3],
-                subsample=i % 2 == 0,
-                restart_interval=(0, 0, 4)[i % 3],
-            )
-        )
-    return pa.table(
-        {
-            "image_id": raw["image_id"],
-            "payload": pa.array(payloads, type=pa.binary()),
-            "format": pa.array(["jpeg"] * n, type=pa.string()),
-        }
-    )
-
-
-def synthetic_raw_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table:
-    """Deterministic RAW rasters with planted near-duplicates: every
-    ``dup_every``-th image is a lightly-noised copy of its predecessor
-    (hamming-close under every perceptual hash), the rest are independent."""
-    rng = np.random.default_rng(seed)
-    payloads = []
+    rng = np.random.default_rng((seed, start))
+    imgs: list[np.ndarray] = []
     prev = None
-    for i in range(n):
+    for i in range(start, stop):
         if prev is not None and i % dup_every == dup_every - 1:
             noise = rng.integers(-6, 7, size=prev.shape)
             img = np.clip(prev.astype(np.int64) + noise, 0, 255).astype(np.uint8)
@@ -368,15 +321,132 @@ def synthetic_raw_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table
             # smooth random field: perceptual hashes of pure noise are
             # uninformative; blur white noise into soft structure
             base = rng.random((h // 8 + 1, w // 8 + 1))
-            from imagededupx_ray.functions.imagehash import resize_area
-
             img = (resize_area(base, h, w) * 255).astype(np.uint8)
-        payloads.append(encode_raw_image(img))
+        imgs.append(img)
         prev = img
+    return imgs
+
+
+def _corpus_block_size(n: int, dup_every: int) -> int:
+    # a multiple of dup_every, sized for ~32-way fan-out without tiny tasks
+    return dup_every * max(4, -(-n // (32 * dup_every)))
+
+
+def _image_table(start: int, stop: int, payloads: list[bytes], fmt: str) -> pa.Table:
     return pa.table(
         {
-            "image_id": pa.array(np.arange(n), type=pa.int64()),
+            "image_id": pa.array(np.arange(start, stop), type=pa.int64()),
             "payload": pa.array(payloads, type=pa.binary()),
-            "format": pa.array(["raw"] * n, type=pa.string()),
+            "format": pa.array([fmt] * (stop - start), type=pa.string()),
         }
     )
+
+
+def synthetic_raw_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table:
+    """Deterministic RAW rasters with planted near-duplicates: every
+    ``dup_every``-th image is a lightly-noised copy of its predecessor
+    (hamming-close under every perceptual hash), the rest are independent.
+    Generated in independent blocks fanned out over Ray tasks when a
+    session exists (util.parallel_block_table)."""
+    from imagededupx_ray.util import parallel_block_table
+
+    def block(s: int, e: int) -> pa.Table:
+        payloads = [encode_raw_image(im) for im in _raw_block(s, e, seed, dup_every)]
+        return _image_table(s, e, payloads, "raw")
+
+    return parallel_block_table(n, _corpus_block_size(n, dup_every), block)
+
+
+def synthetic_png_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table:
+    """The synthetic_raw_images corpus PNG-ENCODED (stdlib codec, varied
+    scanline filters) — planted near-duplicates as genuine encoded files."""
+    from imagededupx_ray.functions.png import encode_png
+    from imagededupx_ray.util import parallel_block_table
+
+    def block(s: int, e: int) -> pa.Table:
+        payloads = [
+            encode_png(im, filter_type=(s + k) % 5)
+            for k, im in enumerate(_raw_block(s, e, seed, dup_every))
+        ]
+        return _image_table(s, e, payloads, "png")
+
+    return parallel_block_table(n, _corpus_block_size(n, dup_every), block)
+
+
+def synthetic_jpeg_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table:
+    """The synthetic_raw_images corpus JPEG-ENCODED (baseline numpy codec,
+    varied subsampling/quality/restart settings) — planted near-duplicates
+    as genuine encoded files. Lossy encode preserves perceptual-hash
+    closeness: the planted pairs stay hamming-close."""
+    from imagededupx_ray.functions.jpeg import encode_jpeg
+    from imagededupx_ray.util import parallel_block_table
+
+    def block(s: int, e: int) -> pa.Table:
+        payloads = []
+        for k, im in enumerate(_raw_block(s, e, seed, dup_every)):
+            i = s + k
+            if im.ndim == 2:
+                im = np.repeat(im[:, :, None], 3, axis=2)
+            payloads.append(
+                encode_jpeg(
+                    im,
+                    quality=(85, 90, 95)[i % 3],
+                    subsample=i % 2 == 0,
+                    restart_interval=(0, 0, 4)[i % 3],
+                )
+            )
+        return _image_table(s, e, payloads, "jpeg")
+
+    return parallel_block_table(n, _corpus_block_size(n, dup_every), block)
+
+
+def synthetic_gif_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table:
+    """The synthetic_raw_images corpus GIF-ENCODED (LZW codec, alternating
+    interlace) — grayscale rasters have <=256 colors so the palette
+    quantization is lossless; planted near-dups decode pixel-exact."""
+    from imagededupx_ray.functions.gif import encode_gif
+    from imagededupx_ray.util import parallel_block_table
+
+    def block(s: int, e: int) -> pa.Table:
+        payloads = [
+            encode_gif(im, interlace=(s + k) % 2 == 0)
+            for k, im in enumerate(_raw_block(s, e, seed, dup_every))
+        ]
+        return _image_table(s, e, payloads, "gif")
+
+    return parallel_block_table(n, _corpus_block_size(n, dup_every), block)
+
+
+def synthetic_mixed_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table:
+    """The synthetic_raw_images corpus with codec rotating by index (PNG /
+    baseline JPEG / GIF) — one encode per image, planted near-dup pairs
+    frequently SPAN codecs (pixels match across the split up to JPEG
+    quantization)."""
+    from imagededupx_ray.functions.gif import encode_gif
+    from imagededupx_ray.functions.jpeg import encode_jpeg
+    from imagededupx_ray.functions.png import encode_png
+    from imagededupx_ray.util import parallel_block_table
+
+    def block(s: int, e: int) -> pa.Table:
+        payloads = []
+        fmts = []
+        for k, im in enumerate(_raw_block(s, e, seed, dup_every)):
+            i = s + k
+            codec = i % 3
+            if codec == 0:
+                payloads.append(encode_png(im, filter_type=i % 5))
+                fmts.append("png")
+            elif codec == 1:
+                if im.ndim == 2:
+                    im = np.repeat(im[:, :, None], 3, axis=2)
+                payloads.append(
+                    encode_jpeg(im, quality=(85, 90, 95)[i % 3], subsample=i % 2 == 0)
+                )
+                fmts.append("jpeg")
+            else:
+                payloads.append(encode_gif(im, interlace=i % 2 == 0))
+                fmts.append("gif")
+        t = _image_table(s, e, payloads, "mixed")
+        return t.set_column(2, "format", pa.array(fmts, type=pa.string()))
+
+    return parallel_block_table(n, _corpus_block_size(n, dup_every), block)

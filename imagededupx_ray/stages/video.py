@@ -203,23 +203,15 @@ def video_dup_pairs(
     )
 
 
-def synthetic_video_clips(
-    n: int, seed: int = 42, dup_every: int = 5, n_frames: int = 10
-) -> pa.Table:
-    """Deterministic MJV1 corpus with planted near-duplicates: every
-    ``dup_every``-th video is its predecessor RE-ENCODED at a different
-    JPEG quality (the classic re-upload dup); the rest are independent
-    smooth drifting fields (consecutive frames differ by translation, so
-    frame hashes vary within a video but match across the planted pair)."""
+def _video_block(start: int, stop: int, seed: int, dup_every: int, n_frames: int):
     from imagededupx_ray.functions.imagehash import resize_area
 
-    rng = np.random.default_rng(seed)
-    payloads = []
+    rng = np.random.default_rng((seed, start))
+    out = []
     prev_frames = None
-    for i in range(n):
+    for i in range(start, stop):
         if prev_frames is not None and i % dup_every == dup_every - 1:
-            frames = prev_frames
-            quality = 78
+            out.append((prev_frames, 78))  # re-encode at lower quality
         else:
             h, w = 48, 64
             base = rng.random((h // 4 + 4, w // 4 + 4))
@@ -228,13 +220,38 @@ def synthetic_video_clips(
                 (big[4 * f : 4 * f + h, 4 * f : 4 * f + w] * 255).astype(np.uint8)
                 for f in range(n_frames)
             ]
-            quality = 92
-        payloads.append(encode_video(frames, quality=quality))
-        prev_frames = frames
-    return pa.table(
-        {
-            "video_id": pa.array(np.arange(n), type=pa.int64()),
-            "payload": pa.array(payloads, type=pa.binary()),
-            "format": pa.array(["mjv1"] * n, type=pa.string()),
-        }
-    )
+            out.append((frames, 92))
+            prev_frames = frames
+            continue
+        prev_frames = out[-1][0]
+    return out
+
+
+def synthetic_video_clips(
+    n: int, seed: int = 42, dup_every: int = 5, n_frames: int = 10
+) -> pa.Table:
+    """Deterministic MJV1 corpus with planted near-duplicates: every
+    ``dup_every``-th video is its predecessor RE-ENCODED at a different
+    JPEG quality (the classic re-upload dup); the rest are independent
+    smooth drifting fields (consecutive frames differ by translation, so
+    frame hashes vary within a video but match across the planted pair).
+    Generated in dup-chain-aligned blocks over Ray tasks when a session
+    exists (util.parallel_block_table)."""
+    from imagededupx_ray.util import parallel_block_table
+
+    block_size = dup_every * max(2, -(-n // (32 * dup_every)))
+
+    def block(s: int, e: int) -> pa.Table:
+        payloads = [
+            encode_video(frames, quality=q)
+            for frames, q in _video_block(s, e, seed, dup_every, n_frames)
+        ]
+        return pa.table(
+            {
+                "video_id": pa.array(np.arange(s, e), type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "format": pa.array(["mjv1"] * (e - s), type=pa.string()),
+            }
+        )
+
+    return parallel_block_table(n, block_size, block)

@@ -39,3 +39,34 @@ def clamp_actor_pool(requested: int | tuple[int, int]) -> int | tuple[int, int]:
         lo, hi = requested
         return (max(1, min(lo, limit)), max(1, min(hi, limit)))
     return max(1, min(requested, limit))
+
+
+def parallel_block_table(total: int, block: int, make_block):
+    """Build a synthetic corpus table in independent [start, stop) blocks —
+    fanned out over Ray tasks when a session exists (driver-side
+    single-threaded encoding of test corpora otherwise dominates small
+    benchmarks), serial fallback otherwise. ``make_block(start, stop) ->
+    pa.Table`` must be deterministic per (start, stop) so the corpus is
+    identical either way; callers keep ``block`` a multiple of their
+    dup-chain period so planted-duplicate structure never crosses a block
+    boundary."""
+    import pyarrow as pa
+
+    return pa.concat_tables(parallel_block_tables(total, block, make_block))
+
+
+def parallel_block_tables(total: int, block: int, make_block):
+    """Like parallel_block_table but returns the per-block tables unconcatenated
+    — feed to ``ray.data.from_arrow(tables)`` so each block becomes its own
+    Dataset block and downstream map_batches parallelizes immediately."""
+    ranges = [(s, min(s + block, total)) for s in range(0, max(total, 1), block)]
+    if len(ranges) > 1:
+        try:
+            import ray
+
+            if ray.is_initialized():
+                fn = ray.remote(num_cpus=1)(make_block)
+                return ray.get([fn.remote(s, e) for s, e in ranges])
+        except Exception:
+            pass
+    return [make_block(s, e) for s, e in ranges]
