@@ -1172,12 +1172,13 @@ def ann_hnsw(sf_dir: str, n_queries: int = 10, k: int = 10):
 
 
 def image_decode_features(sf_dir: str):
-    """Multimodal plumbing: synthetic binary payloads through the actor-pool
-    decode stage (deterministic fake kernel; real Ray-side layout)."""
-    from imagededupx_ray.stages.multimodal import decode_images, synthetic_images
+    """Multimodal decode: mixed PNG/JPEG/GIF payloads through the
+    actor-pool decode stage — (width, height, mean_luma) come from the REAL
+    stdlib codecs; only the deep-feature vector is the declared
+    deterministic fake (no torch in the container)."""
+    from imagededupx_ray.stages.multimodal import decode_images
 
-    imgs = rd.from_arrow(synthetic_images(200))
-    return decode_images(imgs).map_batches(
+    return decode_images(_mixed_codec_dataset(200), concurrency=(2, 8)).map_batches(
         lambda t: t.drop_columns(["feature"]), batch_format="pyarrow"
     )
 
