@@ -224,3 +224,63 @@ def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------- BMP
+# Uncompressed Windows BMP (BITMAPINFOHEADER, 8/24/32-bit) — the fourth
+# stdlib-decodable format in the reference's loader set
+# (utils/image_util.py:23-107). Tiny enough to live beside GIF.
+BMP_SIGNATURE = b"BM"
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 8-bit-palette / 24-bit / 32-bit BMP → uint8 RGB."""
+    if data[:2] != BMP_SIGNATURE:
+        raise ValueError("bmp: missing BM signature")
+    (offset,) = struct.unpack("<I", data[10:14])
+    hdr_size, w, h = struct.unpack("<IiI", data[14:26])
+    # height sign encodes row order; planes/bpp follow
+    h_signed = struct.unpack("<i", data[22:26])[0]
+    bpp, compression = struct.unpack("<HI", data[28:34])
+    if compression != 0:
+        raise ValueError("bmp: only uncompressed (BI_RGB) supported")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if bpp == 8:
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(data[pal_off : pal_off + 1024], dtype=np.uint8).reshape(
+            -1, 4
+        )[:, :3][:, ::-1]  # BGRA -> RGB
+        stride = (w + 3) & ~3
+        rows = np.frombuffer(
+            data[offset : offset + stride * h], dtype=np.uint8
+        ).reshape(h, stride)[:, :w]
+        rgb = pal[rows]
+    elif bpp in (24, 32):
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3
+        rows = np.frombuffer(
+            data[offset : offset + stride * h], dtype=np.uint8
+        ).reshape(h, stride)
+        px = rows[:, : w * nb].reshape(h, w, nb)
+        rgb = px[:, :, :3][:, :, ::-1]  # BGR(A) -> RGB
+    else:
+        raise ValueError(f"bmp: unsupported bpp {bpp}")
+    if not top_down:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 (h, w) gray or (h, w, 3) RGB → 24-bit uncompressed BMP."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    h, w = a.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = rows.tobytes()
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pix), 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + info + pix

@@ -93,6 +93,10 @@ class ImageDecodeStage:
                 arr = None  # progressive/arithmetic: fall through to PIL/fake
         elif payload[:6] in GIF_SIGNATURES:
             arr = decode_gif(payload)
+        elif payload[:2] == b"BM":
+            from imagededupx_ray.functions.gif import decode_bmp
+
+            arr = decode_bmp(payload)
         if arr is not None:
             from imagededupx_ray.functions.imagehash import to_grayscale
 
@@ -239,6 +243,10 @@ class PerceptualHashStage:
 
         if payload[:6] in GIF_SIGNATURES:
             return decode_gif(payload)
+        if payload[:2] == b"BM":
+            from imagededupx_ray.functions.gif import decode_bmp
+
+            return decode_bmp(payload)
         if self._pil is not None:
             import io
 

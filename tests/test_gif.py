@@ -85,3 +85,52 @@ def test_decode_stage_reads_gif_dimensions(ray_session):
     for _, row in out.iterrows():
         arr = decode_gif(tbl["payload"][int(row.image_id)].as_py())
         assert (row.width, row.height) == (arr.shape[1], arr.shape[0])
+
+
+def test_bmp_8bit_palette_decode():
+    """Hand-built 8-bit palette BMP (bottom-up, padded stride) decodes
+    through the palette path."""
+    import numpy as np
+    import struct
+
+    from imagededupx_ray.functions.gif import decode_bmp
+
+    pal = np.zeros((256, 4), np.uint8)
+    pal[0] = [10, 20, 30, 0]   # stored BGRA
+    pal[1] = [200, 100, 50, 0]
+    idx = np.array([[0, 1, 0], [1, 1, 0]], dtype=np.uint8)  # 2 rows, 3 cols
+    stride = 4  # 3 padded to 4
+    rows = np.zeros((2, stride), np.uint8)
+    rows[:, :3] = idx[::-1]  # bottom-up
+    offset = 14 + 40 + 1024
+    header = b"BM" + struct.pack("<IHHI", offset + rows.size, 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 8, 0, rows.size, 0, 0, 0, 0)
+    data = header + info + pal.tobytes() + rows.tobytes()
+    out = decode_bmp(data)
+    assert out.shape == (2, 3, 3)
+    assert (out[0, 0] == [30, 20, 10]).all()   # BGR -> RGB
+    assert (out[0, 1] == [50, 100, 200]).all()
+    assert (out[1, 2] == [30, 20, 10]).all()
+
+
+def test_decode_stage_reads_bmp(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from imagededupx_ray.functions.gif import encode_bmp
+    from imagededupx_ray.stages.multimodal import decode_images
+
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 256, (20 + i, 30, 3), dtype=np.uint8) for i in range(5)]
+    tbl = pa.table(
+        {
+            "image_id": pa.array(range(5), type=pa.int64()),
+            "payload": pa.array([encode_bmp(a) for a in imgs], type=pa.binary()),
+            "format": pa.array(["bmp"] * 5, type=pa.string()),
+        }
+    )
+    out = decode_images(rd.from_arrow(tbl), concurrency=1, batch_size=4).to_pandas()
+    for _, row in out.iterrows():
+        a = imgs[int(row.image_id)]
+        assert (row.width, row.height) == (a.shape[1], a.shape[0])
