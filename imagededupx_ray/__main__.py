@@ -7,6 +7,7 @@ verbs in similarities/similarities/cli.py:15-29 and the detector
     python -m imagededupx_ray merge   --input DIR --store DIR --snapshot ID --parent ID
     python -m imagededupx_ray spans   --input DIR --output DIR
     python -m imagededupx_ray synth   --output DIR --pages N
+    python -m imagededupx_ray media   --modality image|audio|video --input DIR --output DIR
 
 Owns its Ray session (guarded init + shutdown); the driver contract
 (__ray_entry__) never goes through here.
@@ -82,7 +83,86 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--pages", type=int, default=10000)
     g.add_argument("--seed", type=int, default=42)
 
+    md = sub.add_parser(
+        "media",
+        help="multimodal near-dup mining: payload parquet -> pairs parquet",
+    )
+    md.add_argument("--modality", choices=["image", "audio", "video"], required=True)
+    md.add_argument("--input", help="parquet dir of (id, payload, format) rows")
+    md.add_argument("--output", required=True)
+    md.add_argument(
+        "--synth",
+        type=int,
+        default=0,
+        help="generate a synthetic corpus of this size instead of --input",
+    )
+
     args = p.parse_args(argv)
+
+    if args.cmd == "media":
+        _ray_init()
+        import ray
+        import ray.data as rd
+
+        try:
+            if args.modality == "image":
+                from imagededupx_ray.stages.multimodal import (
+                    perceptual_hashes,
+                    synthetic_mixed_images,
+                )
+                from imagededupx_ray.stages.simhash_lsh import hamming_band_pairs
+
+                ds = (
+                    rd.from_arrow(synthetic_mixed_images(args.synth))
+                    if args.synth
+                    else rd.read_parquet(args.input)
+                )
+                hashes = perceptual_hashes(ds)
+                pairs = hamming_band_pairs(
+                    hashes.select_columns(["image_id", "phash"]),
+                    id_col="image_id",
+                    code_col="phash",
+                    hamming_max=10,
+                )
+            elif args.modality == "audio":
+                from imagededupx_ray.stages.audio import (
+                    audio_features,
+                    fingerprint_dup_pairs,
+                    synthetic_wav_clips,
+                )
+
+                ds = (
+                    rd.from_arrow(synthetic_wav_clips(args.synth))
+                    if args.synth
+                    else rd.read_parquet(args.input)
+                )
+                pairs = fingerprint_dup_pairs(audio_features(ds))
+            else:
+                from imagededupx_ray.stages.video import (
+                    synthetic_video_clips,
+                    video_dup_pairs,
+                    video_frame_hashes,
+                )
+
+                ds = (
+                    rd.from_arrow(synthetic_video_clips(args.synth))
+                    if args.synth
+                    else rd.read_parquet(args.input)
+                )
+                pairs = video_dup_pairs(video_frame_hashes(ds))
+            pairs.write_parquet(args.output)
+            print(
+                json.dumps(
+                    {
+                        "modality": args.modality,
+                        "pairs": args.output,
+                        "rows": rd.read_parquet(args.output).count(),
+                    }
+                )
+            )
+            return 0
+        finally:
+            ray.shutdown()
 
     if args.cmd == "synth":
         from imagededupx_ray.sources.synthetic import write_pages_corpus
