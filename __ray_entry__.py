@@ -59,6 +59,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_search": Q.tfidf_search,
         "ensemble_search": Q.ensemble_search,
         "docs_langid": Q.docs_langid,
+        "docs_top_ngrams": Q.docs_top_ngrams,
+        "docs_length_quantiles": Q.docs_length_quantiles,
+        "q6_forecast_revenue": Q.q6_forecast_revenue,
+        "events_top_users_per_type": Q.events_top_users_per_type,
         # non-SQL-expressible (rows-only check; gated by pytest oracle instead)
         "dedup_clusters": Q.dedup_clusters,
         "dedup_cluster_report": Q.dedup_cluster_report,
@@ -370,6 +374,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM fused) "
             "SELECT query_id, doc_id, ROUND(score, 6) AS score, "
             "CAST(rank AS BIGINT) AS rank FROM fr WHERE rank <= 10"
+        ),
+        "docs_top_ngrams": (
+            "WITH t AS (SELECT string_split_regex(lower(trim(text)), '\\s+') "
+            "AS toks FROM documents WHERE trim(text) <> ''), "
+            "b AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1), "
+            "i -> toks[i] || ' ' || toks[i + 1])) AS ngram FROM t) "
+            "SELECT ngram, COUNT(*) AS n FROM b GROUP BY ngram "
+            "ORDER BY n DESC, ngram LIMIT 50"
+        ),
+        "docs_length_quantiles": (
+            "SELECT lang, "
+            "ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 6) AS p50, "
+            "ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars), 6) AS p90, "
+            "ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY n_chars), 6) AS p99, "
+            "COUNT(*) AS n_docs FROM documents GROUP BY lang"
+        ),
+        "q6_forecast_revenue": (
+            "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "events_top_users_per_type": (
+            "WITH a AS (SELECT event_type, user_id, "
+            "ROUND(SUM(value), 4) AS total_value, COUNT(*) AS n_events "
+            "FROM events GROUP BY 1, 2), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+            "ORDER BY total_value DESC, user_id) AS rank FROM a) "
+            "SELECT event_type, user_id, total_value, n_events, "
+            "CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3"
         ),
         "knn_cosine": (
             "WITH e AS (SELECT vec_id, "

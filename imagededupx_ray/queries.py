@@ -1345,3 +1345,173 @@ def substring_spans_docs(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG):
     return substring_spans(
         res.verified_pairs, res.docs_unique.select_columns(["doc_id", "text"]), cfg
     )
+
+# --------------------------------------------------------------------------
+# round-3 additions: wordcount / quantile / filter-agg / grouped top-k
+# (large-scale curation staples; each with a DuckDB oracle twin)
+# --------------------------------------------------------------------------
+
+def docs_top_ngrams(sf_dir: str, topk: int = 50):
+    """Corpus-wide top-k word bigrams — the distributed-wordcount pattern:
+    per-batch partial counts inside map_batches (vectorized adjacent-token
+    join + Arrow value_counts) shrink the exchange to distinct-ngram rows,
+    then a small groupby-sum and a top-k sort. At 100 TB the exchange volume
+    is the distinct-bigram table, never the token stream."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokenize_batch(batch["text"])
+        empty = pa.table(
+            {
+                "ngram": pa.array([], type=pa.string()),
+                "partial_n": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(flat) < 2:
+            return empty
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " "
+        )
+        # drop pairs that straddle a document boundary: the last token of each
+        # doc (index offsets[d+1]-1) has no successor within its doc
+        keep = np.ones(len(flat) - 1, dtype=bool)
+        bad = offsets[1:] - 1
+        keep[bad[(bad >= 0) & (bad < len(flat) - 1)]] = False
+        vc = joined.filter(pa.array(keep)).value_counts()
+        if len(vc) == 0:
+            return empty
+        return pa.table(
+            {
+                "ngram": vc.field("values"),
+                "partial_n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents")
+        .select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .sort(["n", "ngram"], descending=[True, False])
+        .limit(topk)
+    )
+
+
+def docs_length_quantiles(sf_dir: str):
+    """Exact per-lang length percentiles (p50/p90/p99, percentile_cont
+    linear-interpolation semantics) via counting histograms: the shuffle
+    carries only (lang, n_chars) -> count rows — bounded by the value domain,
+    not the corpus — and the quantile interpolation runs over the tiny
+    histogram on the driver. The scalable exact-quantile pattern (a t-digest
+    would be the approximate path for unbounded domains)."""
+    from ray.data.aggregate import Count
+
+    hist = (
+        _read(sf_dir, "documents")
+        .select_columns(["lang", "n_chars"])
+        .groupby(["lang", "n_chars"])
+        .aggregate(Count(alias_name="cnt"))
+    ).to_pandas()  # histogram-sized: O(langs x distinct lengths)
+
+    rows = []
+    for lang, g in hist.groupby("lang", sort=True):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy(dtype=np.float64)
+        cnt = g["cnt"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+
+        def q_at(q: float) -> float:
+            h = (n - 1) * q
+            lo, hi = int(np.floor(h)), int(np.ceil(h))
+            v_lo = vals[np.searchsorted(cum, lo, side="right")]
+            v_hi = vals[np.searchsorted(cum, hi, side="right")]
+            return v_lo + (h - lo) * (v_hi - v_lo)
+
+        rows.append((lang, q_at(0.5), q_at(0.9), q_at(0.99), n))
+
+    out = pd.DataFrame(rows, columns=["lang", "p50", "p90", "p99", "n_docs"])
+    for c in ("p50", "p90", "p99"):
+        out[c] = _round_col(out[c].to_numpy(), 6).to_numpy(zero_copy_only=False)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 — selective filter + global aggregate with the predicate
+    pushed into the parquet read (row-group pruning on l_shipdate stats,
+    columns pruned to the four used); per-batch partial sums collapse to one
+    scalar, so nothing shuffles."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    f = (
+        (pads.field("l_shipdate") >= pa.scalar(datetime.datetime(1996, 1, 1)))
+        & (pads.field("l_shipdate") < pa.scalar(datetime.datetime(1997, 1, 1)))
+        & (pads.field("l_discount") >= 0.05)
+        & (pads.field("l_discount") <= 0.07)
+        & (pads.field("l_quantity") < 24.0)
+    )
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        filter=f,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = float(
+            np.dot(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False),
+                batch["l_discount"].to_numpy(zero_copy_only=False),
+            )
+        )
+        return pa.table({"rev": pa.array([rev], type=pa.float64())})
+
+    total = ds.map_batches(partial, batch_format="pyarrow").sum("rev")
+    out = pd.DataFrame({"revenue": [float(total or 0.0)]})
+    out["revenue"] = _round_col(out["revenue"].to_numpy(), 2).to_numpy(
+        zero_copy_only=False
+    )
+    return out
+
+
+def events_top_users_per_type(sf_dir: str, k: int = 3):
+    """Grouped top-k: per event_type, the k users with the highest total
+    value. Stage 1 partial-aggregates (event_type, user_id) sums — the only
+    corpus-sized exchange; stage 2 is a per-type map_groups top-k over
+    aggregate-sized groups. Rank ties break on rounded total then user_id
+    (identical in the SQL twin, so the gate is deterministic)."""
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        _read(sf_dir, "events")
+        .select_columns(["event_type", "user_id", "value"])
+        .groupby(["event_type", "user_id"])
+        .aggregate(
+            Sum("value", alias_name="total_value"),
+            Count(alias_name="n_events"),
+        )
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        tv = _round_col(
+            group["total_value"].to_numpy(zero_copy_only=False), 4
+        ).to_numpy(zero_copy_only=False)
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        ne = group["n_events"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, -tv))[:k]
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [group["event_type"][0].as_py()] * len(order)
+                ),
+                "user_id": pa.array(uid[order], type=pa.int64()),
+                "total_value": pa.array(tv[order], type=pa.float64()),
+                "n_events": pa.array(ne[order], type=pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
+            }
+        )
+
+    return agg.groupby("event_type").map_groups(topk, batch_format="pyarrow")
