@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_quantiles": Q.docs_length_quantiles,
         "q6_forecast_revenue": Q.q6_forecast_revenue,
         "events_top_users_per_type": Q.events_top_users_per_type,
+        "docs_repetition_stats": Q.docs_repetition_stats,
+        "orders_cumulative_revenue": Q.orders_cumulative_revenue,
         # non-SQL-expressible (rows-only check; gated by pytest oracle instead)
         "dedup_clusters": Q.dedup_clusters,
         "dedup_cluster_report": Q.dedup_cluster_report,
@@ -404,6 +406,25 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY total_value DESC, user_id) AS rank FROM a) "
             "SELECT event_type, user_id, total_value, n_events, "
             "CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3"
+        ),
+        "docs_repetition_stats": (
+            "WITH t AS (SELECT doc_id, "
+            "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok "
+            "FROM documents WHERE trim(text) <> ''), "
+            "c AS (SELECT doc_id, tok, COUNT(*) AS n FROM t GROUP BY 1, 2), "
+            "a AS (SELECT doc_id, SUM(n) AS n_tokens, COUNT(*) AS n_distinct, "
+            "MAX(n) AS top_n FROM c GROUP BY 1) "
+            "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(n_distinct AS BIGINT) AS n_distinct, "
+            "ROUND(n_distinct / CAST(n_tokens AS DOUBLE), 6) AS ttr, "
+            "ROUND(top_n / CAST(n_tokens AS DOUBLE), 6) AS top_token_ratio "
+            "FROM a"
+        ),
+        "orders_cumulative_revenue": (
+            "SELECT o_custkey, o_orderkey, o_orderdate, "
+            "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) "
+            "AS cum_revenue FROM orders"
         ),
         "knn_cosine": (
             "WITH e AS (SELECT vec_id, "

@@ -1515,3 +1515,77 @@ def events_top_users_per_type(sf_dir: str, k: int = 3):
         )
 
     return agg.groupby("event_type").map_groups(topk, batch_format="pyarrow")
+
+
+def docs_repetition_stats(sf_dir: str):
+    """Per-doc repetition / lexical-diversity stats — the Gopher-style
+    quality filters (Rae et al. 2021 §A1.1): type-token ratio and
+    most-common-token ratio flag template/boilerplate pages for removal.
+    Pure per-batch map (stats are per-doc), so the stage has NO exchange at
+    all — it scales with read bandwidth at 100 TB. Empty docs are dropped
+    (no tokens → ratios undefined), matching the SQL twin's WHERE."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokenize_batch(batch["text"])
+        n_tok = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(batch.num_rows), n_tok)
+        per = (
+            pd.DataFrame({"d": doc_idx, "t": flat.to_pandas()})
+            .groupby(["d", "t"])
+            .size()
+            .groupby(level=0)
+            .agg(["size", "max"])
+        )
+        n_uniq = np.zeros(batch.num_rows, dtype=np.int64)
+        top = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(per):
+            n_uniq[per.index.to_numpy()] = per["size"].to_numpy()
+            top[per.index.to_numpy()] = per["max"].to_numpy()
+        keep = n_tok > 0
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        nt = n_tok[keep].astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(n_tok[keep].astype(np.int64)),
+                "n_distinct": pa.array(n_uniq[keep]),
+                "ttr": _round_col(n_uniq[keep] / nt, 6),
+                "top_token_ratio": _round_col(top[keep] / nt, 6),
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
+
+
+def orders_cumulative_revenue(sf_dir: str):
+    """Running-total windowed aggregate (SUM OVER PARTITION BY ... ORDER BY
+    ... ROWS UNBOUNDED PRECEDING): per customer, cumulative o_totalprice in
+    (o_orderdate, o_orderkey) order. One customer-keyed shuffle, then each
+    group sorts locally and cumsums — groups are per-customer-sized, so the
+    sort never sees more than one customer's orders. The left-to-right
+    numpy cumsum matches the SQL window's incremental accumulation order,
+    keeping the rounded values bit-comparable."""
+
+    def cum(group: pa.Table) -> pa.Table:
+        od = group["o_orderdate"].to_numpy(zero_copy_only=False)
+        ok = group["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, od))
+        out = group.take(pa.array(order))
+        cumr = np.cumsum(
+            out["o_totalprice"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "o_custkey": out["o_custkey"],
+                "o_orderkey": out["o_orderkey"],
+                "o_orderdate": out["o_orderdate"],
+                "cum_revenue": _round_col(cumr, 2),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+        .groupby("o_custkey")
+        .map_groups(cum, batch_format="pyarrow")
+    )
