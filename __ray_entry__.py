@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users_per_type": Q.events_top_users_per_type,
         "docs_repetition_stats": Q.docs_repetition_stats,
         "orders_cumulative_revenue": Q.orders_cumulative_revenue,
+        "docs_top_ngrams_mg": Q.docs_top_ngrams_mg,
         # non-SQL-expressible (rows-only check; gated by pytest oracle instead)
         "dedup_clusters": Q.dedup_clusters,
         "dedup_cluster_report": Q.dedup_cluster_report,
@@ -82,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_dup_pairs": Q.audio_dup_pairs,
         "video_dup_pairs": Q.video_dup_pairs,
         "substring_spans_docs": Q.substring_spans_docs,
+        "docs_distinct_bigrams_hll": Q.docs_distinct_bigrams_hll,
+        "docs_length_quantiles_sketch": Q.docs_length_quantiles_sketch,
     }
 
 
@@ -425,6 +428,17 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey "
             "ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) "
             "AS cum_revenue FROM orders"
+        ),
+        # the Misra-Gries sketch path must reproduce the EXACT top-k (its
+        # recount pass certifies containment), so it shares the exact
+        # query's oracle verbatim
+        "docs_top_ngrams_mg": (
+            "WITH t AS (SELECT string_split_regex(lower(trim(text)), '\\s+') "
+            "AS toks FROM documents WHERE trim(text) <> ''), "
+            "b AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1), "
+            "i -> toks[i] || ' ' || toks[i + 1])) AS ngram FROM t) "
+            "SELECT ngram, COUNT(*) AS n FROM b GROUP BY ngram "
+            "ORDER BY n DESC, ngram LIMIT 50"
         ),
         "knn_cosine": (
             "WITH e AS (SELECT vec_id, "

@@ -1351,35 +1351,42 @@ def substring_spans_docs(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG):
 # (large-scale curation staples; each with a DuckDB oracle twin)
 # --------------------------------------------------------------------------
 
+def _batch_bigrams(batch: pa.Table) -> pa.Array:
+    """All within-doc word bigrams of a batch as one flat string array
+    (adjacent-token join, document-boundary pairs dropped)."""
+    flat, offsets = tokenize_batch(batch["text"])
+    if len(flat) < 2:
+        return pa.array([], type=pa.string())
+    joined = pc.binary_join_element_wise(
+        flat.slice(0, len(flat) - 1), flat.slice(1), " "
+    )
+    # drop pairs that straddle a document boundary: the last token of each
+    # doc (index offsets[d+1]-1) has no successor within its doc
+    keep = np.ones(len(flat) - 1, dtype=bool)
+    bad = offsets[1:] - 1
+    keep[bad[(bad >= 0) & (bad < len(flat) - 1)]] = False
+    out = joined.filter(pa.array(keep))
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
 def docs_top_ngrams(sf_dir: str, topk: int = 50):
     """Corpus-wide top-k word bigrams — the distributed-wordcount pattern:
     per-batch partial counts inside map_batches (vectorized adjacent-token
     join + Arrow value_counts) shrink the exchange to distinct-ngram rows,
     then a small groupby-sum and a top-k sort. At 100 TB the exchange volume
-    is the distinct-bigram table, never the token stream."""
+    is the distinct-bigram table, never the token stream (see
+    docs_top_ngrams_mg for the sketch that bounds even that)."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        flat, offsets = tokenize_batch(batch["text"])
-        empty = pa.table(
-            {
-                "ngram": pa.array([], type=pa.string()),
-                "partial_n": pa.array([], type=pa.int64()),
-            }
-        )
-        if len(flat) < 2:
-            return empty
-        joined = pc.binary_join_element_wise(
-            flat.slice(0, len(flat) - 1), flat.slice(1), " "
-        )
-        # drop pairs that straddle a document boundary: the last token of each
-        # doc (index offsets[d+1]-1) has no successor within its doc
-        keep = np.ones(len(flat) - 1, dtype=bool)
-        bad = offsets[1:] - 1
-        keep[bad[(bad >= 0) & (bad < len(flat) - 1)]] = False
-        vc = joined.filter(pa.array(keep)).value_counts()
+        vc = _batch_bigrams(batch).value_counts()
         if len(vc) == 0:
-            return empty
+            return pa.table(
+                {
+                    "ngram": pa.array([], type=pa.string()),
+                    "partial_n": pa.array([], type=pa.int64()),
+                }
+            )
         return pa.table(
             {
                 "ngram": vc.field("values"),
@@ -1588,4 +1595,173 @@ def orders_cumulative_revenue(sf_dir: str):
         .select_columns(["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
         .groupby("o_custkey")
         .map_groups(cum, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------------------
+# sketch-backed queries: constant-size per-block summaries instead of
+# key-domain-sized exchanges (functions/sketches.py — HLL / Misra-Gries /
+# equi-rank quantiles). The exact twins above shuffle the distinct-key
+# table; at 100 TB that table is itself enormous, so these are the scale
+# path for cardinality / heavy-hitter / quantile questions.
+# --------------------------------------------------------------------------
+
+
+def docs_top_ngrams_mg(sf_dir: str, topk: int = 50, k_counters: int = 4096):
+    """CERTIFIED-exact top-k bigrams with a bounded exchange: per-block
+    Misra-Gries summaries (fixed 64 KB each, any corpus size) merge into a
+    candidate set + a provable max-undercount ``deficit``; one narrow
+    recount pass restricted to the broadcast candidates yields exact counts,
+    and ``count[topk] > deficit`` certifies the true top-k is inside the
+    candidate set (Misra-Gries 1982; mergeable-summaries form of Agarwal et
+    al. 2012). Unlike docs_top_ngrams, NOTHING here scales with the
+    distinct-bigram domain — only with topk and block count. Hash-gated
+    against the same SQL oracle as the exact query."""
+    from ray.data.aggregate import Sum
+
+    from imagededupx_ray.functions import sketches as SK
+    from imagededupx_ray.functions.hashing import token_hash_flat
+
+    docs = _read(sf_dir, "documents").select_columns(["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = token_hash_flat(_batch_bigrams(batch)).astype(np.uint64)
+        keys, counts = np.unique(h, return_counts=True)
+        keys, counts, off = SK.mg_truncate(keys, counts.astype(np.int64), k_counters)
+        return pa.table(
+            {
+                "keys": pa.array([keys.tobytes()], type=pa.binary()),
+                "counts": pa.array([counts.tobytes()], type=pa.binary()),
+                "deficit": pa.array([off], type=pa.int64()),
+            }
+        )
+
+    summaries = [
+        (
+            np.frombuffer(r["keys"], dtype=np.uint64),
+            np.frombuffer(r["counts"], dtype=np.int64),
+            int(r["deficit"]),
+        )
+        for r in docs.map_batches(partial, batch_format="pyarrow", batch_size=None).take_all()
+    ]
+    cand, _, deficit = SK.mg_merge(summaries, k_counters)
+    cand_ref = ray.put(np.sort(cand))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        want = ray.get(cand_ref)
+        grams = _batch_bigrams(batch)
+        empty = pa.table(
+            {
+                "ngram": pa.array([], type=pa.string()),
+                "partial_n": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(grams) == 0 or len(want) == 0:
+            return empty
+        h = token_hash_flat(grams).astype(np.uint64)
+        pos = np.searchsorted(want, h)
+        pos[pos >= len(want)] = 0
+        vc = grams.filter(pa.array(want[pos] == h)).value_counts()
+        if len(vc) == 0:
+            return empty
+        return pa.table(
+            {
+                "ngram": vc.field("values"),
+                "partial_n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    exact = (
+        docs.map_batches(recount, batch_format="pyarrow", batch_size=None)
+        .groupby("ngram")
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .sort(["n", "ngram"], descending=[True, False])
+        .limit(topk)
+        .to_pandas()
+    )
+    # certification: every bigram NOT in the candidate set has true count
+    # <= deficit, so count[topk-1] > deficit proves containment of the true
+    # top-k. On pathological inputs (no frequency separation) raise rather
+    # than return a silently-unproven answer.
+    if len(exact) == topk and int(exact["n"].iloc[-1]) <= deficit:
+        raise ValueError(
+            f"MG top-{topk} not certifiable: count_k={exact['n'].iloc[-1]} "
+            f"<= deficit={deficit}; raise k_counters"
+        )
+    return exact
+
+
+def docs_distinct_bigrams_hll(sf_dir: str):
+    """Distinct-bigram cardinality via HyperLogLog (p=14, std err 0.81%):
+    each block emits one 16 KB register row; the merge is an elementwise max
+    over block-count rows. The exact twin (`unique`) is a full all-to-all
+    shuffle of the key domain. Returns one row (n_distinct_est, hll_p);
+    gated in pytest against the exact distinct count at <= 3% error."""
+    from imagededupx_ray.functions import sketches as SK
+    from imagededupx_ray.functions.hashing import token_hash_flat
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = token_hash_flat(_batch_bigrams(batch)).astype(np.uint64)
+        return pa.table(
+            {"regs": pa.array([SK.hll_partial(h).tobytes()], type=pa.binary())}
+        )
+
+    regs = SK.hll_merge(
+        [
+            np.frombuffer(r["regs"], dtype=np.uint8)
+            for r in _read(sf_dir, "documents")
+            .select_columns(["text"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .take_all()
+        ]
+    )
+    return pd.DataFrame(
+        {
+            "n_distinct_est": [float(SK.hll_estimate(regs))],
+            "hll_p": [int(SK.HLL_P)],
+        }
+    )
+
+
+def docs_length_quantiles_sketch(sf_dir: str, buckets: int = 512):
+    """Global n_chars quantiles (p50/p90/p99) via two-level equi-rank
+    compression: each block sorts its values and emits <= ``buckets``
+    (mean, weight) centroids; the merge is a weighted quantile over the
+    union. The worst-case rank error (sum of per-block half-bucket widths)
+    is computed, RETURNED, and gated in pytest — the honest contract the
+    exact histogram (docs_length_quantiles) can't keep once the value
+    domain is unbounded (floats, token counts at 100 TB)."""
+    from imagededupx_ray.functions import sketches as SK
+
+    def partial(batch: pa.Table) -> pa.Table:
+        means, weights, err = SK.rank_compress(
+            batch["n_chars"].to_numpy(zero_copy_only=False), buckets
+        )
+        return pa.table(
+            {
+                "means": pa.array([means.tobytes()], type=pa.binary()),
+                "weights": pa.array([weights.tobytes()], type=pa.binary()),
+                "err": pa.array([err], type=pa.float64()),
+            }
+        )
+
+    rows = (
+        _read(sf_dir, "documents")
+        .select_columns(["n_chars"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    est, err = SK.rank_quantiles(
+        [np.frombuffer(r["means"], dtype=np.float64) for r in rows],
+        [np.frombuffer(r["weights"], dtype=np.int64) for r in rows],
+        [float(r["err"]) for r in rows],
+        [0.5, 0.9, 0.99],
+    )
+    return pd.DataFrame(
+        {
+            "p50": [est[0]],
+            "p90": [est[1]],
+            "p99": [est[2]],
+            "max_rank_err": [err],
+        }
     )
