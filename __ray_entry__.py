@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition_stats": Q.docs_repetition_stats,
         "orders_cumulative_revenue": Q.orders_cumulative_revenue,
         "docs_top_ngrams_mg": Q.docs_top_ngrams_mg,
+        "orders_bulk_semijoin": Q.orders_bulk_semijoin,
+        "orders_bulk_antijoin": Q.orders_bulk_antijoin,
+        "events_signup_followups": Q.events_signup_followups,
         # non-SQL-expressible (rows-only check; gated by pytest oracle instead)
         "dedup_clusters": Q.dedup_clusters,
         "dedup_cluster_report": Q.dedup_cluster_report,
@@ -439,6 +442,25 @@ def oracle_sql() -> dict[str, str]:
             "i -> toks[i] || ' ' || toks[i + 1])) AS ngram FROM t) "
             "SELECT ngram, COUNT(*) AS n FROM b GROUP BY ngram "
             "ORDER BY n DESC, ngram LIMIT 50"
+        ),
+        "orders_bulk_semijoin": (
+            "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders o "
+            "WHERE EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45) "
+            "GROUP BY o_orderpriority"
+        ),
+        "orders_bulk_antijoin": (
+            "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders o "
+            "WHERE NOT EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45) "
+            "GROUP BY o_orderpriority"
+        ),
+        "events_signup_followups": (
+            "SELECT s.event_id, s.user_id, COUNT(e.event_id) AS n_follow, "
+            "ROUND(COALESCE(SUM(e.value), 0), 2) AS follow_value "
+            "FROM events s LEFT JOIN events e ON e.user_id = s.user_id "
+            "AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 6 HOUR "
+            "WHERE s.event_type = 'signup' GROUP BY s.event_id, s.user_id"
         ),
         "knn_cosine": (
             "WITH e AS (SELECT vec_id, "

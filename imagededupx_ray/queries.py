@@ -1765,3 +1765,153 @@ def docs_length_quantiles_sketch(sf_dir: str, buckets: int = 512):
             "max_rank_err": [err],
         }
     )
+
+
+# --------------------------------------------------------------------------
+# semi-join / anti-join / keyed range join — the three join shapes the suite
+# did not yet exercise as first-class distributed operators (TPC-H Q4 is the
+# semi-join archetype; the anti-join is its complement; the range join is
+# the interval-predicate member of the custom-join family next to
+# events_orders_asof). Reference analogue for all three: the delta
+# anti-join classes of improved_faiss_detector.py:269-295, generalized.
+# --------------------------------------------------------------------------
+
+
+def orders_bulk_semijoin(sf_dir: str, min_qty: float = 45.0):
+    """Orders with AT LEAST ONE lineitem above ``min_qty``, counted per
+    o_orderpriority (TPC-H Q4 shape = EXISTS semi-join). Scale plan: the
+    fact side collapses to DISTINCT qualifying orderkeys before anything
+    moves (per-block unique inside map_batches, then a narrow one-column
+    groupby — the combiner pattern), and the orders side joins via the
+    hash-partitioned ``Dataset.join``; neither side is ever broadcast, so
+    both sides may be corpus-sized."""
+    from ray.data.aggregate import Count
+
+    def qual_keys(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        k = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"l_orderkey": pa.array(np.unique(k[q > min_qty]), type=pa.int64())})
+
+    qual = (
+        _read(sf_dir, "lineitem")
+        .select_columns(["l_orderkey", "l_quantity"])
+        .map_batches(qual_keys, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["l_orderkey"])
+    )
+    orders = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_orderpriority"])
+    return (
+        orders.join(qual, "inner", 8, on=("o_orderkey",), right_on=("l_orderkey",))
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+def orders_bulk_antijoin(sf_dir: str, min_qty: float = 45.0):
+    """Orders with NO lineitem above ``min_qty`` per priority (NOT EXISTS =
+    anti-join), as ONE hash shuffle: tag-union the orders rows (side 0,
+    carrying the priority) with the qualifying lineitem keys (side 1),
+    group by orderkey, and emit an order row only when its group holds no
+    side-1 row. No distinct pass, no broadcast, no second exchange — the
+    same tag-union machinery as events_orders_asof, with anti semantics."""
+    from ray.data.aggregate import Count
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["o_orderkey"].cast(pa.int64()),
+                "o_orderpriority": batch["o_orderpriority"],
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def prep_quals(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        k = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.unique(k[q > min_qty])  # local combiner; group does the rest
+        return pa.table(
+            {
+                "key": pa.array(k, type=pa.int64()),
+                "o_orderpriority": pa.array([""] * len(k), type=pa.string()),
+                "side": pa.array(np.ones(len(k), dtype=np.int8)),
+            }
+        )
+
+    od = (
+        _read(sf_dir, "orders")
+        .select_columns(["o_orderkey", "o_orderpriority"])
+        .map_batches(prep_orders, batch_format="pyarrow")
+    )
+    li = (
+        _read(sf_dir, "lineitem")
+        .select_columns(["l_orderkey", "l_quantity"])
+        .map_batches(prep_quals, batch_format="pyarrow")
+    )
+
+    def anti(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        if (side == 1).any():
+            return pa.table({"o_orderpriority": pa.array([], type=pa.string())})
+        return pa.table({"o_orderpriority": group["o_orderpriority"].filter(pa.array(side == 0))})
+
+    return (
+        od.union(li)
+        .groupby("key")
+        .map_groups(anti, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+def events_signup_followups(sf_dir: str, window_hours: int = 6):
+    """Keyed INTERVAL (range) join: for every signup event, the count and
+    value-sum of the same user's events inside (ts, ts + window]. Composed
+    as tag-union → one hash shuffle on user_id → per-group sort + two
+    searchsorted edges (count = hi - lo; sum via prefix-sum difference) —
+    the partitioning assumption is per-key locality, the same contract as
+    events_orders_asof; no side is broadcast. The SQL twin is the interval
+    LEFT JOIN with the identical open/closed edges."""
+    w_us = np.int64(window_hours) * 3_600_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": batch["user_id"].cast(pa.int64()),
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "value": batch["value"].cast(pa.float64()),
+                "is_signup": pa.array(et == "signup"),
+            }
+        )
+
+    ev = (
+        _read(sf_dir, "events")
+        .select_columns(["user_id", "ts", "event_id", "event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+    )
+
+    def followups(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        val = group["value"].to_numpy(zero_copy_only=False)
+        sid = group["event_id"].to_numpy(zero_copy_only=False)
+        su = group["is_signup"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts_s, val_s = ts[order], val[order]
+        csum = np.concatenate(([0.0], np.cumsum(val_s)))
+        s_ts, s_id = ts[su], sid[su]
+        lo = np.searchsorted(ts_s, s_ts, side="right")
+        hi = np.searchsorted(ts_s, s_ts + w_us, side="right")
+        key = group["key"][0].as_py()
+        return pa.table(
+            {
+                "event_id": pa.array(s_id, type=pa.int64()),
+                "user_id": pa.array(np.full(len(s_id), key, dtype=np.int64)),
+                "n_follow": pa.array(hi - lo, type=pa.int64()),
+                "follow_value": _round_col(csum[hi] - csum[lo], 2),
+            }
+        )
+
+    return ev.groupby("key").map_groups(followups, batch_format="pyarrow")
