@@ -10,8 +10,10 @@ emits a fixed-size summary, one small reduce merges them, and the error is
 either provably bounded (MG, equi-rank) or tightly concentrated (HLL).
 
 All three follow the same Ray dataflow — ``map_batches`` partials that emit
-one fixed-size summary row per block, then a driver/task merge over
-block-count-many summaries (classic "mergeable summaries", Agarwal et al.,
+one fixed-size summary row per block, then an associative TREE reduce
+(fanout-bounded ``map_batches`` merge levels, ``queries._sketch_tree_reduce``)
+down to a handful of rows merged on the driver, so driver traffic never
+scales with block count (classic "mergeable summaries", Agarwal et al.,
 PODS 2012). Nothing here is adapted from the reference repo (it has no
 sketching; its analogues are exact dict/Counter passes, e.g.
 /root/reference/similarities/similarities/utils/tfidf.py:27-47 IDF dict).
@@ -146,6 +148,32 @@ def rank_compress(values: np.ndarray, buckets: int = 512):
     sums = np.add.reduceat(v, edges)
     weights = np.diff(np.r_[edges, n])
     return sums / weights, weights.astype(np.int64), g / 2.0
+
+
+def rank_recompress(
+    means: np.ndarray, weights: np.ndarray, buckets: int = 512
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Collapse an already-weighted centroid set back down to <= ``buckets``
+    centroids so sketch merges can TREE-reduce instead of concatenating
+    forever. Sort by mean, walk prefix weight, and group runs of total
+    weight ~ g = ceil(W / buckets) into weighted means. Collapsing a run of
+    total weight w can displace a rank query by at most w / 2, so the added
+    worst-case rank error is max_run_weight / 2 — computed and returned so
+    every merge level keeps the deterministic bound additive."""
+    if len(means) == 0:
+        return means, weights, 0.0
+    order = np.argsort(means, kind="stable")
+    means = means[order].astype(np.float64, copy=False)
+    weights = weights[order].astype(np.int64, copy=False)
+    total = int(weights.sum())
+    g = max(1, int(np.ceil(total / buckets)))
+    # bucket id from the EXCLUSIVE prefix weight: runs hold ~g weight each
+    excl = np.cumsum(weights) - weights
+    bucket = excl // g
+    starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+    w_out = np.add.reduceat(weights, starts)
+    m_out = np.add.reduceat(means * weights, starts) / w_out
+    return m_out, w_out.astype(np.int64), float(w_out.max()) / 2.0
 
 
 def rank_quantiles(

@@ -1607,6 +1607,33 @@ def orders_cumulative_revenue(sf_dir: str):
 # --------------------------------------------------------------------------
 
 
+def _sketch_tree_reduce(summaries: "rd.Dataset", merge_rows, fanout: int = 64):
+    """Associative tree reduce over fixed-size sketch summary rows. Each
+    level packs ~``fanout`` rows per block (cheap repartition of tiny rows)
+    and merges every block to ONE row, until <= fanout rows remain; those
+    are returned for the caller's final driver merge. Driver traffic is
+    bounded by fanout x summary size at any corpus size — the flat
+    ``take_all()`` alternative ships block-count-many summaries to one
+    process (e.g. 800k blocks x 16 KB HLL rows = 13 GB on the driver).
+    Three levels at fanout 64 cover a quarter-million blocks."""
+    ds = summaries.materialize()
+    n = ds.count()
+    while n > fanout:
+        ds = (
+            ds.repartition(max(1, -(-n // fanout)))
+            .map_batches(merge_rows, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+        new_n = ds.count()
+        if new_n >= n:  # safety: a level must strictly shrink
+            ds = ds.repartition(1).map_batches(
+                merge_rows, batch_format="pyarrow", batch_size=None
+            ).materialize()
+            return ds.take_all()
+        n = new_n
+    return ds.take_all()
+
+
 def docs_top_ngrams_mg(sf_dir: str, topk: int = 50, k_counters: int = 4096):
     """CERTIFIED-exact top-k bigrams with a bounded exchange: per-block
     Misra-Gries summaries (fixed 64 KB each, any corpus size) merge into a
@@ -1636,15 +1663,33 @@ def docs_top_ngrams_mg(sf_dir: str, topk: int = 50, k_counters: int = 4096):
             }
         )
 
-    summaries = [
-        (
-            np.frombuffer(r["keys"], dtype=np.uint64),
-            np.frombuffer(r["counts"], dtype=np.int64),
-            int(r["deficit"]),
+    def _rows_to_summaries(rows):
+        return [
+            (
+                np.frombuffer(r["keys"], dtype=np.uint64),
+                np.frombuffer(r["counts"], dtype=np.int64),
+                int(r["deficit"]),
+            )
+            for r in rows
+        ]
+
+    def merge_rows(batch: pa.Table) -> pa.Table:
+        keys, counts, deficit = SK.mg_merge(
+            _rows_to_summaries(batch.to_pylist()), k_counters
         )
-        for r in docs.map_batches(partial, batch_format="pyarrow", batch_size=None).take_all()
-    ]
-    cand, _, deficit = SK.mg_merge(summaries, k_counters)
+        return pa.table(
+            {
+                "keys": pa.array([keys.tobytes()], type=pa.binary()),
+                "counts": pa.array([counts.tobytes()], type=pa.binary()),
+                "deficit": pa.array([deficit], type=pa.int64()),
+            }
+        )
+
+    top_rows = _sketch_tree_reduce(
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_rows,
+    )
+    cand, _, deficit = SK.mg_merge(_rows_to_summaries(top_rows), k_counters)
     cand_ref = ray.put(np.sort(cand))
 
     def recount(batch: pa.Table) -> pa.Table:
@@ -1706,14 +1751,20 @@ def docs_distinct_bigrams_hll(sf_dir: str):
             {"regs": pa.array([SK.hll_partial(h).tobytes()], type=pa.binary())}
         )
 
+    def merge_rows(batch: pa.Table) -> pa.Table:
+        merged = SK.hll_merge(
+            [np.frombuffer(b, dtype=np.uint8) for b in batch["regs"].to_pylist()]
+        )
+        return pa.table({"regs": pa.array([merged.tobytes()], type=pa.binary())})
+
+    top_rows = _sketch_tree_reduce(
+        _read(sf_dir, "documents")
+        .select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_rows,
+    )
     regs = SK.hll_merge(
-        [
-            np.frombuffer(r["regs"], dtype=np.uint8)
-            for r in _read(sf_dir, "documents")
-            .select_columns(["text"])
-            .map_batches(partial, batch_format="pyarrow", batch_size=None)
-            .take_all()
-        ]
+        [np.frombuffer(r["regs"], dtype=np.uint8) for r in top_rows]
     )
     return pd.DataFrame(
         {
@@ -1745,11 +1796,28 @@ def docs_length_quantiles_sketch(sf_dir: str, buckets: int = 512):
             }
         )
 
-    rows = (
+    def merge_rows(batch: pa.Table) -> pa.Table:
+        means = np.concatenate(
+            [np.frombuffer(b, dtype=np.float64) for b in batch["means"].to_pylist()]
+        )
+        weights = np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in batch["weights"].to_pylist()]
+        )
+        err_in = float(np.sum(batch["err"].to_numpy(zero_copy_only=False)))
+        m, w, added = SK.rank_recompress(means, weights, buckets)
+        return pa.table(
+            {
+                "means": pa.array([m.tobytes()], type=pa.binary()),
+                "weights": pa.array([w.tobytes()], type=pa.binary()),
+                "err": pa.array([err_in + added], type=pa.float64()),
+            }
+        )
+
+    rows = _sketch_tree_reduce(
         _read(sf_dir, "documents")
         .select_columns(["n_chars"])
-        .map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .take_all()
+        .map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_rows,
     )
     est, err = SK.rank_quantiles(
         [np.frombuffer(r["means"], dtype=np.float64) for r in rows],

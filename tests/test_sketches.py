@@ -81,7 +81,85 @@ def test_rank_compress_quantile_error_within_bound():
         assert abs(rank - q * n) <= bound + 1
 
 
+def test_rank_recompress_bound_and_weight_conservation():
+    rng = np.random.default_rng(9)
+    vals = rng.lognormal(2.0, 1.2, size=50_000)
+    # level 0: 32 blocks compressed to 128 centroids each
+    means, weights, errs = [], [], []
+    for part in np.array_split(vals, 32):
+        m, w, e = SK.rank_compress(part, buckets=128)
+        means.append(m)
+        weights.append(w)
+        errs.append(e)
+    # level 1: recompress the union back to 128 centroids
+    m1 = np.concatenate(means)
+    w1 = np.concatenate(weights)
+    m2, w2, added = SK.rank_recompress(m1, w1, buckets=128)
+    assert len(m2) <= 129 and w2.sum() == len(vals)
+    assert np.all(np.diff(m2) >= 0)  # sorted output
+    qs = [0.5, 0.9, 0.99]
+    est, bound = SK.rank_quantiles([m2], [w2], [sum(errs) + added], qs)
+    s = np.sort(vals)
+    n = len(s)
+    for q, v in zip(qs, est):
+        rank = np.searchsorted(s, v, side="right")
+        assert abs(rank - q * n) <= bound + 1
+
+
+def test_mg_tree_merge_keeps_containment_guarantee():
+    rng = np.random.default_rng(13)
+    stream = rng.zipf(1.3, size=60_000) % 5_000
+    true_keys, true_counts = np.unique(stream, return_counts=True)
+    leaves = []
+    for part in np.array_split(stream, 16):
+        k, c = np.unique(part, return_counts=True)
+        leaves.append(SK.mg_truncate(k, c.astype(np.int64), 64))
+    # tree: merge in pairs, then pairs of pairs (vs flat merge)
+    level = leaves
+    while len(level) > 1:
+        level = [
+            SK.mg_merge(level[i : i + 2], 64) for i in range(0, len(level), 2)
+        ]
+    keys, counts, deficit = level[0]
+    sketch = dict(zip(keys.tolist(), counts.tolist()))
+    for tk, tc in zip(true_keys.tolist(), true_counts.tolist()):
+        got = sketch.get(tk, 0)
+        assert got <= tc
+        assert tc - got <= deficit
+        if tc > deficit:
+            assert tk in sketch
+
+
 # ------------------------------------------------------------------ queries
+
+
+def test_sketch_tree_reduce_matches_flat_merge(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from imagededupx_ray import queries as Q
+
+    rng = np.random.default_rng(21)
+    blocks = [
+        rng.integers(0, 2**64, size=2000, dtype=np.uint64) for _ in range(17)
+    ]
+    regs_rows = [SK.hll_partial(b).tobytes() for b in blocks]
+    summaries = rd.from_arrow(
+        pa.table({"regs": pa.array(regs_rows, type=pa.binary())})
+    )
+
+    def merge_rows(batch: pa.Table) -> pa.Table:
+        merged = SK.hll_merge(
+            [np.frombuffer(b, dtype=np.uint8) for b in batch["regs"].to_pylist()]
+        )
+        return pa.table({"regs": pa.array([merged.tobytes()], type=pa.binary())})
+
+    # fanout 2 forces ceil(log2(17)) = 5 genuine reduce levels
+    rows = Q._sketch_tree_reduce(summaries, merge_rows, fanout=2)
+    assert len(rows) <= 2
+    tree = SK.hll_merge([np.frombuffer(r["regs"], dtype=np.uint8) for r in rows])
+    flat = SK.hll_merge([np.frombuffer(b, dtype=np.uint8) for b in regs_rows])
+    assert np.array_equal(tree, flat)
 
 
 def test_hll_query_matches_exact_distinct(ray_session):
