@@ -69,6 +69,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_bulk_semijoin": Q.orders_bulk_semijoin,
         "orders_bulk_antijoin": Q.orders_bulk_antijoin,
         "events_signup_followups": Q.events_signup_followups,
+        "customers_order_fill": Q.customers_order_fill,
+        "part_cheapest_lineitem": Q.part_cheapest_lineitem,
+        "events_daily_distinct_users": Q.events_daily_distinct_users,
+        "parts_rollup": Q.parts_rollup,
         # non-SQL-expressible (rows-only check; gated by pytest oracle instead)
         "dedup_clusters": Q.dedup_clusters,
         "dedup_cluster_report": Q.dedup_cluster_report,
@@ -461,6 +465,35 @@ def oracle_sql() -> dict[str, str]:
             "FROM events s LEFT JOIN events e ON e.user_id = s.user_id "
             "AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 6 HOUR "
             "WHERE s.event_type = 'signup' GROUP BY s.event_id, s.user_id"
+        ),
+        "customers_order_fill": (
+            "WITH o AS (SELECT o_custkey, COUNT(*) AS n, "
+            "SUM(o_totalprice) AS spend FROM orders GROUP BY 1) "
+            "SELECT c_mktsegment, COUNT(*) AS n_customers, "
+            "SUM(CASE WHEN o.n IS NULL THEN 1 ELSE 0 END) AS n_inactive, "
+            "SUM(COALESCE(o.n, 0)) AS n_orders_sum, "
+            "ROUND(SUM(COALESCE(o.spend, 0)), 2) AS total_spend "
+            "FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "part_cheapest_lineitem": (
+            "SELECT l_partkey, l_extendedprice AS min_price, l_suppkey, "
+            "l_orderkey, l_linenumber FROM (SELECT l_partkey, "
+            "l_extendedprice, l_suppkey, l_orderkey, l_linenumber, "
+            "ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY "
+            "l_extendedprice, l_suppkey, l_orderkey, l_linenumber) AS rn "
+            "FROM lineitem) WHERE rn = 1"
+        ),
+        "events_daily_distinct_users": (
+            "SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch, "
+            "COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events "
+            "FROM events GROUP BY 1"
+        ),
+        "parts_rollup": (
+            "SELECT COALESCE(p_brand, 'ALL') AS p_brand, "
+            "COALESCE(p_type, 'ALL') AS p_type, COUNT(*) AS n_parts, "
+            "ROUND(AVG(p_retailprice), 2) AS avg_price "
+            "FROM part GROUP BY ROLLUP (p_brand, p_type)"
         ),
         "knn_cosine": (
             "WITH e AS (SELECT vec_id, "

@@ -1983,3 +1983,219 @@ def events_signup_followups(sf_dir: str, window_hours: int = 6):
         )
 
     return ev.groupby("key").map_groups(followups, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# outer-join zero-fill, argmin join, grouped distinct-count, rollup — four
+# more distributed shapes the suite did not yet exercise as first-class
+# operators, each with a DuckDB oracle twin. All four keep the combiner
+# discipline: per-block partials inside map_batches, then one narrow
+# grouped exchange.
+# --------------------------------------------------------------------------
+
+
+def customers_order_fill(sf_dir: str):
+    """Per c_mktsegment: customer count, INACTIVE customers (zero orders —
+    the rows only an OUTER join can see), order count, and rounded spend.
+    One tag-union hash shuffle: customer rows (side 0, carrying the
+    segment) union per-block (custkey, n, spend) order partials (side 1);
+    the per-key group fills missing order sides with zero — LEFT OUTER
+    semantics without a broadcast, both sides corpus-sized. Reference
+    analogue: the qrels ⋈ results eval join generalized (J4)."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep_cust(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["c_custkey"].cast(pa.int64()),
+                "c_mktsegment": batch["c_mktsegment"],
+                "n": pa.array(np.zeros(n, dtype=np.int64)),
+                "spend": pa.array(np.zeros(n, dtype=np.float64)),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        k = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(k, kind="stable")
+        k, p = k[order], p[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        keys = k[starts]
+        n = np.diff(np.r_[starts, len(k)])
+        spend = np.add.reduceat(p, starts) if len(k) else np.empty(0)
+        return pa.table(
+            {
+                "key": pa.array(keys, type=pa.int64()),
+                "c_mktsegment": pa.array([""] * len(keys), type=pa.string()),
+                "n": pa.array(n.astype(np.int64)),
+                "spend": pa.array(spend, type=pa.float64()),
+                "side": pa.array(np.ones(len(keys), dtype=np.int8)),
+            }
+        )
+
+    cust = (
+        _read(sf_dir, "customer")
+        .select_columns(["c_custkey", "c_mktsegment"])
+        .map_batches(prep_cust, batch_format="pyarrow")
+    )
+    orders = (
+        _read(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_totalprice"])
+        .map_batches(prep_orders, batch_format="pyarrow")
+    )
+
+    def fill(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        cust_rows = np.flatnonzero(side == 0)
+        if len(cust_rows) == 0:  # order rows with no customer: inner-drop
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], type=pa.string()),
+                    "is_inactive": pa.array([], type=pa.int64()),
+                    "n_orders": pa.array([], type=pa.int64()),
+                    "spend": pa.array([], type=pa.float64()),
+                }
+            )
+        n_ord = int(group["n"].to_numpy(zero_copy_only=False)[side == 1].sum())
+        spend = float(group["spend"].to_numpy(zero_copy_only=False)[side == 1].sum())
+        seg = group["c_mktsegment"][int(cust_rows[0])].as_py()
+        return pa.table(
+            {
+                "c_mktsegment": pa.array([seg], type=pa.string()),
+                "is_inactive": pa.array([int(n_ord == 0)], type=pa.int64()),
+                "n_orders": pa.array([n_ord], type=pa.int64()),
+                "spend": pa.array([spend], type=pa.float64()),
+            }
+        )
+
+    ds = (
+        cust.union(orders)
+        .groupby("key")
+        .map_groups(fill, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_customers"),
+            Sum("is_inactive", alias_name="n_inactive"),
+            Sum("n_orders", alias_name="n_orders_sum"),
+            Sum("spend", alias_name="total_spend"),
+        )
+    )
+    return ds.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("total_spend"),
+            "total_spend",
+            _round_col(t["total_spend"].to_numpy(zero_copy_only=False), 2),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def part_cheapest_lineitem(sf_dir: str):
+    """Per l_partkey: the lexicographically smallest (extendedprice,
+    suppkey, orderkey, linenumber) lineitem — the ARGMIN-join shape (TPC-H
+    Q2's min-supplycost-per-part core). Per-block combiner: np.lexsort +
+    first-per-key keeps one candidate row per (partkey, block), so the
+    grouped exchange carries at most one row per part per block; the group
+    reduce repeats the same lexicographic min. Fully tie-broken, so the
+    hash gate is exact."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ln, ok, sk, price, pk))
+        pk, price, sk, ok, ln = (a[order] for a in (pk, price, sk, ok, ln))
+        first = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        return pa.table(
+            {
+                "l_partkey": pa.array(pk[first]),
+                "min_price": pa.array(price[first], type=pa.float64()),
+                "l_suppkey": pa.array(sk[first]),
+                "l_orderkey": pa.array(ok[first]),
+                "l_linenumber": pa.array(ln[first]),
+            }
+        )
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        price = group["min_price"].to_numpy(zero_copy_only=False)
+        sk = group["l_suppkey"].to_numpy(zero_copy_only=False)
+        ok = group["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = group["l_linenumber"].to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((ln, ok, sk, price))[0])
+        return group.slice(i, 1)
+
+    return (
+        _read(sf_dir, "lineitem")
+        .select_columns(
+            ["l_partkey", "l_extendedprice", "l_suppkey", "l_orderkey", "l_linenumber"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .map_groups(reduce_group, batch_format="pyarrow")
+    )
+
+
+def events_daily_distinct_users(sf_dir: str):
+    """Per day: COUNT(DISTINCT user_id) + total events — the grouped
+    distinct-count exchange. Per-block combiner dedups (day, user) pairs
+    and pre-sums the event count, the narrow (day, user) groupby finishes
+    the dedup, and a second tiny groupby per day counts the survivors; the
+    exchange is bounded by distinct (day, user) pairs, never raw events."""
+    from ray.data.aggregate import Count, Sum
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)  # us
+        day = (ts // 86_400_000_000) * 86400
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.stack([day, uid], axis=1)
+        uniq, counts = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "day_epoch": pa.array(uniq[:, 0], type=pa.int64()),
+                "user_id": pa.array(uniq[:, 1], type=pa.int64()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events")
+        .select_columns(["ts", "user_id"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["day_epoch", "user_id"])
+        .aggregate(Sum("n", alias_name="n_ev"))
+        .groupby("day_epoch")
+        .aggregate(Count(alias_name="n_users"), Sum("n_ev", alias_name="n_events"))
+    )
+
+
+def parts_rollup(sf_dir: str):
+    """ROLLUP (p_brand, p_type): part counts + rounded avg retail price at
+    three grouping levels, coarser levels derived by RE-AGGREGATING the
+    finest level's (count, sum) partials — the classic rollup-from-partials
+    plan, so the corpus is scanned once and the extra levels cost only the
+    domain-bounded finest table. 'ALL' marks the rolled-up column (DuckDB
+    ROLLUP emits NULL; both sides coalesce to 'ALL' for the hash gate)."""
+    from ray.data.aggregate import Count, Sum
+
+    finest = (
+        _read(sf_dir, "part")
+        .select_columns(["p_brand", "p_type", "p_retailprice"])
+        .groupby(["p_brand", "p_type"])
+        .aggregate(Count(alias_name="n"), Sum("p_retailprice", alias_name="s"))
+        .to_pandas()
+    )  # domain-bounded: |brands| x |types| rows
+    brand = finest.groupby("p_brand", as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
+    brand["p_type"] = "ALL"
+    total = pd.DataFrame(
+        {"p_brand": ["ALL"], "p_type": ["ALL"], "n": [finest["n"].sum()], "s": [finest["s"].sum()]}
+    )
+    out = pd.concat([finest, brand, total], ignore_index=True)
+    avg = np.asarray(out["s"], dtype=np.float64) / np.asarray(out["n"], dtype=np.float64)
+    p = 100.0
+    out["avg_price"] = np.copysign(np.floor(np.abs(avg) * p + 0.5) / p, avg)
+    out["n_parts"] = out["n"].astype("int64")
+    return out[["p_brand", "p_type", "n_parts", "avg_price"]]
