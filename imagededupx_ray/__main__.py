@@ -21,10 +21,18 @@ import sys
 
 
 def _ray_init():
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # Under `ray job submit` / an existing cluster, RAY_ADDRESS points at
+        # the running GCS and we attach; standalone runs get a local instance.
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
