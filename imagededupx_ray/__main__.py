@@ -86,6 +86,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--input", required=True, help="pages parquet directory")
     s.add_argument("--output", required=True)
 
+    ln = sub.add_parser(
+        "lineage",
+        help="print a snapshot's lineage chain + per-stage metrics from the manifests",
+    )
+    ln.add_argument("--store", required=True, help="snapshot store root")
+    ln.add_argument("--snapshot", help="snapshot name (default: latest complete)")
+
     g = sub.add_parser("synth", help="write a synthetic pages corpus")
     g.add_argument("--output", required=True)
     g.add_argument("--pages", type=int, default=10000)
@@ -177,6 +184,45 @@ def main(argv: list[str] | None = None) -> int:
 
         out = write_pages_corpus(args.output, n_pages=args.pages, seed=args.seed)
         print(json.dumps({"written": out, "n_pages": args.pages}))
+        return 0
+
+    if args.cmd == "lineage":
+        # manifests are plain JSON on disk — no Ray session needed
+        from imagededupx_ray.config import DEFAULT_CONFIG
+        from imagededupx_ray.state.checkpoint import SnapshotStore
+
+        store = SnapshotStore(args.store, DEFAULT_CONFIG)
+        name = args.snapshot or store.latest_snapshot()
+        if name is None:
+            print(json.dumps({"error": "no complete snapshot in store"}))
+            return 1
+        chain = []
+        seen = set()
+        while name is not None and name not in seen:
+            seen.add(name)
+            m = store.manifest(name)
+            if m is None:
+                chain.append({"snapshot": name, "error": "manifest missing"})
+                break
+            chain.append(
+                {
+                    "snapshot": name,
+                    "parent": m.get("parent"),
+                    "config_hash": m.get("config_hash"),
+                    "complete": store.is_complete(name),
+                    "stages": {
+                        s: {
+                            "rows": e.get("rows"),
+                            "wall_sec": e.get("wall_sec"),
+                            "n_parts": len(e.get("dirs", [])),
+                            "own_part": e.get("own"),
+                        }
+                        for s, e in m.get("stages", {}).items()
+                    },
+                }
+            )
+            name = m.get("parent")
+        print(json.dumps({"store": args.store, "lineage": chain}, indent=1))
         return 0
 
     _ray_init()

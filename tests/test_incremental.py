@@ -471,3 +471,27 @@ def test_modified_page_supersedes_old_text(ray_session, fixture_corpus, tmp_path
     lm = merged.set_index("url")["cluster_id"].sort_index()
     lr = rebuilt.set_index("url")["cluster_id"].sort_index()
     assert (lm == lr).all()
+
+
+def test_lineage_cli_walks_parent_chain(snapshots, capsys):
+    """`lineage` prints the child→parent manifest chain with per-stage rows,
+    wall_sec and part counts — the north rule's per-partition lineage +
+    metrics surfaced without a Ray session."""
+    import json
+
+    from imagededupx_ray.__main__ import main
+
+    store_inc, _, _, _ = snapshots
+    assert main(["lineage", "--store", store_inc.root]) == 0
+    out = json.loads(capsys.readouterr().out)
+    chain = out["lineage"]
+    assert [s["snapshot"] for s in chain] == ["b", "a"]
+    assert chain[0]["parent"] == "a" and chain[1]["parent"] is None
+    for snap in chain:
+        assert snap["complete"] is True
+        for stage in ("docs_meta", "signatures", "lsh_index", "verified_pairs", "clusters"):
+            ent = snap["stages"][stage]
+            assert ent["rows"] >= 0 and ent["wall_sec"] >= 0
+        # the merged child composes parent parts + its own delta part
+    assert chain[0]["stages"]["signatures"]["n_parts"] == 2
+    assert chain[1]["stages"]["signatures"]["n_parts"] == 1
