@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_cheapest_lineitem": Q.part_cheapest_lineitem,
         "events_daily_distinct_users": Q.events_daily_distinct_users,
         "parts_rollup": Q.parts_rollup,
+        "docs_train_test_split": Q.docs_train_test_split,
         # non-SQL-expressible (rows-only check; gated by pytest oracle instead)
         "dedup_clusters": Q.dedup_clusters,
         "dedup_cluster_report": Q.dedup_cluster_report,
@@ -494,6 +495,12 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(p_type, 'ALL') AS p_type, COUNT(*) AS n_parts, "
             "ROUND(AVG(p_retailprice), 2) AS avg_price "
             "FROM part GROUP BY ROLLUP (p_brand, p_type)"
+        ),
+        "docs_train_test_split": (
+            "SELECT CASE WHEN CAST(('0x' || substring(md5(text), 1, 8)) "
+            "AS BIGINT) % 100 < 10 THEN 'test' ELSE 'train' END AS split, "
+            "lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars "
+            "FROM documents GROUP BY 1, 2"
         ),
         "knn_cosine": (
             "WITH e AS (SELECT vec_id, "

@@ -2199,3 +2199,46 @@ def parts_rollup(sf_dir: str):
     out["avg_price"] = np.copysign(np.floor(np.abs(avg) * p + 0.5) / p, avg)
     out["n_parts"] = out["n"].astype("int64")
     return out[["p_brand", "p_type", "n_parts", "avg_price"]]
+
+
+def docs_train_test_split(sf_dir: str, test_pct: int = 10):
+    """Deterministic content-keyed train/test split — the assignment every
+    training-data pipeline needs before anything downstream: split(doc) =
+    'test' iff the first 8 hex digits of md5(text) mod 100 < ``test_pct``.
+    Content-keyed (not row-keyed) so exact duplicates always land in the
+    SAME split (no train/test leakage through dup pairs), reproducible at
+    any parallelism and cluster size, and embarrassingly parallel — one
+    stateless map_batches, no exchange. Output: per (split, lang) doc
+    counts + mean length. The SQL twin computes the identical md5 bucket,
+    so the gate is exact."""
+    from ray.data.aggregate import Count, Mean
+
+    from imagededupx_ray.functions.textstats import content_md5
+
+    def assign(batch: pa.Table) -> pa.Table:
+        md5s = content_md5(batch["text"].to_pylist())
+        bucket = np.array([int(m[:8], 16) % 100 for m in md5s], dtype=np.int64)
+        split = np.where(bucket < test_pct, "test", "train")
+        return pa.table(
+            {
+                "split": pa.array(split, type=pa.string()),
+                "lang": batch["lang"],
+                "n_chars": batch["n_chars"],
+            }
+        )
+
+    ds = (
+        _read(sf_dir, "documents")
+        .select_columns(["text", "lang", "n_chars"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby(["split", "lang"])
+        .aggregate(Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars"))
+    )
+    return ds.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("avg_chars"),
+            "avg_chars",
+            _round_col(t["avg_chars"].to_numpy(zero_copy_only=False), 4),
+        ),
+        batch_format="pyarrow",
+    )
