@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_distinct_users": Q.events_daily_distinct_users,
         "parts_rollup": Q.parts_rollup,
         "docs_train_test_split": Q.docs_train_test_split,
+        "docs_decontaminate": Q.docs_decontaminate,
+        "docs_dup_rate_by_source": Q.docs_dup_rate_by_source,
         # non-SQL-expressible (rows-only check; gated by pytest oracle instead)
         "dedup_clusters": Q.dedup_clusters,
         "dedup_cluster_report": Q.dedup_cluster_report,
@@ -501,6 +503,28 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) % 100 < 10 THEN 'test' ELSE 'train' END AS split, "
             "lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars "
             "FROM documents GROUP BY 1, 2"
+        ),
+        "docs_decontaminate": (
+            r"WITH tok AS (SELECT doc_id, "
+            r"regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents), "
+            "sh AS (SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS shingle "
+            "FROM tok, LATERAL unnest(generate_series(1, len(ts)-4)) AS g(i) "
+            "WHERE len(ts) >= 5), "
+            "bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0), "
+            "hits AS (SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n "
+            "FROM sh s JOIN bench b USING (shingle) WHERE s.doc_id % 97 <> 0 "
+            "GROUP BY s.doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit_shingles, "
+            "CAST(COALESCE(h.n, 0) > 0 AS BIGINT) AS contaminated "
+            "FROM documents d LEFT JOIN hits h USING (doc_id) "
+            "WHERE d.doc_id % 97 <> 0"
+        ),
+        "docs_dup_rate_by_source": (
+            "WITH c AS (SELECT text, COUNT(*) AS n FROM documents GROUP BY text) "
+            "SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, "
+            "ROUND(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) "
+            "AS dup_rate FROM documents d JOIN c USING (text) GROUP BY d.source"
         ),
         "knn_cosine": (
             "WITH e AS (SELECT vec_id, "

@@ -2242,3 +2242,169 @@ def docs_train_test_split(sf_dir: str, test_pct: int = 10):
         ),
         batch_format="pyarrow",
     )
+
+
+def docs_decontaminate(sf_dir: str, k: int = 5, bench_mod: int = 97):
+    """Benchmark decontamination — flag every document that shares ANY
+    k-token shingle with a held-out benchmark set (here: the deterministic
+    ``doc_id % bench_mod == 0`` subset standing in for an eval suite). This
+    is the pre-training hygiene op every LLM data pipeline runs before
+    training (shingle-overlap decontamination à la GPT-3 appendix C).
+
+    Scale shape: benchmark suites are small and FIXED (eval sets, not the
+    corpus), so their distinct shingle-hash set is a broadcast — ``ray.put``
+    once, ``searchsorted`` membership inside one stateless narrow scan of the
+    corpus. No shuffle at any size; the corpus never materializes. The
+    shingle kernel is the same vectorized sliding-window polynomial the
+    MinHash tier uses (functions/hashing.py), with the short-doc fallback
+    disabled so docs under k tokens contribute nothing (matching the SQL
+    twin's ``len(ts) >= k`` guard). Reference analogue: qrels-join eval
+    (similarities/similarities/evaluation.py) — same broadcast-small-side
+    pattern.
+
+    Output: one row per NON-benchmark doc — distinct overlapping shingle
+    count + a 0/1 contaminated flag (ints on both sides so the driver's
+    value-hash is stable)."""
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def _plain_shingles(texts: pa.Array):
+        """(flat shingle u64 hashes, per-doc counts) with NO short-doc fallback."""
+        flat, offsets = tokenize_batch(texts)
+        th = H.token_hash_flat(flat)
+        sh, counts = H.shingle_hashes(th, offsets, k)
+        m = np.diff(offsets)
+        short = (m > 0) & (m < k)
+        if short.any():
+            sh = sh[np.repeat(~short, counts)]
+            counts = np.where(short, 0, counts)
+        return sh, counts.astype(np.int64)
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % bench_mod == 0))
+        if sub.num_rows == 0:
+            return pa.table({"sh": pa.array([], type=pa.uint64())})
+        sh, _ = _plain_shingles(sub["text"])
+        return pa.table({"sh": pa.array(np.unique(sh), type=pa.uint64())})
+
+    bench_parts = docs.map_batches(bench_shingles, batch_format="pyarrow").take_all()
+    bench_sorted = np.unique(
+        np.concatenate([np.array([r["sh"] for r in bench_parts], dtype=np.uint64)])
+        if bench_parts
+        else np.empty(0, dtype=np.uint64)
+    )
+    bench_ref = ray.put(bench_sorted)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % bench_mod != 0))
+        n = sub.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_hit_shingles": pa.array([], type=pa.int64()),
+                    "contaminated": pa.array([], type=pa.int64()),
+                }
+            )
+        sh, counts = _plain_shingles(sub["text"])
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        if len(bench) and len(sh):
+            pos = np.searchsorted(bench, sh)
+            pos_c = np.minimum(pos, len(bench) - 1)
+            hit = bench[pos_c] == sh
+        else:
+            hit = np.zeros(len(sh), dtype=bool)
+        n_hits = np.zeros(n, dtype=np.int64)
+        if hit.any():
+            pairs = np.unique(
+                np.stack((doc_idx[hit], sh[hit].view(np.int64)), axis=1), axis=0
+            )
+            n_hits = np.bincount(pairs[:, 0], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"],
+                "n_hit_shingles": pa.array(n_hits, type=pa.int64()),
+                "contaminated": pa.array((n_hits > 0).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(flag, batch_format="pyarrow")
+
+
+def docs_dup_rate_by_source(sf_dir: str):
+    """Per-source duplication report: how much of each source is exact-dup
+    mass — the first diagnostic a corpus-curation run reads (which crawls /
+    dumps are redundant) before deciting per-source sampling weights.
+
+    Scale shape: pass 1 groups by a 63-bit content hash (narrow u64 shuffle,
+    same key as the exact-dedup tier) and keeps only hashes with count > 1 —
+    the dup-hash set, which is bounded by the dup mass, not the corpus. That
+    set broadcasts (``ray.put`` + searchsorted), and pass 2 is a stateless
+    per-batch combiner emitting per-source partials that a tiny groupby
+    sums. Above the broadcast crossover the same two passes run as a
+    hash-partitioned join (the implemented dedup join fallback pattern,
+    stages/dedup.py). Reference analogue: corpus stats G7 +
+    value-dedup M9 (literal_similarity.py:66-74)."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents").select_columns(["source", "text"])
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        h = H.id_hash_array(batch["text"].to_pylist())
+        return pa.table({"h": pa.array(h, type=pa.int64()), "source": batch["source"]})
+
+    hashed = docs.map_batches(hash_batch, batch_format="pyarrow")
+
+    dup_parts = (
+        hashed.select_columns(["h"])
+        .groupby("h")
+        .count()
+        .filter(lambda r: r["count()"] > 1)
+        .select_columns(["h"])
+        .take_all()
+    )
+    dup_sorted = np.sort(np.array([r["h"] for r in dup_parts], dtype=np.int64))
+    dup_ref = ray.put(dup_sorted)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        if len(dup):
+            pos = np.minimum(np.searchsorted(dup, h), len(dup) - 1)
+            is_dup = (dup[pos] == h).astype(np.int64)
+        else:
+            is_dup = np.zeros(len(h), dtype=np.int64)
+        df = pd.DataFrame(
+            {"source": batch["source"].to_pandas(), "is_dup": is_dup, "one": 1}
+        )
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("one", "sum"), n_dup_docs=("is_dup", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        hashed.map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_dup_docs", alias_name="n_dup_docs"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dd = t["n_dup_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pa.array(
+                    t["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "n_dup_docs": pa.array(
+                    t["n_dup_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "dup_rate": _round_col(dd / np.maximum(nd, 1.0), 6),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
