@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_train_test_split": Q.docs_train_test_split,
         "docs_decontaminate": Q.docs_decontaminate,
         "docs_dup_rate_by_source": Q.docs_dup_rate_by_source,
+        "docs_lang_pivot": Q.docs_lang_pivot,
+        "docs_above_lang_avg": Q.docs_above_lang_avg,
         # non-SQL-expressible (rows-only check; gated by pytest oracle instead)
         "dedup_clusters": Q.dedup_clusters,
         "dedup_cluster_report": Q.dedup_cluster_report,
@@ -518,6 +520,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(h.n, 0) > 0 AS BIGINT) AS contaminated "
             "FROM documents d LEFT JOIN hits h USING (doc_id) "
             "WHERE d.doc_id % 97 <> 0"
+        ),
+        "docs_lang_pivot": (
+            "SELECT source, "
+            "CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de, "
+            "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en, "
+            "CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es, "
+            "CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr, "
+            "CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh, "
+            "CAST(COUNT(*) AS BIGINT) AS n_total FROM documents GROUP BY source"
+        ),
+        "docs_above_lang_avg": (
+            "WITH m AS (SELECT lang, CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mu "
+            "FROM documents GROUP BY lang) "
+            "SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(CASE WHEN d.n_chars > m.mu THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_above, "
+            "ROUND(SUM(CASE WHEN d.n_chars > m.mu THEN 1 ELSE 0 END) * 1.0 "
+            "/ COUNT(*), 6) AS frac_above "
+            "FROM documents d JOIN m USING (lang) GROUP BY d.lang"
         ),
         "docs_dup_rate_by_source": (
             "WITH c AS (SELECT text, COUNT(*) AS n FROM documents GROUP BY text) "

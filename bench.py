@@ -145,6 +145,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("orders_per_customer", Q.orders_per_customer),
         ("knn_cosine", Q.knn_cosine),
         ("docs_token_stats", Q.docs_token_stats),
+        ("docs_decontaminate", Q.docs_decontaminate),
         ("tfidf_search", Q.tfidf_search),
         ("bm25_search", Q.bm25_search),
         ("ensemble_search", Q.ensemble_search),

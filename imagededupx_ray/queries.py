@@ -2408,3 +2408,105 @@ def docs_dup_rate_by_source(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def docs_lang_pivot(sf_dir: str):
+    """Crosstab / conditional-aggregation pivot: one row per source with the
+    per-lang doc counts as COLUMNS (the report shape corpus dashboards want).
+    Shape: each batch emits a partial crosstab (pure numpy conditional sums —
+    the pivot never exists as a wide shuffle, only as fixed-width partial
+    rows), then a tiny groupby-source sum merges partials. The column set is
+    the (small, known) lang domain; an unbounded pivot domain would instead
+    keep the long (source, lang, n) form — documented trade."""
+    from ray.data.aggregate import Sum
+
+    langs = ["de", "en", "es", "fr", "zh"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_pandas()
+        lang = batch["lang"].to_pandas()
+        df = pd.DataFrame({"source": src})
+        for lg in langs:
+            df[f"n_{lg}"] = (lang == lg).astype(np.int64)
+        df["n_total"] = 1
+        g = df.groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    aggs = [Sum(f"n_{lg}", alias_name=f"n_{lg}") for lg in langs]
+    aggs.append(Sum("n_total", alias_name="n_total"))
+    ds = (
+        _read(sf_dir, "documents")
+        .select_columns(["source", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(*aggs)
+    )
+
+    def toint(t: pa.Table) -> pa.Table:
+        cols = {"source": t["source"]}
+        for c in t.column_names:
+            if c != "source":
+                cols[c] = pa.array(
+                    t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+        return pa.table(cols)
+
+    return ds.map_batches(toint, batch_format="pyarrow")
+
+
+def docs_above_lang_avg(sf_dir: str):
+    """Filter-by-group-aggregate: per lang, how many docs exceed their own
+    language's mean length. Two passes: a tiny exact groupby (int64 char sum +
+    count per lang — the mean is derived by ONE float division on both sides,
+    so the > comparison is bit-reproducible vs the SQL twin) broadcasts to a
+    stateless per-batch counter; partials merge in a 5-row groupby. The
+    canonical 'compare each row to its group's statistic' shape without ever
+    joining the corpus against itself."""
+    from ray.data.aggregate import Count, Sum
+
+    docs = _read(sf_dir, "documents").select_columns(["lang", "n_chars"])
+    stats = (
+        docs.groupby("lang")
+        .aggregate(Sum("n_chars", alias_name="s"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    mu = {
+        r.lang: float(np.float64(int(r.s)) / np.float64(int(r.n)))
+        for r in stats.itertuples()
+    }
+    mu_ref = ray.put(mu)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(mu_ref)
+        lang = batch["lang"].to_pandas()
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        thr = lang.map(m).to_numpy(dtype=np.float64)
+        df = pd.DataFrame(
+            {"lang": lang, "above": (nc > thr).astype(np.int64), "one": 1}
+        )
+        g = df.groupby("lang", as_index=False).agg(
+            n_above=("above", "sum"), n_docs=("one", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_above", alias_name="n_above"), Sum("n_docs", alias_name="n_docs"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        na = t["n_above"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_docs": pa.array(nd),
+                "n_above": pa.array(na),
+                "frac_above": _round_col(
+                    na.astype(np.float64) / np.maximum(nd, 1).astype(np.float64), 6
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
