@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_rate_by_source": Q.docs_dup_rate_by_source,
         "docs_lang_pivot": Q.docs_lang_pivot,
         "docs_above_lang_avg": Q.docs_above_lang_avg,
+        "docs_shuffle_export_stats": Q.docs_shuffle_export_stats,
         # non-SQL-expressible (rows-only check; gated by pytest oracle instead)
         "dedup_clusters": Q.dedup_clusters,
         "dedup_cluster_report": Q.dedup_cluster_report,
@@ -520,6 +521,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(h.n, 0) > 0 AS BIGINT) AS contaminated "
             "FROM documents d LEFT JOIN hits h USING (doc_id) "
             "WHERE d.doc_id % 97 <> 0"
+        ),
+        "docs_shuffle_export_stats": (
+            "WITH k AS (SELECT doc_id, md5('42' || text) AS key FROM documents) "
+            "SELECT CAST(('0x' || substring(key, 1, 8)) AS BIGINT) % 16 AS shard, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "MIN(key) AS key_min, MAX(key) AS key_max "
+            "FROM k GROUP BY 1"
         ),
         "docs_lang_pivot": (
             "SELECT source, "

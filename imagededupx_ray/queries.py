@@ -2510,3 +2510,26 @@ def docs_above_lang_avg(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def docs_shuffle_export_stats(sf_dir: str, seed: str = "42", n_shards: int = 16):
+    """Per-shard stats of the deterministic training-shard export
+    (pipelines/export.py): shard id, row count, min/max shuffle key. The
+    shard assignment is content-keyed md5(seed||text) — reproducible at any
+    parallelism — and the SQL twin computes the identical bucket, so the
+    hash gate proves the export's assignment semantics exactly."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from imagededupx_ray.pipelines.export import assign_shards
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return (
+        assign_shards(docs, seed=seed, n_shards=n_shards)
+        .select_columns(["shard", "shuffle_key"])
+        .groupby("shard")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Min("shuffle_key", alias_name="key_min"),
+            Max("shuffle_key", alias_name="key_max"),
+        )
+    )
