@@ -8,6 +8,7 @@ verbs in similarities/similarities/cli.py:15-29 and the detector
     python -m imagededupx_ray spans   --input DIR --output DIR
     python -m imagededupx_ray synth   --output DIR --pages N
     python -m imagededupx_ray media   --modality image|audio|video --input DIR --output DIR
+    python -m imagededupx_ray export  --input DIR --output DIR --seed S --shards N
 
 Owns its Ray session (guarded init + shutdown); the driver contract
 (__ray_entry__) never goes through here.
@@ -20,11 +21,14 @@ import json
 import sys
 
 
-def _ray_init():
+def _ray_init() -> bool:
+    """Init Ray if no session exists; returns True iff WE initialized it
+    (an embedding caller's live session must not be shut down by the CLI)."""
     import os
 
     import ray
 
+    inited = False
     if not ray.is_initialized():
         # Under `ray job submit` / an existing cluster, RAY_ADDRESS points at
         # the running GCS and we attach; standalone runs get a local instance.
@@ -33,9 +37,11 @@ def _ray_init():
             include_dashboard=False,
             logging_level="ERROR",
         )
+        inited = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    return inited
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -112,10 +118,58 @@ def main(argv: list[str] | None = None) -> int:
         help="generate a synthetic corpus of this size instead of --input",
     )
 
+    ex = sub.add_parser(
+        "export",
+        help="seeded deterministic global shuffle -> resumable shard=K/ "
+        "parquet training shards + verifiable manifest",
+    )
+    ex.add_argument("--input", required=True, help="parquet dir with a text column")
+    ex.add_argument("--output", required=True)
+    ex.add_argument("--seed", default="42")
+    ex.add_argument("--shards", type=int, default=16)
+    ex.add_argument("--text-col", default="text")
+    ex.add_argument(
+        "--no-sort",
+        action="store_true",
+        help="skip intra-shard key ordering (shuffle-free export for loaders "
+        "that shuffle their read window anyway)",
+    )
+
     args = p.parse_args(argv)
 
+    if args.cmd == "export":
+        _owns_ray = _ray_init()
+        import ray
+        import ray.data as rd
+
+        from imagededupx_ray.pipelines.export import shuffle_export
+
+        try:
+            manifest = shuffle_export(
+                rd.read_parquet(args.input),
+                args.output,
+                seed=args.seed,
+                n_shards=args.shards,
+                text_col=args.text_col,
+                sort_within_shards=not args.no_sort,
+            )
+            print(
+                json.dumps(
+                    {
+                        "output": args.output,
+                        "n_shards": int(len(manifest)),
+                        "n_docs": int(manifest["n_docs"].sum()),
+                        "manifest": manifest.to_dict(orient="records"),
+                    }
+                )
+            )
+            return 0
+        finally:
+            if _owns_ray:
+                ray.shutdown()
+
     if args.cmd == "media":
-        _ray_init()
+        _owns_ray = _ray_init()
         import ray
         import ray.data as rd
 
@@ -177,7 +231,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 0
         finally:
-            ray.shutdown()
+            if _owns_ray:
+                ray.shutdown()
 
     if args.cmd == "synth":
         from imagededupx_ray.sources.synthetic import write_pages_corpus
@@ -225,7 +280,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"store": args.store, "lineage": chain}, indent=1))
         return 0
 
-    _ray_init()
+    _owns_ray = _ray_init()
     import ray
     import ray.data as rd
 
@@ -318,7 +373,8 @@ def main(argv: list[str] | None = None) -> int:
             spans.write_parquet(args.output)
             print(json.dumps({"spans": args.output, "rows": spans.count()}))
     finally:
-        ray.shutdown()
+        if _owns_ray:
+            ray.shutdown()
     return 0
 
 

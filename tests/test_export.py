@@ -84,3 +84,27 @@ def test_export_manifest_verifies_resume(docs, tmp_path):
     assert len(partial) == len(manifest) - 1
     kept = manifest[manifest["shard"].isin(partial["shard"])].reset_index(drop=True)
     pd.testing.assert_frame_equal(kept, partial.reset_index(drop=True))
+
+
+def test_export_cli_smoke(ray_session, tmp_path, capsys):
+    import json
+
+    from imagededupx_ray.__main__ import main
+
+    out = f"{tmp_path}/cli_shards"
+    rc = main(
+        [
+            "export",
+            "--input",
+            f"{SF_DIR}/documents.parquet",
+            "--output",
+            out,
+            "--shards",
+            "4",
+        ]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_shards"] == 4 and rep["n_docs"] == 500
+    again = export_manifest(out, n_shards=4)
+    assert [r["checksum"] for r in rep["manifest"]] == list(again["checksum"])
