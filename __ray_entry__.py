@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_pivot": Q.docs_lang_pivot,
         "docs_above_lang_avg": Q.docs_above_lang_avg,
         "docs_shuffle_export_stats": Q.docs_shuffle_export_stats,
+        "docs_hapax_ratio": Q.docs_hapax_ratio,
         # non-SQL-expressible (rows-only check; gated by pytest oracle instead)
         "dedup_clusters": Q.dedup_clusters,
         "dedup_cluster_report": Q.dedup_cluster_report,
@@ -521,6 +522,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(h.n, 0) > 0 AS BIGINT) AS contaminated "
             "FROM documents d LEFT JOIN hits h USING (doc_id) "
             "WHERE d.doc_id % 97 <> 0"
+        ),
+        "docs_hapax_ratio": (
+            r"WITH tok AS (SELECT doc_id, unnest(list_distinct("
+            r"regexp_split_to_array(trim(lower(text)), '\s+'))) AS t "
+            "FROM documents WHERE length(trim(text)) > 0), "
+            "df AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY t) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, "
+            "CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, "
+            "ROUND(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) "
+            "AS hapax_ratio FROM tok JOIN df USING (t) GROUP BY doc_id"
         ),
         "docs_shuffle_export_stats": (
             "WITH k AS (SELECT doc_id, md5('42' || text) AS key FROM documents) "

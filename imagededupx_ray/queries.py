@@ -2533,3 +2533,54 @@ def docs_shuffle_export_stats(sf_dir: str, seed: str = "42", n_shards: int = 16)
             Max("shuffle_key", alias_name="key_max"),
         )
     )
+
+
+def docs_hapax_ratio(sf_dir: str):
+    """Vocabulary-novelty quality signal: per doc, the fraction of its
+    DISTINCT tokens that are corpus hapax legomena (document frequency = 1).
+    High hapax ratio flags gibberish/OCR noise; low flags boilerplate — a
+    corpus-level quality filter the per-doc stats (docs_quality) can't see.
+
+    Scale shape: rides the postings exchange (stages/tfidf.py) — explode to
+    (doc, term) rows, term-keyed coarse-partition shuffle computes df where
+    the term's occurrences co-locate, then ONE doc-keyed groupby folds the
+    integer (n_terms, n_hapax) partials. All-integer until a single final
+    division, so the hash gate vs the SQL twin is exact."""
+    from ray.data.aggregate import Sum
+
+    from imagededupx_ray.stages.tfidf import tfidf_postings
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    post = tfidf_postings(docs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df_ = t["df"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["d"],
+                "n_terms": pa.array(np.ones(len(df_), dtype=np.int64)),
+                "n_hapax": pa.array((df_ == 1).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        post.map_batches(partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_terms", alias_name="n_terms"), Sum("n_hapax", alias_name="n_hapax"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nt = t["n_terms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nh = t["n_hapax"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_terms": pa.array(nt),
+                "n_hapax": pa.array(nh),
+                "hapax_ratio": _round_col(
+                    nh.astype(np.float64) / np.maximum(nt, 1).astype(np.float64), 6
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
