@@ -2362,8 +2362,10 @@ def docs_dup_rate_by_source(sf_dir: str):
         hashed.select_columns(["h"])
         .groupby("h")
         .count()
-        .filter(lambda r: r["count()"] > 1)
-        .select_columns(["h"])
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["count()"], 1)).select(["h"]),
+            batch_format="pyarrow",
+        )
         .take_all()
     )
     dup_sorted = np.sort(np.array([r["h"] for r in dup_parts], dtype=np.int64))
