@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_above_lang_avg": Q.docs_above_lang_avg,
         "docs_shuffle_export_stats": Q.docs_shuffle_export_stats,
         "docs_hapax_ratio": Q.docs_hapax_ratio,
+        "knn_range_search": Q.knn_range_search,
         # non-SQL-expressible (rows-only check; gated by pytest oracle instead)
         "dedup_clusters": Q.dedup_clusters,
         "dedup_cluster_report": Q.dedup_cluster_report,
@@ -565,6 +566,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, "
             "ROUND(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) "
             "AS dup_rate FROM documents d JOIN c USING (text) GROUP BY d.source"
+        ),
+        "knn_range_search": (
+            "WITH e AS (SELECT vec_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+            "s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine "
+            "FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id) "
+            "SELECT query_id, neighbor_id, cosine FROM s WHERE cosine >= 0.25"
         ),
         "knn_cosine": (
             "WITH e AS (SELECT vec_id, "

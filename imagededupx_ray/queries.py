@@ -2586,3 +2586,48 @@ def docs_hapax_ratio(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def knn_range_search(sf_dir: str, n_queries: int = 10, threshold: float = 0.25):
+    """Radius (range) similarity search: ALL corpus vectors with cosine >=
+    threshold per query — the reference's threshold mode
+    (faiss range_search, faiss_bert_similarity.py:167-170 /
+    improved_faiss_detector.py:785-788 threshold presets), vs knn_cosine's
+    top-k mode. Streaming shape: broadcast query matrix, per-batch matmul,
+    vectorized >= filter — NO reduce stage at all (unlike top-k), so the
+    output streams straight through; selectivity is the only cost driver.
+    Both sides threshold on the ROUNDED cosine so the gate is stable at the
+    boundary."""
+    emb = _read(sf_dir, "embeddings")
+    q_tbl = (
+        emb.filter(expr=f"vec_id < {n_queries}")
+        .select_columns(["vec_id", "embedding"])
+        .to_pandas()
+    )
+    Q = np.stack(q_tbl["embedding"].to_numpy()).astype(np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ids = q_tbl["vec_id"].to_numpy().astype(np.int64)
+    q_ref = ray.put((q_ids, Q))
+
+    def in_range(batch: pa.Table) -> pa.Table:
+        q_ids_, Qm = ray.get(q_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        M = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        M = M.reshape(len(ids), -1)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        S = Qm @ M.T  # (nq, nbatch)
+        # half-away-from-zero round BEFORE thresholding (both sides identical)
+        S = np.copysign(np.floor(np.abs(S) * 1e6 + 0.5) / 1e6, S)
+        qi, ci = np.nonzero((S >= threshold) & (ids[None, :] != q_ids_[:, None]))
+        return pa.table(
+            {
+                "query_id": pa.array(q_ids_[qi], type=pa.int64()),
+                "neighbor_id": pa.array(ids[ci], type=pa.int64()),
+                "cosine": pa.array(S[qi, ci], type=pa.float64()),
+            }
+        )
+
+    return emb.map_batches(in_range, batch_format="pyarrow", batch_size=4096)
