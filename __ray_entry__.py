@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_shuffle_export_stats": Q.docs_shuffle_export_stats,
         "docs_hapax_ratio": Q.docs_hapax_ratio,
         "knn_range_search": Q.knn_range_search,
+        "q5_local_supplier_volume": Q.q5_local_supplier_volume,
         # non-SQL-expressible (rows-only check; gated by pytest oracle instead)
         "dedup_clusters": Q.dedup_clusters,
         "dedup_cluster_report": Q.dedup_cluster_report,
@@ -566,6 +567,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, "
             "ROUND(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) "
             "AS dup_rate FROM documents d JOIN c USING (text) GROUP BY d.source"
+        ),
+        "q5_local_supplier_volume": (
+            "SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) "
+            "AS revenue "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC"
         ),
         "knn_range_search": (
             "WITH e AS (SELECT vec_id, "

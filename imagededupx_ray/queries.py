@@ -2631,3 +2631,123 @@ def knn_range_search(sf_dir: str, n_queries: int = 10, threshold: float = 0.25):
         )
 
     return emb.map_batches(in_range, batch_format="pyarrow", batch_size=4096)
+
+
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA"):
+    """TPC-H Q5 shape: revenue by nation where the CUSTOMER and the SUPPLIER
+    sit in the same nation of one region — the canonical 6-way join
+    (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier). Scale plan:
+    the three dimension sides (region⋈nation, supplier→nation,
+    customer→nation) are broadcast sorted-array lookups (`ray.put` once,
+    searchsorted per batch — dimensions, not facts); the fact side
+    pre-aggregates lineitem revenue per (orderkey, supplier-nation) BEFORE
+    the exchange (combiner), and the single corpus-sized exchange is ONE
+    hash-partitioned ``Dataset.join`` on orderkey against the region-filtered
+    orders. The same-nation predicate applies map-side after the join; the
+    final per-nation sum is a 5-row aggregate. (Date-window predicate of the
+    official Q5 omitted: this corpus spans one generation epoch.)"""
+    from ray.data.aggregate import Sum
+
+    nat = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    rk = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    nat = nat[nat["n_regionkey"].isin(set(rk))]
+    nat_keys = np.sort(nat["n_nationkey"].to_numpy(dtype=np.int64))
+    nat_names = nat.set_index("n_nationkey").loc[nat_keys, "n_name"].to_numpy()
+
+    sup = _read(sf_dir, "supplier").select_columns(["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = sup["s_suppkey"].to_numpy(dtype=np.int64)
+    so = np.argsort(sk)
+    cus = _read(sf_dir, "customer").select_columns(["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cus["c_custkey"].to_numpy(dtype=np.int64)
+    co = np.argsort(ck)
+    dims_ref = ray.put(
+        (
+            nat_keys,
+            sk[so],
+            sup["s_nationkey"].to_numpy(dtype=np.int64)[so],
+            ck[co],
+            cus["c_nationkey"].to_numpy(dtype=np.int64)[co],
+        )
+    )
+
+    def _lookup(sorted_keys, vals, keys):
+        pos = np.searchsorted(sorted_keys, keys)
+        pos[pos >= len(sorted_keys)] = 0
+        hit = sorted_keys[pos] == keys
+        return vals[pos], hit
+
+    def line_rev(batch: pa.Table) -> pa.Table:
+        nk, sks, snat, _, _ = ray.get(dims_ref)
+        keys = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s_nat, hit = _lookup(sks, snat, keys)
+        in_reg = hit & np.isin(s_nat, nk)
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[in_reg]
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)[in_reg]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(
+                    batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[in_reg]
+                ),
+                "s_nat": pa.array(s_nat[in_reg], type=pa.int64()),
+                "rev": pa.array(p * (1.0 - d), type=pa.float64()),
+            }
+        )
+
+    per_line = (
+        _read(sf_dir, "lineitem")
+        .select_columns(["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(line_rev, batch_format="pyarrow")
+        .groupby(["l_orderkey", "s_nat"])
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+
+    def order_nat(batch: pa.Table) -> pa.Table:
+        nk, _, _, cks, cnat = ray.get(dims_ref)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c_nat, hit = _lookup(cks, cnat, keys)
+        in_reg = hit & np.isin(c_nat, nk)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[in_reg]
+                ),
+                "c_nat": pa.array(c_nat[in_reg], type=pa.int64()),
+            }
+        )
+
+    orders = (
+        _read(sf_dir, "orders")
+        .select_columns(["o_orderkey", "o_custkey"])
+        .map_batches(order_nat, batch_format="pyarrow")
+    )
+
+    joined = per_line.join(orders, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def same_nation(t: pa.Table) -> pa.Table:
+        keep = t["s_nat"].to_numpy(zero_copy_only=False) == t["c_nat"].to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "n_nat": t["s_nat"].filter(pa.array(keep)),
+                "rev": t["rev"].filter(pa.array(keep)),
+            }
+        )
+
+    agg = (
+        joined.map_batches(same_nation, batch_format="pyarrow")
+        .groupby("n_nat")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()
+    )
+    pos = np.searchsorted(nat_keys, agg["n_nat"].to_numpy(dtype=np.int64))
+    out = pd.DataFrame(
+        {
+            "n_name": nat_names[pos],
+            "revenue": _round_col(agg["rev"].to_numpy(dtype=np.float64), 2).to_numpy(
+                zero_copy_only=False
+            ),
+        }
+    )
+    return out.sort_values("revenue", ascending=False).reset_index(drop=True)
