@@ -479,8 +479,9 @@ def oracle_sql() -> dict[str, str]:
             "WITH o AS (SELECT o_custkey, COUNT(*) AS n, "
             "SUM(o_totalprice) AS spend FROM orders GROUP BY 1) "
             "SELECT c_mktsegment, COUNT(*) AS n_customers, "
-            "SUM(CASE WHEN o.n IS NULL THEN 1 ELSE 0 END) AS n_inactive, "
-            "SUM(COALESCE(o.n, 0)) AS n_orders_sum, "
+            "CAST(SUM(CASE WHEN o.n IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_inactive, "
+            "CAST(SUM(COALESCE(o.n, 0)) AS BIGINT) AS n_orders_sum, "
             "ROUND(SUM(COALESCE(o.spend, 0)), 2) AS total_spend "
             "FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey "
             "GROUP BY c_mktsegment"

@@ -39,6 +39,54 @@ def _round_col(arr: np.ndarray, nd: int) -> pa.Array:
     return pa.array(np.copysign(np.floor(np.abs(x) * p + 0.5) / p, x), type=pa.float64())
 
 
+def _pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _coarse_parts() -> int:
+    """Power-of-two coarse-partition count for keyed-window operators (same
+    discipline as stages/lsh.py: group on ``hash(key) & (P-1)``, never on the
+    raw unbounded key — one Python call per PARTITION, not per key)."""
+    from imagededupx_ray.util import suggest_num_partitions
+
+    return _pow2(suggest_num_partitions(per_cpu=2))
+
+
+def _coarse_part_col(key: np.ndarray, p: int) -> pa.Array:
+    """int32 shuffle key ``splitmix64(key) & (p-1)`` for a coarse groupby."""
+    part = (H.splitmix64(key.astype(np.uint64)).astype(np.int64) & np.int64(p - 1)).astype(
+        np.int32
+    )
+    return pa.array(part, type=pa.int32())
+
+
+def _seg_searchsorted_right(
+    d_key: np.ndarray, d_val: np.ndarray, q_key: np.ndarray, q_val: np.ndarray
+) -> np.ndarray:
+    """Vectorized SEGMENTED ``searchsorted(..., side='right')``: insertion
+    positions of each (q_key, q_val) query into data rows sorted
+    lexicographically by (d_key, d_val) — i.e. a per-key-segment searchsorted
+    answered for ALL keys in one pass, no per-key Python.
+
+    Merge-rank trick: lexsort data and queries together with queries AFTER
+    equal data rows (stable sort, query flag last tie-break); a query's
+    combined position minus its rank among queries IS its insertion point.
+    Requires queries sorted by (q_key, q_val) — callers take them from the
+    already-sorted data."""
+    nd, nq = len(d_key), len(q_key)
+    if nq == 0:
+        return np.empty(0, dtype=np.int64)
+    keys = np.concatenate([d_key, q_key])
+    vals = np.concatenate([d_val, q_val])
+    flag = np.concatenate([np.zeros(nd, dtype=np.int8), np.ones(nq, dtype=np.int8)])
+    order = np.lexsort((flag, vals, keys))
+    combined_pos = np.flatnonzero(flag[order] == 1)
+    return combined_pos - np.arange(nq, dtype=np.int64)
+
+
 # --------------------------------------------------------------------------
 # documents family (text analysis / dedup-adjacent, SURVEY.md §2.5 G5, §2.2)
 # --------------------------------------------------------------------------
@@ -535,40 +583,67 @@ def events_user_stats(sf_dir: str):
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Windowed sessionization — split each user's event stream into sessions
     at inactivity gaps > ``gap_minutes``; one row per session with count,
-    bounds and value sum. A streaming-window operator the reference lacks,
-    expressed as a key-partitioned ``groupby().map_groups`` (each user's
-    events sort locally inside its group task — no global sort, the shuffle
-    is the one hash exchange on user_id)."""
+    bounds and value sum. A streaming-window operator the reference lacks.
+
+    Scale shape: ONE hash exchange on the coarse key ``splitmix64(user_id)
+    & (P-1)`` (never the raw unbounded user_id — that would be one Python
+    ``map_groups`` call per user); each partition task lexsorts its rows by
+    (user, ts) and resolves every user's sessions in one segmented-numpy
+    pass, exactly the discipline of the LSH tier (stages/lsh.py)."""
     gap_us = gap_minutes * 60_000_000
+    p = _coarse_parts()
+
+    _SCHEMA = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("session_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("start_ts_us", pa.int64()),
+            ("end_ts_us", pa.int64()),
+            ("sum_value", pa.float64()),
+        ]
+    )
 
     def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "user_id": batch["user_id"],
+                "_part": _coarse_part_col(uid, p),
+                "user_id": pa.array(uid, type=pa.int64()),
                 "ts_us": batch["ts"].cast(pa.int64()),
                 "value": batch["value"],
             }
         )
 
-    def sessionize(group: pa.Table) -> pa.Table:
+    def sessionize_part(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return _SCHEMA.empty_table()
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
         ts = group["ts_us"].to_numpy(zero_copy_only=False)
         val = group["value"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ts, kind="stable")
-        ts, val = ts[order], val[order]
-        brk = np.ones(len(ts), dtype=np.int64)
-        brk[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        sid = np.cumsum(brk)  # 1-based session id in start-time order
-        starts = np.flatnonzero(brk)
-        n_ev = np.diff(np.append(starts, len(ts)))
+        order = np.lexsort((ts, uid))
+        uid, ts, val = uid[order], ts[order], val[order]
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
+        brk = new_user.copy()
+        brk[1:] |= np.diff(ts) > gap_us
+        starts = np.flatnonzero(brk)  # one entry per session
+        # 1-based session id within each user, in start-time order
+        sess_user_first = np.flatnonzero(new_user[starts])
+        offs = np.repeat(
+            sess_user_first, np.diff(np.append(sess_user_first, len(starts)))
+        )
+        sid = np.arange(len(starts), dtype=np.int64) - offs + 1
+        n_ev = np.diff(np.append(starts, n))
         return pa.table(
             {
-                "user_id": pa.array(
-                    np.full(len(starts), group["user_id"][0].as_py(), dtype=np.int64)
-                ),
-                "session_id": pa.array(sid[starts], type=pa.int64()),
+                "user_id": pa.array(uid[starts], type=pa.int64()),
+                "session_id": pa.array(sid, type=pa.int64()),
                 "n_events": pa.array(n_ev, type=pa.int64()),
                 "start_ts_us": pa.array(ts[starts], type=pa.int64()),
-                "end_ts_us": pa.array(ts[np.append(starts[1:], len(ts)) - 1], type=pa.int64()),
+                "end_ts_us": pa.array(ts[np.append(starts[1:], n) - 1], type=pa.int64()),
                 "sum_value": _round_col(np.add.reduceat(val, starts), 4),
             }
         )
@@ -577,39 +652,58 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
         _read(sf_dir, "events")
         .select_columns(["user_id", "ts", "value"])
         .map_batches(prep, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(sessionize, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(sessionize_part, batch_format="pyarrow")
     )
 
 
 def events_orders_asof(sf_dir: str):
     """As-of join: for every event, the most recent order timestamp of the
     same customer at or before the event time (orders ⟵asof events on
-    user_id). A custom temporal-join operator Ray Data lacks, composed as
-    tag-union → one hash shuffle on the key → per-key sorted searchsorted
-    inside ``map_groups`` (sort-merge-within-group; no broadcast of the
-    orders side, which is corpus-sized at web scale). Events whose user has
-    no earlier order emit -1 sentinels (the SQL twin's COALESCE)."""
+    user_id). A custom temporal-join operator Ray Data lacks.
+
+    Scale shape: tag-union → ONE hash exchange on the coarse key
+    ``splitmix64(user_id) & (P-1)`` (no broadcast — both sides corpus-sized
+    at web scale, and never a Python call per user). Each partition task
+    lexsorts the merged rows by (key, ts, side) with order rows winning ties
+    (asof is "at or before"), then a single ``maximum.accumulate`` carry of
+    order-row indices answers every event at once; a carried index before
+    the event's key segment means "no earlier order" → -1 sentinels (the
+    SQL twin's COALESCE)."""
+    p = _coarse_parts()
+
+    _SCHEMA = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("last_order_ts_us", pa.int64()),
+            ("lag_sec", pa.float64()),
+        ]
+    )
 
     def prep_events(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        key = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "key": batch["user_id"].cast(pa.int64()),
+                "_part": _coarse_part_col(key, p),
+                "key": pa.array(key, type=pa.int64()),
                 "ts_us": batch["ts"].cast(pa.int64()),
                 "event_id": batch["event_id"].cast(pa.int64()),
-                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "side": pa.array(np.ones(n, dtype=np.int8)),  # events after orders at tie
             }
         )
 
     def prep_orders(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        key = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "key": batch["o_custkey"].cast(pa.int64()),
+                "_part": _coarse_part_col(key, p),
+                "key": pa.array(key, type=pa.int64()),
                 "ts_us": batch["o_orderdate"].cast(pa.int64()),
                 "event_id": pa.array(np.full(n, -1, dtype=np.int64)),
-                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
             }
         )
 
@@ -624,41 +718,45 @@ def events_orders_asof(sf_dir: str):
         .map_batches(prep_orders, batch_format="pyarrow")
     )
 
-    def asof_group(group: pa.Table) -> pa.Table:
-        side = group["side"].to_numpy(zero_copy_only=False)
+    def asof_part(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return _SCHEMA.empty_table()
+        key = group["key"].to_numpy(zero_copy_only=False)
         ts = group["ts_us"].to_numpy(zero_copy_only=False)
         eid = group["event_id"].to_numpy(zero_copy_only=False)
-        ev_mask = side == 0
-        e_ts, e_id = ts[ev_mask], eid[ev_mask]
-        o_ts = np.sort(ts[~ev_mask])
-        if len(e_ts) == 0:
-            return pa.table(
-                {
-                    "event_id": pa.array([], type=pa.int64()),
-                    "user_id": pa.array([], type=pa.int64()),
-                    "last_order_ts_us": pa.array([], type=pa.int64()),
-                    "lag_sec": pa.array([], type=pa.float64()),
-                }
-            )
-        if len(o_ts) == 0:
-            last = np.full(len(e_ts), -1, dtype=np.int64)
-            lag = np.full(len(e_ts), -1.0, dtype=np.float64)
-        else:
-            pos = np.searchsorted(o_ts, e_ts, side="right") - 1
-            hit = pos >= 0
-            last = np.where(hit, o_ts[np.maximum(pos, 0)], -1)
-            lag = np.where(hit, (e_ts - last) / 1_000_000.0, -1.0)
-        key = group["key"][0].as_py()
+        side = group["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, ts, key))
+        key, ts, eid, side = key[order], ts[order], eid[order], side[order]
+        is_order = side == 0
+        # most recent order ROW INDEX at or before each row (global carry)
+        carried = np.maximum.accumulate(
+            np.where(is_order, np.arange(n, dtype=np.int64), np.int64(-1))
+        )
+        # reset at key boundaries: a carried index before this key's first row
+        # belongs to another customer
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        np.not_equal(key[1:], key[:-1], out=new_key[1:])
+        seg_starts = np.flatnonzero(new_key)
+        seg_start_of_row = np.repeat(
+            seg_starts, np.diff(np.append(seg_starts, n))
+        )
+        valid = carried >= seg_start_of_row
+        ev_rows = ~is_order
+        e_valid = valid[ev_rows]
+        last = np.where(e_valid, ts[np.maximum(carried[ev_rows], 0)], np.int64(-1))
+        lag = np.where(e_valid, (ts[ev_rows] - last) / 1_000_000.0, -1.0)
         return pa.table(
             {
-                "event_id": pa.array(e_id, type=pa.int64()),
-                "user_id": pa.array(np.full(len(e_id), key, dtype=np.int64)),
+                "event_id": pa.array(eid[ev_rows], type=pa.int64()),
+                "user_id": pa.array(key[ev_rows], type=pa.int64()),
                 "last_order_ts_us": pa.array(last, type=pa.int64()),
                 "lag_sec": _round_col(lag, 6),
             }
         )
 
-    return ev.union(od).groupby("key").map_groups(asof_group, batch_format="pyarrow")
+    return ev.union(od).groupby("_part").map_groups(asof_part, batch_format="pyarrow")
 
 
 def q3_shipping_priority(sf_dir: str, topk: int = 10):
@@ -1567,34 +1665,70 @@ def docs_repetition_stats(sf_dir: str):
 def orders_cumulative_revenue(sf_dir: str):
     """Running-total windowed aggregate (SUM OVER PARTITION BY ... ORDER BY
     ... ROWS UNBOUNDED PRECEDING): per customer, cumulative o_totalprice in
-    (o_orderdate, o_orderkey) order. One customer-keyed shuffle, then each
-    group sorts locally and cumsums — groups are per-customer-sized, so the
-    sort never sees more than one customer's orders. The left-to-right
-    numpy cumsum matches the SQL window's incremental accumulation order,
-    keeping the rounded values bit-comparable."""
+    (o_orderdate, o_orderkey) order.
 
-    def cum(group: pa.Table) -> pa.Table:
-        od = group["o_orderdate"].to_numpy(zero_copy_only=False)
+    Scale shape: ONE hash exchange on the coarse key ``splitmix64(custkey)
+    & (P-1)``; each partition task lexsorts by (custkey, date, orderkey) and
+    computes every customer's running total at once as a segment-reset
+    cumsum (global prefix sum minus the prefix at the customer's first row)
+    — no per-customer Python dispatch. The accumulation runs in integer
+    CENTS (o_totalprice is 2-decimal data), so the running total is exact
+    and independent of partition composition — bit-equal to the DuckDB
+    window oracle after the 2-decimal round."""
+    p = _coarse_parts()
+
+    _SCHEMA = pa.schema(
+        [
+            ("o_custkey", pa.int64()),
+            ("o_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("cum_revenue", pa.float64()),
+        ]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_part": _coarse_part_col(ck, p),
+                "o_custkey": pa.array(ck, type=pa.int64()),
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "o_orderdate": batch["o_orderdate"],
+                "o_totalprice": batch["o_totalprice"],
+            }
+        )
+
+    def cum_part(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return _SCHEMA.empty_table()
+        ck = group["o_custkey"].to_numpy(zero_copy_only=False)
         ok = group["o_orderkey"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ok, od))
-        out = group.take(pa.array(order))
-        cumr = np.cumsum(
-            out["o_totalprice"].to_numpy(zero_copy_only=False)
+        od = group["o_orderdate"].to_numpy(zero_copy_only=False)
+        price = group["o_totalprice"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, od, ck))
+        ck, ok, od, price = ck[order], ok[order], od[order], price[order]
+        cents = np.round(price * 100.0).astype(np.int64)
+        cumr = np.cumsum(cents)
+        starts = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+        base = np.repeat(
+            cumr[starts] - cents[starts], np.diff(np.append(starts, n))
         )
         return pa.table(
             {
-                "o_custkey": out["o_custkey"],
-                "o_orderkey": out["o_orderkey"],
-                "o_orderdate": out["o_orderdate"],
-                "cum_revenue": _round_col(cumr, 2),
+                "o_custkey": pa.array(ck, type=pa.int64()),
+                "o_orderkey": pa.array(ok, type=pa.int64()),
+                "o_orderdate": pa.array(od, type=pa.timestamp("us")),
+                "cum_revenue": _round_col((cumr - base) / 100.0, 2),
             }
         )
 
     return (
         _read(sf_dir, "orders")
         .select_columns(["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
-        .groupby("o_custkey")
-        .map_groups(cum, batch_format="pyarrow")
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(cum_part, batch_format="pyarrow")
     )
 
 
@@ -1880,16 +2014,23 @@ def orders_bulk_antijoin(sf_dir: str, min_qty: float = 45.0):
     """Orders with NO lineitem above ``min_qty`` per priority (NOT EXISTS =
     anti-join), as ONE hash shuffle: tag-union the orders rows (side 0,
     carrying the priority) with the qualifying lineitem keys (side 1),
-    group by orderkey, and emit an order row only when its group holds no
-    side-1 row. No distinct pass, no broadcast, no second exchange — the
-    same tag-union machinery as events_orders_asof, with anti semantics."""
-    from ray.data.aggregate import Count
+    shuffled on the coarse key ``splitmix64(orderkey) & (P-1)`` — never the
+    raw orderkey, which would cost one Python call per order. Each partition
+    task sorts by (key, side) and keeps order rows whose key segment holds
+    no side-1 row, pre-counting per priority so the final groupby is
+    priority-cardinality-small. Same machinery as events_orders_asof, with
+    anti semantics."""
+    from ray.data.aggregate import Sum
+
+    parts = _coarse_parts()
 
     def prep_orders(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "key": batch["o_orderkey"].cast(pa.int64()),
+                "_part": _coarse_part_col(key, parts),
+                "key": pa.array(key, type=pa.int64()),
                 "o_orderpriority": batch["o_orderpriority"],
                 "side": pa.array(np.zeros(n, dtype=np.int8)),
             }
@@ -1901,6 +2042,7 @@ def orders_bulk_antijoin(sf_dir: str, min_qty: float = 45.0):
         k = np.unique(k[q > min_qty])  # local combiner; group does the rest
         return pa.table(
             {
+                "_part": _coarse_part_col(k, parts),
                 "key": pa.array(k, type=pa.int64()),
                 "o_orderpriority": pa.array([""] * len(k), type=pa.string()),
                 "side": pa.array(np.ones(len(k), dtype=np.int8)),
@@ -1918,18 +2060,37 @@ def orders_bulk_antijoin(sf_dir: str, min_qty: float = 45.0):
         .map_batches(prep_quals, batch_format="pyarrow")
     )
 
-    def anti(group: pa.Table) -> pa.Table:
+    _PARTIAL = pa.schema([("o_orderpriority", pa.string()), ("n_orders", pa.int64())])
+
+    def anti_part(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m == 0:
+            return _PARTIAL.empty_table()
+        key = group["key"].to_numpy(zero_copy_only=False)
         side = group["side"].to_numpy(zero_copy_only=False)
-        if (side == 1).any():
-            return pa.table({"o_orderpriority": pa.array([], type=pa.string())})
-        return pa.table({"o_orderpriority": group["o_orderpriority"].filter(pa.array(side == 0))})
+        prio = group["o_orderpriority"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        key, side, prio = key[order], side[order], prio[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        has_qual = np.add.reduceat(side.astype(np.int64), starts) > 0
+        keep_seg = np.repeat(~has_qual, np.diff(np.append(starts, m)))
+        keep = keep_seg & (side == 0)
+        if not keep.any():
+            return _PARTIAL.empty_table()
+        uniq, counts = np.unique(prio[keep], return_counts=True)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(uniq, type=pa.string()),
+                "n_orders": pa.array(counts.astype(np.int64)),
+            }
+        )
 
     return (
         od.union(li)
-        .groupby("key")
-        .map_groups(anti, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(anti_part, batch_format="pyarrow")
         .groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_orders"))
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
     )
 
 
@@ -1940,14 +2101,32 @@ def events_signup_followups(sf_dir: str, window_hours: int = 6):
     searchsorted edges (count = hi - lo; sum via prefix-sum difference) —
     the partitioning assumption is per-key locality, the same contract as
     events_orders_asof; no side is broadcast. The SQL twin is the interval
-    LEFT JOIN with the identical open/closed edges."""
+    LEFT JOIN with the identical open/closed edges.
+
+    Scale shape: ONE hash exchange on the coarse key ``splitmix64(user_id)
+    & (P-1)``; each partition task lexsorts by (user, ts) and answers every
+    signup's (lo, hi] window edges at once via a merge-rank segmented
+    searchsorted (``_seg_searchsorted_right``) — count = hi - lo, sum via a
+    global prefix-sum difference. No per-user Python dispatch."""
     w_us = np.int64(window_hours) * 3_600_000_000
+    p = _coarse_parts()
+
+    _SCHEMA = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("n_follow", pa.int64()),
+            ("follow_value", pa.float64()),
+        ]
+    )
 
     def prep(batch: pa.Table) -> pa.Table:
         et = batch["event_type"].to_numpy(zero_copy_only=False)
+        key = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "key": batch["user_id"].cast(pa.int64()),
+                "_part": _coarse_part_col(key, p),
+                "key": pa.array(key, type=pa.int64()),
                 "ts_us": batch["ts"].cast(pa.int64()),
                 "event_id": batch["event_id"].cast(pa.int64()),
                 "value": batch["value"].cast(pa.float64()),
@@ -1961,28 +2140,31 @@ def events_signup_followups(sf_dir: str, window_hours: int = 6):
         .map_batches(prep, batch_format="pyarrow")
     )
 
-    def followups(group: pa.Table) -> pa.Table:
+    def followups_part(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return _SCHEMA.empty_table()
+        key = group["key"].to_numpy(zero_copy_only=False)
         ts = group["ts_us"].to_numpy(zero_copy_only=False)
         val = group["value"].to_numpy(zero_copy_only=False)
-        sid = group["event_id"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
         su = group["is_signup"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ts, kind="stable")
-        ts_s, val_s = ts[order], val[order]
-        csum = np.concatenate(([0.0], np.cumsum(val_s)))
-        s_ts, s_id = ts[su], sid[su]
-        lo = np.searchsorted(ts_s, s_ts, side="right")
-        hi = np.searchsorted(ts_s, s_ts + w_us, side="right")
-        key = group["key"][0].as_py()
+        order = np.lexsort((ts, key))
+        key, ts, val, eid, su = key[order], ts[order], val[order], eid[order], su[order]
+        csum = np.concatenate(([0.0], np.cumsum(val)))
+        q_key, q_ts, q_id = key[su], ts[su], eid[su]
+        lo = _seg_searchsorted_right(key, ts, q_key, q_ts)
+        hi = _seg_searchsorted_right(key, ts, q_key, q_ts + w_us)
         return pa.table(
             {
-                "event_id": pa.array(s_id, type=pa.int64()),
-                "user_id": pa.array(np.full(len(s_id), key, dtype=np.int64)),
+                "event_id": pa.array(q_id, type=pa.int64()),
+                "user_id": pa.array(q_key, type=pa.int64()),
                 "n_follow": pa.array(hi - lo, type=pa.int64()),
                 "follow_value": _round_col(csum[hi] - csum[lo], 2),
             }
         )
 
-    return ev.groupby("key").map_groups(followups, batch_format="pyarrow")
+    return ev.groupby("_part").map_groups(followups_part, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -2001,14 +2183,24 @@ def customers_order_fill(sf_dir: str):
     segment) union per-block (custkey, n, spend) order partials (side 1);
     the per-key group fills missing order sides with zero — LEFT OUTER
     semantics without a broadcast, both sides corpus-sized. Reference
-    analogue: the qrels ⋈ results eval join generalized (J4)."""
-    from ray.data.aggregate import Count, Sum
+    analogue: the qrels ⋈ results eval join generalized (J4).
+
+    Scale shape: ONE hash exchange on the coarse key ``splitmix64(custkey)
+    & (P-1)``; each partition task lexsorts by (key, side) — customer row
+    first in its segment — and fills every key's missing order side in one
+    segmented ``reduceat`` pass, emitting per-SEGMENT partials so the final
+    groupby is segment-cardinality-small. No per-customer Python dispatch."""
+    from ray.data.aggregate import Sum
+
+    parts = _coarse_parts()
 
     def prep_cust(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        key = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "key": batch["c_custkey"].cast(pa.int64()),
+                "_part": _coarse_part_col(key, parts),
+                "key": pa.array(key, type=pa.int64()),
                 "c_mktsegment": batch["c_mktsegment"],
                 "n": pa.array(np.zeros(n, dtype=np.int64)),
                 "spend": pa.array(np.zeros(n, dtype=np.float64)),
@@ -2027,6 +2219,7 @@ def customers_order_fill(sf_dir: str):
         spend = np.add.reduceat(p, starts) if len(k) else np.empty(0)
         return pa.table(
             {
+                "_part": _coarse_part_col(keys, parts),
                 "key": pa.array(keys, type=pa.int64()),
                 "c_mktsegment": pa.array([""] * len(keys), type=pa.string()),
                 "n": pa.array(n.astype(np.int64)),
@@ -2046,40 +2239,65 @@ def customers_order_fill(sf_dir: str):
         .map_batches(prep_orders, batch_format="pyarrow")
     )
 
-    def fill(group: pa.Table) -> pa.Table:
+    _PARTIAL = pa.schema(
+        [
+            ("c_mktsegment", pa.string()),
+            ("n_customers", pa.int64()),
+            ("n_inactive", pa.int64()),
+            ("n_orders_sum", pa.int64()),
+            ("total_spend", pa.float64()),
+        ]
+    )
+
+    def fill_part(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m == 0:
+            return _PARTIAL.empty_table()
+        key = group["key"].to_numpy(zero_copy_only=False)
         side = group["side"].to_numpy(zero_copy_only=False)
-        cust_rows = np.flatnonzero(side == 0)
-        if len(cust_rows) == 0:  # order rows with no customer: inner-drop
-            return pa.table(
-                {
-                    "c_mktsegment": pa.array([], type=pa.string()),
-                    "is_inactive": pa.array([], type=pa.int64()),
-                    "n_orders": pa.array([], type=pa.int64()),
-                    "spend": pa.array([], type=pa.float64()),
-                }
-            )
-        n_ord = int(group["n"].to_numpy(zero_copy_only=False)[side == 1].sum())
-        spend = float(group["spend"].to_numpy(zero_copy_only=False)[side == 1].sum())
-        seg = group["c_mktsegment"][int(cust_rows[0])].as_py()
+        n = group["n"].to_numpy(zero_copy_only=False)
+        spend = group["spend"].to_numpy(zero_copy_only=False)
+        seg_col = group["c_mktsegment"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        key, side, n, spend, seg_col = (
+            key[order], side[order], n[order], spend[order], seg_col[order]
+        )
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        has_cust = side[starts] == 0  # customer row sorts first in its key
+        n_ord = np.add.reduceat(n, starts)
+        spend_tot = np.add.reduceat(spend, starts)
+        # keys without a customer row are inner-dropped (orphan orders)
+        keep = np.flatnonzero(has_cust)
+        seg = seg_col[starts[keep]]
+        n_ord, spend_tot = n_ord[keep], spend_tot[keep]
+        # per-segment partials (segments are low-cardinality)
+        uniq, inv = np.unique(seg, return_inverse=True)
         return pa.table(
             {
-                "c_mktsegment": pa.array([seg], type=pa.string()),
-                "is_inactive": pa.array([int(n_ord == 0)], type=pa.int64()),
-                "n_orders": pa.array([n_ord], type=pa.int64()),
-                "spend": pa.array([spend], type=pa.float64()),
+                "c_mktsegment": pa.array(uniq, type=pa.string()),
+                "n_customers": pa.array(np.bincount(inv).astype(np.int64)),
+                "n_inactive": pa.array(
+                    np.bincount(inv, weights=(n_ord == 0)).astype(np.int64)
+                ),
+                "n_orders_sum": pa.array(
+                    np.bincount(inv, weights=n_ord).astype(np.int64)
+                ),
+                "total_spend": pa.array(
+                    np.bincount(inv, weights=spend_tot), type=pa.float64()
+                ),
             }
         )
 
     ds = (
         cust.union(orders)
-        .groupby("key")
-        .map_groups(fill, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(fill_part, batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(
-            Count(alias_name="n_customers"),
-            Sum("is_inactive", alias_name="n_inactive"),
-            Sum("n_orders", alias_name="n_orders_sum"),
-            Sum("spend", alias_name="total_spend"),
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("n_inactive", alias_name="n_inactive"),
+            Sum("n_orders_sum", alias_name="n_orders_sum"),
+            Sum("total_spend", alias_name="total_spend"),
         )
     )
     return ds.map_batches(
@@ -2097,9 +2315,13 @@ def part_cheapest_lineitem(sf_dir: str):
     suppkey, orderkey, linenumber) lineitem — the ARGMIN-join shape (TPC-H
     Q2's min-supplycost-per-part core). Per-block combiner: np.lexsort +
     first-per-key keeps one candidate row per (partkey, block), so the
-    grouped exchange carries at most one row per part per block; the group
-    reduce repeats the same lexicographic min. Fully tie-broken, so the
-    hash gate is exact."""
+    grouped exchange carries at most one row per part per block; the
+    exchange groups on the coarse key ``splitmix64(partkey) & (P-1)``
+    (never the raw partkey — one Python call per PARTITION, not per part)
+    and each partition task repeats the same segmented lexicographic min
+    over all its parts at once. Fully tie-broken, so the hash gate is
+    exact."""
+    p = _coarse_parts()
 
     def partial(batch: pa.Table) -> pa.Table:
         pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2110,9 +2332,11 @@ def part_cheapest_lineitem(sf_dir: str):
         order = np.lexsort((ln, ok, sk, price, pk))
         pk, price, sk, ok, ln = (a[order] for a in (pk, price, sk, ok, ln))
         first = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        pk = pk[first]
         return pa.table(
             {
-                "l_partkey": pa.array(pk[first]),
+                "_part": _coarse_part_col(pk, p),
+                "l_partkey": pa.array(pk),
                 "min_price": pa.array(price[first], type=pa.float64()),
                 "l_suppkey": pa.array(sk[first]),
                 "l_orderkey": pa.array(ok[first]),
@@ -2120,13 +2344,36 @@ def part_cheapest_lineitem(sf_dir: str):
             }
         )
 
-    def reduce_group(group: pa.Table) -> pa.Table:
+    _SCHEMA = pa.schema(
+        [
+            ("l_partkey", pa.int64()),
+            ("min_price", pa.float64()),
+            ("l_suppkey", pa.int64()),
+            ("l_orderkey", pa.int64()),
+            ("l_linenumber", pa.int64()),
+        ]
+    )
+
+    def reduce_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _SCHEMA.empty_table()
+        pk = group["l_partkey"].to_numpy(zero_copy_only=False)
         price = group["min_price"].to_numpy(zero_copy_only=False)
         sk = group["l_suppkey"].to_numpy(zero_copy_only=False)
         ok = group["l_orderkey"].to_numpy(zero_copy_only=False)
         ln = group["l_linenumber"].to_numpy(zero_copy_only=False)
-        i = int(np.lexsort((ln, ok, sk, price))[0])
-        return group.slice(i, 1)
+        order = np.lexsort((ln, ok, sk, price, pk))
+        pk, price, sk, ok, ln = (a[order] for a in (pk, price, sk, ok, ln))
+        first = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        return pa.table(
+            {
+                "l_partkey": pa.array(pk[first], type=pa.int64()),
+                "min_price": pa.array(price[first], type=pa.float64()),
+                "l_suppkey": pa.array(sk[first], type=pa.int64()),
+                "l_orderkey": pa.array(ok[first], type=pa.int64()),
+                "l_linenumber": pa.array(ln[first], type=pa.int64()),
+            }
+        )
 
     return (
         _read(sf_dir, "lineitem")
@@ -2134,8 +2381,8 @@ def part_cheapest_lineitem(sf_dir: str):
             ["l_partkey", "l_extendedprice", "l_suppkey", "l_orderkey", "l_linenumber"]
         )
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .map_groups(reduce_group, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(reduce_part, batch_format="pyarrow")
     )
 
 
