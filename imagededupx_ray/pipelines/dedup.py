@@ -55,6 +55,21 @@ class DedupResult:
 # single-threaded); the distributed large/small-star rounds take over
 LABEL_PROP_PAIR_THRESHOLD = 20_000_000
 
+# beyond this many DISTINCT pair-member ids the verify broadcast itself
+# (ids + their signatures, ~0.5 KB/id) stops being "small side" territory
+# and the hash-partitioned join verify takes over automatically
+VERIFY_JOIN_ID_THRESHOLD = 32_000_000
+
+# per-block unique pair-id arrays merge through a fanout-bounded task tree —
+# the driver receives ONE already-deduped array (bounded by distinct pair
+# members), never the sum of per-block arrays (multi-GB at high dup rates)
+_UNIQ_TREE_FANOUT = 16
+
+# beyond this many verified pairs the final {member -> root} map (up to
+# 2 pairs' worth of entries) stops fitting a driver dict + broadcast array;
+# assignment flips to the star-edge Dataset hash-join path
+ASSIGN_JOIN_PAIR_THRESHOLD = 50_000_000
+
 
 def run_dedup(
     pages_ds: "ray.data.Dataset",
@@ -64,6 +79,7 @@ def run_dedup(
     exact_strategy: str = "auto",
     cluster_strategy: str = "auto",
     label_prop_threshold: int = LABEL_PROP_PAIR_THRESHOLD,
+    assign_join_threshold: int = ASSIGN_JOIN_PAIR_THRESHOLD,
 ) -> DedupResult:
     """Run the full pipeline. Returns all intermediate Datasets plus the final
     clusters Dataset (one row per input doc: doc_id, url, cluster_id,
@@ -106,8 +122,9 @@ def run_dedup(
         # instead measured verify 4.6s vs 1.2s at 1.2M pages: the serial
         # assemble + per-worker fetch of the 40x-larger object dwarfs this
         # collection). Per-block uniques run as plain ray tasks over the
-        # MATERIALIZED pair blocks — no extra Dataset execution on the
-        # critical path, the driver only unions small sorted id arrays.
+        # MATERIALIZED pair blocks, then merge through a fanout-bounded task
+        # TREE — the driver receives one already-deduped id array (bounded by
+        # distinct pair members), never the per-block sum.
         import numpy as _np
 
         @ray.remote
@@ -123,15 +140,32 @@ def run_dedup(
                 )
             )
 
-        ids_l = ray.get([_block_uniq.remote(r) for r in raw_pairs.to_arrow_refs()])
-        ids_l = [u for u in ids_l if len(u)]
-        pair_ids = (
-            _np.unique(_np.concatenate(ids_l)) if ids_l else _np.empty(0, _np.int64)
-        )
+        @ray.remote
+        def _merge_uniq(*arrs):
+            arrs = [a for a in arrs if len(a)]
+            if not arrs:
+                return _np.empty(0, _np.int64)
+            if len(arrs) == 1:
+                return arrs[0]
+            return _np.unique(_np.concatenate(arrs))
+
+        refs = [_block_uniq.remote(r) for r in raw_pairs.to_arrow_refs()]
+        while len(refs) > 1:
+            refs = [
+                _merge_uniq.remote(*refs[i : i + _UNIQ_TREE_FANOUT])
+                for i in range(0, len(refs), _UNIQ_TREE_FANOUT)
+            ]
+        pair_ids = ray.get(refs[0]) if refs else _np.empty(0, _np.int64)
         metrics["verify_pair_ids_sec"] = round(_time.monotonic() - t0, 3)
-        verified = verify_pairs_broadcast_fused(
-            raw_pairs, signatures, cfg, pair_ids=pair_ids
-        )
+        if len(pair_ids) > VERIFY_JOIN_ID_THRESHOLD:
+            # broadcast side no longer small: flip to the hash-partitioned
+            # join verify (same output — equality-tested in tests)
+            cand_pairs = lsh_candidate_pairs_from_raw(raw_pairs, cfg).materialize()
+            verified = verify_pairs_join(cand_pairs, signatures, cfg)
+        else:
+            verified = verify_pairs_broadcast_fused(
+                raw_pairs, signatures, cfg, pair_ids=pair_ids
+            )
     verified = verified.materialize()
     metrics["verify_sec"] = round(_time.monotonic() - t0, 3)
     t0 = _time.monotonic()
@@ -152,9 +186,26 @@ def run_dedup(
         # union-find over verified near-dup pairs ONLY; exact-dup members fold
         # through the sha→canonical broadcast at assignment time, so no
         # member→canonical edge list is ever materialized
-        root_map = components(verified.select_columns(["a", "b"]))
-        metrics["cluster_components_sec"] = round(_time.monotonic() - t0, 3)
-        clusters = assign_clusters_via_canonical(docs_mat, dup_ref, root_map)
+        if (
+            cluster_strategy in ("auto", "label_prop")
+            and n_pairs > assign_join_threshold
+        ):
+            # member count can reach 2x pairs: the root map no longer fits a
+            # driver dict/broadcast — star edges stay a Dataset and hash-join
+            # against docs (identical output, tested on fixtures)
+            from imagededupx_ray.stages.cluster import (
+                assign_clusters_via_canonical_join,
+                label_prop_components_ds,
+            )
+
+            roots_ds = label_prop_components_ds(verified.select_columns(["a", "b"]))
+            metrics["cluster_components_sec"] = round(_time.monotonic() - t0, 3)
+            root_map = {}
+            clusters = assign_clusters_via_canonical_join(docs_mat, dup_ref, roots_ds)
+        else:
+            root_map = components(verified.select_columns(["a", "b"]))
+            metrics["cluster_components_sec"] = round(_time.monotonic() - t0, 3)
+            clusters = assign_clusters_via_canonical(docs_mat, dup_ref, root_map)
     else:
         # join-strategy exact dedup (extreme dup rates): no broadcast dup map
         # exists, so exact-dup member→canonical links enter the edge list and

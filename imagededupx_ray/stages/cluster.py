@@ -105,7 +105,31 @@ def label_prop_components(
     """Alternating large-star/small-star rounds (Kiveris et al., "Connected
     Components in MapReduce and Beyond") built ONLY from native groupby
     aggregates, hash joins and vectorized map_batches. Returns the same
-    {doc_id -> root} mapping as ``dsu_components``."""
+    {doc_id -> root} mapping as ``dsu_components``.
+
+    Driver-dict collection — right while the dup-member count fits a
+    driver map (pair-membership-bounded). Above ~10^8 members use
+    ``label_prop_components_ds`` + ``assign_clusters_via_canonical_join``
+    instead: the star edges stay a Dataset end-to-end."""
+    edges = label_prop_components_ds(edges_ds, max_rounds, num_partitions)
+    # final star edges: u -> root v (the result itself — pair-bounded)
+    out: dict[int, int] = {}
+    for batch in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        for uu, vv in zip(
+            batch["u"].to_numpy(zero_copy_only=False).astype(np.int64).tolist(),
+            batch["v"].to_numpy(zero_copy_only=False).astype(np.int64).tolist(),
+        ):
+            if uu != vv:
+                out[uu] = min(vv, out.get(uu, vv))
+    return out
+
+
+def label_prop_components_ds(
+    edges_ds, max_rounds: int = 25, num_partitions: int | None = None
+):
+    """Distributed star rounds returning the CONVERGED star-edge Dataset
+    (u = member doc_id, v = component root) — nothing component-sized ever
+    lands on the driver; feed to ``assign_clusters_via_canonical_join``."""
     from imagededupx_ray.util import suggest_num_partitions
 
     if num_partitions is None:
@@ -206,20 +230,25 @@ def label_prop_components(
         # never the edge set itself
         sig = _edge_multiset_signature(edges)
         if sig[0] == 0:
-            return {}
+            break
         if sig == prev_sig:
             break
         prev_sig = sig
-    # final star edges: u -> root v (the result itself — pair-bounded)
-    out: dict[int, int] = {}
-    for batch in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        for uu, vv in zip(
-            batch["u"].to_numpy(zero_copy_only=False).astype(np.int64).tolist(),
-            batch["v"].to_numpy(zero_copy_only=False).astype(np.int64).tolist(),
-        ):
-            if uu != vv:
-                out[uu] = min(vv, out.get(uu, vv))
-    return out
+    # converged star edges: min v per u (defensive — convergence leaves one
+    # root per member), self-loops dropped
+    from ray.data.aggregate import Min
+
+    def drop_self(t: pa.Table) -> pa.Table:
+        keep = t["u"].to_numpy(zero_copy_only=False) != t["v"].to_numpy(
+            zero_copy_only=False
+        )
+        return t.filter(pa.array(keep))
+
+    return (
+        edges.groupby("u")
+        .aggregate(Min("v", alias_name="v"))
+        .map_batches(drop_self, batch_format="pyarrow")
+    )
 
 
 def _edge_multiset_signature(edges_ds) -> tuple:
@@ -294,6 +323,70 @@ def assign_clusters_via_canonical(docs_ds, dup_ref, root_map: dict[int, int]):
         )
 
     return docs_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def assign_clusters_via_canonical_join(
+    docs_ds, dup_ref, roots_ds, num_partitions: int | None = None
+):
+    """Join-path final assignment — the >10^8-dup-member regime where the
+    ``root_map`` driver dict + broadcast arrays of
+    ``assign_clusters_via_canonical`` no longer fit: the converged star
+    edges from ``label_prop_components_ds`` (u = member, v = root) stay a
+    Dataset and hash-join against the docs' canonical ids; docs whose
+    canonical never entered a dup relation pass through null-filled
+    (cluster = canonical). Identical output to the broadcast path
+    (tests/test_pipeline.py::test_assign_join_path_equals_broadcast)."""
+    import ray
+
+    from imagededupx_ray.stages.dedup import i64_pair_to_key16, sha_to_i64_pair
+    from imagededupx_ray.util import suggest_num_partitions
+
+    if num_partitions is None:
+        num_partitions = suggest_num_partitions()
+
+    def canonize(batch: pa.Table) -> pa.Table:
+        d_keys, d_canon, _ = ray.get(dup_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        canon = ids.copy()
+        if len(d_keys):
+            s = i64_pair_to_key16(*sha_to_i64_pair(batch["text_sha256"]))
+            pos = np.searchsorted(d_keys, s)
+            pos[pos >= len(d_keys)] = 0
+            hit = d_keys[pos] == s
+            canon[hit] = d_canon[pos[hit]]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "url": batch["url"],
+                "canon": pa.array(canon, type=pa.int64()),
+            }
+        )
+
+    canon_docs = docs_ds.map_batches(canonize, batch_format="pyarrow")
+    joined = canon_docs.join(
+        roots_ds, "left_outer", num_partitions, on=("canon",), right_on=("u",)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        canon = t["canon"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # -1 sentinel for "canonical never in a dup relation" (ids are >= 0)
+        v = (
+            pa.compute.fill_null(t["v"].cast(pa.int64()), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        root = np.where(v >= 0, v, canon)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "url": t["url"],
+                "cluster_id": pa.array(root, type=pa.int64()),
+                "is_canonical": pa.array(ids == root),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def cluster_edges(verified_pairs_ds, dup_map_ds):

@@ -55,6 +55,31 @@ def parallel_block_table(total: int, block: int, make_block):
     return pa.concat_tables(parallel_block_tables(total, block, make_block))
 
 
+def cached_corpus(key: str, build):
+    """Seed-keyed /tmp parquet cache for deterministic synthetic media
+    corpora: the encode step (pure-python JPEG/PNG/GIF/WAV) otherwise
+    dominates every in-band dup-mining query wall, re-paying the same
+    deterministic work per bench/driver run. ``key`` must encode every
+    generation parameter (builder name, n, seed, dup_every, ...); the write
+    is atomic (tmp + rename) so concurrent runs race safely."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/graft_media_cache/{key}.parquet"
+    if os.path.exists(path):
+        try:
+            return pq.read_table(path)
+        except Exception:
+            pass  # truncated cache from a killed run: rebuild below
+    t = build()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return t
+
+
 def parallel_block_tables(total: int, block: int, make_block):
     """Like parallel_block_table but returns the per-block tables unconcatenated
     — feed to ``ray.data.from_arrow(tables)`` so each block becomes its own

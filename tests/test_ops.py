@@ -195,8 +195,10 @@ def test_simhash_pairs_match_bruteforce(ray_session):
     from imagededupx_ray.stages.signatures import signature_stage, signatures_to_numpy
     from imagededupx_ray.queries import _documents_as_pages
 
+    from imagededupx_ray import queries as Q
+
     sf = "/root/testdata/sf0.001"
-    got = e.queries()["simhash_dup_pairs"](sf).to_pandas()
+    got = Q.simhash_dup_pairs(sf).to_pandas()
     sig = signature_stage(extract_stage(_documents_as_pages(sf)), CFG).to_pandas()
     import pyarrow as pa_
 

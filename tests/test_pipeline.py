@@ -297,3 +297,24 @@ def test_run_dedup_label_prop_path_equals_dsu(dedup_result, ray_session):
     lb = base.set_index("url")["cluster_id"].sort_index()
     ll = lp.set_index("url")["cluster_id"].sort_index()
     assert (lb == ll).all()
+
+
+def test_assign_join_path_equals_broadcast(dedup_result, ray_session):
+    """Above the assign-join pair threshold the final label assignment flips
+    from a driver root_map dict + broadcast to a star-edge Dataset hash-join
+    (stages/cluster.assign_clusters_via_canonical_join); forcing the
+    threshold to 0 must reproduce the identical cluster partition AND the
+    identical canonical flags."""
+    import ray.data as rd
+
+    from imagededupx_ray.pipelines.dedup import run_dedup
+
+    fixture_corpus, res = dedup_result
+    pages = rd.read_parquet(f"{fixture_corpus}/pages")
+    jn = run_dedup(pages, CFG, assign_join_threshold=0).clusters.to_pandas()
+    base = res.clusters.to_pandas()
+    b = base.set_index("url")[["cluster_id", "is_canonical"]].sort_index()
+    j = jn.set_index("url")[["cluster_id", "is_canonical"]].sort_index()
+    assert len(b) == len(j)
+    assert (b["cluster_id"] == j["cluster_id"]).all()
+    assert (b["is_canonical"] == j["is_canonical"]).all()
