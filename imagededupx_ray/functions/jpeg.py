@@ -260,6 +260,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS
             ns = payload[0]
+            # baseline NON-interleaved multi-scan (one SOS per component)
+            # would silently decode only the first scan: parsing stops at the
+            # first SOS, so a partial-component scan must raise for callers
+            # to fall back (same contract as progressive)
+            if frame is not None and ns < len(frame["comps"]):
+                raise ValueError(
+                    "jpeg: non-interleaved multi-scan not supported "
+                    f"(scan has {ns} of {len(frame['comps'])} components)"
+                )
             scan_comps = []
             for i in range(ns):
                 cs, tt = payload[1 + 2 * i : 3 + 2 * i]

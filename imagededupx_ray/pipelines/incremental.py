@@ -75,7 +75,13 @@ from imagededupx_ray.stages.extract import extract_stage
 from imagededupx_ray.stages.lsh import explode_bands, _emit_group, _pow2
 from imagededupx_ray.stages.signatures import signature_stage, signatures_to_numpy
 from imagededupx_ray.stages.verify import verify_pairs_broadcast_fused
-from imagededupx_ray.state.checkpoint import SnapshotStore, parquet_files
+from imagededupx_ray.state.checkpoint import (
+    SnapshotStore,
+    parquet_files,
+    part_sorted_index_paths,
+    write_part_sig_index,
+    write_part_sorted_index,
+)
 from imagededupx_ray.util import suggest_num_partitions
 
 _EMPTY = np.empty(0, dtype=np.int64)
@@ -327,6 +333,92 @@ def _decorate_part(p: int):
     return fn
 
 
+def _lookup_sorted_parts(dirs: list[str], key: str, val: str, wanted: np.ndarray):
+    """Point-lookup of ``wanted`` (sorted int64 keys) against the per-part
+    sorted index sidecars of a keyed stage: one Ray task per part memmaps
+    the key array, binary-searches every wanted key at once and gathers only
+    the hit rows — I/O bounded by hits + log-depth index pages, NOT the part
+    size (the delta-bounded replacement for the full-part parquet scan).
+    Returns a Dataset of (key, val) hit rows, or None when any part lacks
+    its sidecar (caller falls back to the scan)."""
+    paths = part_sorted_index_paths(dirs, key, val)
+    if paths is None:
+        return None
+    want_ref = ray.put(np.ascontiguousarray(wanted, dtype=np.int64))
+    schema = pa.schema([(key, pa.int64()), (val, pa.int64())])
+
+    @ray.remote
+    def lookup(kp: str, vp: str):
+        k = np.load(kp, mmap_mode="r")
+        want = ray.get(want_ref)
+        if len(k) == 0 or len(want) == 0:
+            return schema.empty_table()
+        lo = np.searchsorted(k, want, side="left")
+        hi = np.searchsorted(k, want, side="right")
+        cnt = hi - lo
+        nz = cnt > 0
+        if not nz.any():
+            return schema.empty_table()
+        lo2, cnt2 = lo[nz], cnt[nz]
+        total = int(cnt2.sum())
+        excl = np.concatenate(([0], np.cumsum(cnt2)[:-1]))
+        idx = np.repeat(lo2 - excl, cnt2) + np.arange(total)
+        v = np.load(vp, mmap_mode="r")
+        return pa.table(
+            {
+                key: pa.array(np.asarray(k[idx]), type=pa.int64()),
+                val: pa.array(np.asarray(v[idx]), type=pa.int64()),
+            }
+        )
+
+    tables = ray.get([lookup.remote(kp, vp) for kp, vp in paths])
+    return rd.from_arrow(tables)
+
+
+def _broadcast_sigs_from_parts(dirs: list[str], pair_ids: np.ndarray, nperm: int):
+    """Assemble the verify broadcast tuple (ids_sorted, order, mh u32, sim
+    u64) by memmapped binary-search GATHER of pair members' rows from the
+    per-part sorted signature indexes — I/O bounded by pair members, not the
+    signatures stage size (sig_ids are content keys: each id lives in
+    exactly one part, so per-part hits concatenate without dedup). Returns
+    an ObjectRef for verify_pairs_broadcast_fused(sig_ref=...), or None when
+    any part lacks its index (caller falls back to the stage scan)."""
+    paths = part_sorted_index_paths(dirs, "doc_id", "sigpl")
+    if paths is None:
+        return None
+    want_ref = ray.put(np.ascontiguousarray(pair_ids, dtype=np.int64))
+    width = nperm * 4 + 8
+
+    @ray.remote
+    def gather(ip: str, pp: str):
+        ids = np.load(ip, mmap_mode="r")
+        want = ray.get(want_ref)
+        if len(ids) == 0 or len(want) == 0:
+            return np.empty(0, np.int64), np.empty((0, width), np.uint8)
+        pos = np.searchsorted(ids, want)
+        pos[pos >= len(ids)] = 0
+        hit = ids[pos] == want
+        idx = pos[hit]
+        pl = np.load(pp, mmap_mode="r")
+        return np.asarray(ids[idx]), np.asarray(pl[idx])
+
+    @ray.remote
+    def assemble(*cells):
+        ids = np.concatenate([c[0] for c in cells]) if cells else np.empty(0, np.int64)
+        pl = (
+            np.concatenate([c[1] for c in cells])
+            if cells
+            else np.empty((0, width), np.uint8)
+        )
+        order = np.argsort(ids).astype(np.int64)
+        n = len(ids)
+        mh = np.ascontiguousarray(pl[:, : nperm * 4]).view(np.uint32).reshape(n, nperm)
+        sim = np.ascontiguousarray(pl[:, nperm * 4 :]).view(np.uint64).reshape(n)
+        return ids[order], order, mh, sim
+
+    return assemble.remote(*[gather.remote(ip, pp) for ip, pp in paths])
+
+
 # sub-phase walls of the most recent merge's verified_pairs stage — the
 # auditable "where did the merge floor go" record (surfaced by bench --merge)
 MERGE_PAIR_WALLS: dict = {}
@@ -339,6 +431,7 @@ def _emit_verify(
     p: int,
     exclude_pairs=None,
     involved: np.ndarray | None = None,
+    sig_part_dirs: list[str] | None = None,
 ):
     """(bucket, sig_id) rows → verified pairs: coarse-partition emission
     (window-capped, see stages/lsh.py) then the fused distinct+verify
@@ -396,7 +489,15 @@ def _emit_verify(
     ids_l = [u for u in ray.get([_uniq.remote(r) for r in raw.to_arrow_refs()]) if len(u)]
     pair_ids = np.unique(np.concatenate(ids_l)) if ids_l else _EMPTY
     MERGE_PAIR_WALLS["pair_ids_sec"] = round(time.monotonic() - t0, 3)
-    return verify_pairs_broadcast_fused(raw, sig_view_ds, cfg, pair_ids=pair_ids)
+    sig_ref = None
+    if sig_part_dirs is not None:
+        # pair-member-bounded gather from the sorted signature indexes
+        # instead of scanning every signature part (merge-floor component)
+        sig_ref = _broadcast_sigs_from_parts(sig_part_dirs, pair_ids, cfg.num_perms)
+    MERGE_PAIR_WALLS["sig_bcast_mode"] = "index" if sig_ref is not None else "scan"
+    return verify_pairs_broadcast_fused(
+        raw, sig_view_ds, cfg, pair_ids=pair_ids, sig_ref=sig_ref
+    )
 
 
 # ----------------------------------------------------------------- pipeline
@@ -661,7 +762,7 @@ def build_snapshot(
                 .select_columns(["bucket", "doc_id"])
                 .materialize()
             )
-            store.write_stage(
+            own_dir = store.write_stage(
                 snapshot,
                 "lsh_index",
                 _nonempty(lsh_delta, _LSH_SCHEMA),
@@ -671,13 +772,17 @@ def build_snapshot(
                 # physical rows (read-time extinct filter not folded in)
                 rows=parent_lsh_rows + lsh_delta.count(),
             )
+            # sorted point-lookup index over the OWN part (parents carry
+            # theirs from their own builds): future merges binary-search the
+            # memmapped bucket array instead of scanning every part
+            write_part_sorted_index(own_dir, "bucket", "doc_id")
         else:
             lsh_delta = store.read_stage_own(snapshot, "lsh_index").materialize()
 
         n_newly_extinct = len(extinct_all) - len(parent_extinct) + len(resurrected)
         n_signed = sig_delta.count()
         sig_delta = _compact_sigs_u32(sig_delta, nperm).materialize()
-        store.write_stage(
+        sig_own_dir = store.write_stage(
             snapshot,
             "signatures",
             _nonempty(sig_delta, _packed_schema(nperm)),
@@ -686,6 +791,8 @@ def build_snapshot(
             exclude={"sidecar": "extinct_sig_ids", "columns": ["doc_id"]},
             rows=parent_sig_rows + n_signed + len(resurrected) - n_newly_extinct,
         )
+        # sorted verify-payload index over the OWN part (see lsh_index above)
+        write_part_sig_index(sig_own_dir)
 
     _tm = time.monotonic()
     meta_all = store.read_stage(snapshot, "docs_meta").materialize()
@@ -717,9 +824,19 @@ def build_snapshot(
             if len(touched) == 0:
                 pairs_delta = rd.from_arrow(_PAIRS_SCHEMA.empty_table())
             else:
-                stored = _filter_ds(
-                    rd.read_parquet(parquet_files(parent_lsh_dirs)), _col_i64("bucket"), touched, True
+                # delta-bounded path: binary-search the per-part sorted
+                # bucket indexes (I/O = hits + index pages); parquet scan
+                # only when some parent part predates the sidecars
+                stored = _lookup_sorted_parts(
+                    parent_lsh_dirs, "bucket", "doc_id", touched
                 )
+                if stored is None:
+                    stored = _filter_ds(
+                        rd.read_parquet(parquet_files(parent_lsh_dirs)),
+                        _col_i64("bucket"),
+                        touched,
+                        True,
+                    )
                 if len(extinct_all):
                     stored = _filter_ds(stored, _col_i64("doc_id"), extinct_all, False)
                 # every stored row shares its bucket with >= 1 delta row, so
@@ -782,6 +899,7 @@ def build_snapshot(
                     p,
                     exclude_pairs=exclude_pairs,
                     involved=involved,
+                    sig_part_dirs=store.stage_dirs(snapshot, "signatures"),
                 ).materialize()
                 MERGE_PAIR_WALLS["verify_sec"] = round(
                     time.monotonic()

@@ -142,6 +142,11 @@ def fingerprint_dup_pairs(
         )
         if not len(a):
             return pd.DataFrame({"pair": np.empty(0, np.int64), "n": np.empty(0, np.int64)})
+        # the packed (a<<32)|b pair key silently aliases ids >= 2^32 — fail
+        # loudly instead of corrupting pairs (clip ids fit easily today; a
+        # >4e9-clip corpus must widen the key to two columns)
+        if int(b.max()) >= 1 << 32 or int(a.max()) >= 1 << 31:
+            raise ValueError("audio pair packing requires clip ids < 2^31/2^32")
         key = (a.astype(np.int64) << np.int64(32)) | b.astype(np.int64)
         uniq, counts = np.unique(key, return_counts=True)
         return pd.DataFrame({"pair": uniq, "n": counts})

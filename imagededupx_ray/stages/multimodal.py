@@ -83,20 +83,35 @@ class ImageDecodeStage:
 
         from imagededupx_ray.functions.gif import GIF_SIGNATURES, decode_gif
 
+        # malformed/truncated payloads raise struct.error / IndexError from
+        # the stdlib codecs, not just ValueError — all fall through to the
+        # PIL/fake path instead of killing the actor batch
+        import struct as _struct
+
+        _DECODE_ERRORS = (ValueError, _struct.error, IndexError, KeyError, EOFError)
         arr = None
         if payload[:8] == PNG_SIGNATURE:
-            arr = decode_png(payload)
+            try:
+                arr = decode_png(payload)
+            except _DECODE_ERRORS:
+                arr = None
         elif payload[:3] == JPEG_SIGNATURE:
             try:
                 arr = decode_jpeg(payload)
-            except ValueError:
-                arr = None  # progressive/arithmetic: fall through to PIL/fake
+            except _DECODE_ERRORS:
+                arr = None  # progressive/arithmetic/corrupt: PIL/fake path
         elif payload[:6] in GIF_SIGNATURES:
-            arr = decode_gif(payload)
+            try:
+                arr = decode_gif(payload)
+            except _DECODE_ERRORS:
+                arr = None
         elif payload[:2] == b"BM":
             from imagededupx_ray.functions.gif import decode_bmp
 
-            arr = decode_bmp(payload)
+            try:
+                arr = decode_bmp(payload)
+            except _DECODE_ERRORS:
+                arr = None
         if arr is not None:
             from imagededupx_ray.functions.imagehash import to_grayscale
 
@@ -227,26 +242,41 @@ class PerceptualHashStage:
         self.allow_fake = allow_fake
 
     def _to_array(self, payload: bytes):
+        import struct as _struct
+
         from imagededupx_ray.functions.jpeg import JPEG_SIGNATURE, decode_jpeg
         from imagededupx_ray.functions.png import PNG_SIGNATURE, decode_png
 
+        # malformed/truncated payloads raise struct.error / IndexError from
+        # the stdlib codecs, not just ValueError — all fall through to the
+        # PIL/fake path instead of killing the actor batch
+        _DECODE_ERRORS = (ValueError, _struct.error, IndexError, KeyError, EOFError)
         if payload[:4] == RAW_MAGIC:
             return decode_raw_image(payload)
         if payload[:8] == PNG_SIGNATURE:
-            return decode_png(payload)
+            try:
+                return decode_png(payload)
+            except _DECODE_ERRORS:
+                pass
         if payload[:3] == JPEG_SIGNATURE:
             try:
                 return decode_jpeg(payload)
-            except ValueError:
-                pass  # progressive/arithmetic: fall through to PIL/fake
+            except _DECODE_ERRORS:
+                pass  # progressive/arithmetic/corrupt: fall through to PIL/fake
         from imagededupx_ray.functions.gif import GIF_SIGNATURES, decode_gif
 
         if payload[:6] in GIF_SIGNATURES:
-            return decode_gif(payload)
+            try:
+                return decode_gif(payload)
+            except _DECODE_ERRORS:
+                pass
         if payload[:2] == b"BM":
             from imagededupx_ray.functions.gif import decode_bmp
 
-            return decode_bmp(payload)
+            try:
+                return decode_bmp(payload)
+            except _DECODE_ERRORS:
+                pass
         if self._pil is not None:
             import io
 

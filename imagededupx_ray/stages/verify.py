@@ -246,6 +246,7 @@ def verify_pairs_broadcast_fused(
     cfg: DedupConfig = DEFAULT_CONFIG,
     pair_ids: np.ndarray | None = None,
     num_partitions: int | None = None,
+    sig_ref=None,
 ):
     """RAW (possibly duplicated) candidate pairs → verified pairs in ONE
     exchange: the cross-band pair-distinct and the signature-compare both run
@@ -266,7 +267,10 @@ def verify_pairs_broadcast_fused(
     if num_partitions is None:
         num_partitions = suggest_num_partitions(per_cpu=2)
     p = _pow2(num_partitions)
-    sig_ref = broadcast_signatures(signatures_ds, cfg, only_ids=pair_ids)
+    if sig_ref is None:
+        # callers with a pre-assembled broadcast tuple (e.g. the incremental
+        # merge's sorted-sidecar gather) pass sig_ref and skip this scan
+        sig_ref = broadcast_signatures(signatures_ds, cfg, only_ids=pair_ids)
 
     blocks = raw_pairs_ds.to_arrow_refs()
     if len(blocks) <= _PAIR_MANUAL_MAX_BLOCKS:

@@ -144,6 +144,10 @@ def video_dup_pairs(
     def uid(t: pa.Table) -> pa.Table:
         v = t["video_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         f = t["frame_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # the packed (video<<16)|frame uid silently aliases videos >= 2^47 or
+        # frame indexes >= 2^16 — fail loudly instead of corrupting pairs
+        if len(v) and (int(v.max()) >= 1 << 47 or int(f.max()) >= 1 << 16):
+            raise ValueError("video frame uid requires video_id < 2^47 and frame_idx < 2^16")
         return pa.table(
             {
                 "frame_uid": pa.array((v << np.int64(16)) | f, type=pa.int64()),

@@ -365,6 +365,90 @@ class SnapshotStore:
         self._update_manifest(snapshot, parent=parent)
 
 
+def write_part_sorted_index(part_dir: str, key: str, val: str) -> None:
+    """Sorted binary point-lookup index for one part dir of a keyed stage:
+    reads the part's parquet back, sorts by ``key`` and writes two raw
+    ``.npy`` arrays (``_idx_<key>.npy`` + ``_idx_<val>.npy``). Parts are
+    append-only, so an index is written once when its part is created and
+    never rewritten; a merge's touched-key lookups then binary-search the
+    MEMMAPPED key array and fault in only the touched pages — delta-bounded
+    I/O instead of a full-part scan (the LSM point-lookup pattern). Written
+    atomically; absence of either file means "fall back to the scan"
+    (e.g. parts created before this index existed, or after compact_stage)."""
+    import pyarrow.parquet as pq
+
+    files = parquet_files([part_dir])
+    t = (
+        pq.read_table(files, columns=[key, val])
+        if files
+        else None
+    )
+    if t is None:
+        return
+    k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t[val].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(k, kind="stable")
+    for name, arr in ((key, k[order]), (val, v[order])):
+        path = os.path.join(part_dir, f"_idx_{name}.npy")
+        tmp = f"{path}.tmp{os.getpid()}.npy"  # np.save appends .npy otherwise
+        np.save(tmp, arr)
+        os.replace(tmp, path)
+
+
+def write_part_sig_index(part_dir: str) -> None:
+    """Sorted point-lookup index for one SIGNATURES part: ``_idx_doc_id.npy``
+    (sorted sig ids) + ``_idx_sigpl.npy`` (uint8 matrix of the verify payload
+    — packed u32 minhash bytes followed by the u64 simhash — in the same
+    sorted order). A merge's verify broadcast then gathers only pair
+    members' rows by memmapped binary search instead of scanning every
+    signature part (the dominant stored column). Same atomicity/fallback
+    contract as write_part_sorted_index."""
+    import pyarrow.parquet as pq
+
+    files = parquet_files([part_dir])
+    if not files:
+        return
+    t = pq.read_table(files, columns=["doc_id", "minhash", "simhash"])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ids)
+    mh_width = t.schema.field("minhash").type.byte_width
+    if n:
+        arr = t["minhash"].combine_chunks()
+        mh = np.frombuffer(
+            arr.buffers()[-1],
+            dtype=np.uint8,
+            count=n * mh_width,
+            offset=arr.offset * mh_width,
+        ).reshape(n, mh_width)
+    else:
+        mh = np.empty((0, mh_width), np.uint8)
+    sim = t["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
+    payload = np.concatenate(
+        [mh, sim.view(np.uint8).reshape(n, 8)], axis=1
+    ) if n else np.empty((0, mh_width + 8), np.uint8)
+    order = np.argsort(ids, kind="stable")
+    for name, arr in (("doc_id", ids[order]), ("sigpl", payload[order])):
+        path = os.path.join(part_dir, f"_idx_{name}.npy")
+        tmp = f"{path}.tmp{os.getpid()}.npy"
+        np.save(tmp, arr)
+        os.replace(tmp, path)
+
+
+def part_sorted_index_paths(
+    dirs: list[str], key: str, val: str
+) -> list[tuple[str, str]] | None:
+    """(key_path, val_path) per part dir, or None if ANY part lacks its
+    sorted index (callers fall back to the parquet scan)."""
+    out = []
+    for d in dirs:
+        kp = os.path.join(d, f"_idx_{key}.npy")
+        vp = os.path.join(d, f"_idx_{val}.npy")
+        if not (os.path.exists(kp) and os.path.exists(vp)):
+            return None
+        out.append((kp, vp))
+    return out
+
+
 def parquet_files(dirs: list[str]) -> list[str]:
     """Expand part directories into their parquet file paths — pyarrow's
     multi-path dataset factory accepts files only, not directories."""

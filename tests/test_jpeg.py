@@ -170,3 +170,35 @@ def test_decode_stage_reads_jpeg_dimensions(ray_session):
         from imagededupx_ray.functions.imagehash import to_grayscale
 
         assert abs(row.mean_luma - float(to_grayscale(arr).mean())) < 1e-3
+
+
+def test_rejects_noninterleaved_multiscan():
+    """A baseline multi-scan file (one SOS per component) must raise at the
+    first partial-component SOS instead of silently decoding one scan —
+    callers then fall back exactly like they do for progressive."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from imagededupx_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.random.default_rng(7).integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, quality=90))
+    # find the SOS marker and rewrite its payload to claim a 1-component scan
+    pos = 2
+    while pos + 4 <= len(data):
+        marker = data[pos + 1]
+        (length,) = struct.unpack(">H", bytes(data[pos + 2 : pos + 4]))
+        if marker == 0xDA:
+            payload = data[pos + 4 : pos + 2 + length]
+            ns = payload[0]
+            assert ns == 3  # our encoder writes one interleaved scan
+            new_payload = bytes([1]) + bytes(payload[1:3]) + bytes(payload[-3:])
+            data[pos + 2 : pos + 2 + length] = (
+                struct.pack(">H", len(new_payload) + 2) + new_payload
+            )
+            break
+        pos += 2 + length
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(bytes(data))
