@@ -63,28 +63,8 @@ def _coarse_part_col(key: np.ndarray, p: int) -> pa.Array:
     return pa.array(part, type=pa.int32())
 
 
-def _seg_searchsorted_right(
-    d_key: np.ndarray, d_val: np.ndarray, q_key: np.ndarray, q_val: np.ndarray
-) -> np.ndarray:
-    """Vectorized SEGMENTED ``searchsorted(..., side='right')``: insertion
-    positions of each (q_key, q_val) query into data rows sorted
-    lexicographically by (d_key, d_val) — i.e. a per-key-segment searchsorted
-    answered for ALL keys in one pass, no per-key Python.
-
-    Merge-rank trick: lexsort data and queries together with queries AFTER
-    equal data rows (stable sort, query flag last tie-break); a query's
-    combined position minus its rank among queries IS its insertion point.
-    Requires queries sorted by (q_key, q_val) — callers take them from the
-    already-sorted data."""
-    nd, nq = len(d_key), len(q_key)
-    if nq == 0:
-        return np.empty(0, dtype=np.int64)
-    keys = np.concatenate([d_key, q_key])
-    vals = np.concatenate([d_val, q_val])
-    flag = np.concatenate([np.zeros(nd, dtype=np.int8), np.ones(nq, dtype=np.int8)])
-    order = np.lexsort((flag, vals, keys))
-    combined_pos = np.flatnonzero(flag[order] == 1)
-    return combined_pos - np.arange(nq, dtype=np.int64)
+# segmented searchsorted lives in util (shared with stages/setjoin.py)
+from imagededupx_ray.util import seg_searchsorted_right as _seg_searchsorted_right  # noqa: E402
 
 
 # --------------------------------------------------------------------------
@@ -152,6 +132,15 @@ def docs_token_stats(sf_dir: str):
 
 
 _BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+# Corpus size where the subquadratic prefix-filter set-similarity join
+# (stages/setjoin.py) overtakes the exhaustive tiled miner: the tiled path
+# has 4 fixed shuffles but O(n^2) compute; the prefix join has ~7 exchanges
+# of candidate-bounded volume. Measured crossover on this box (t=0.8,
+# q=16 count filter): 500 docs tiled 4.3 s vs prefix ~9 s; 5,000 docs
+# tiled 10.9 s vs prefix 12.2 s with the prefix path flat-lining while
+# tiled grows O(n^2) — see BASELINE.md "set-similarity join" note.
+_SETJOIN_AUTO_DOCS = 5_000
 
 
 def docs_bpe_token_counts(sf_dir: str):
@@ -333,14 +322,29 @@ def token_jaccard_pairs(sf_dir: str, threshold: float = 0.4, block: int = 512):
 
 
 def shingle_jaccard_pairs(
-    sf_dir: str, threshold: float = 0.8, k: int = 5, block: int = 512
+    sf_dir: str,
+    threshold: float = 0.8,
+    k: int = 5,
+    block: int = 512,
+    engine: str = "auto",
 ):
     """All doc pairs with character k-gram (shingle) set jaccard >= threshold
     — the exact n-gram-jaccard dedup tier whose 10^12-doc approximation is
     the MinHash pipeline (same 5-gram shingles, stages/signatures.py).
     Shingles are taken over lower(trim(text)) to match the SQL twin exactly;
     the per-doc python slice loop is oracle-scale-only by design (the scale
-    path shingles inside the fused C kernel, functions/native.py)."""
+    path shingles inside the fused C kernel, functions/native.py).
+
+    Two value-identical engines since round 4 (equality-tested at thresholds
+    0.3-0.95): ``tiled`` is the exhaustive two-sided tiled miner — O(n^2)
+    compute but only four fixed shuffles, fastest at oracle scale; ``prefix``
+    is the subquadratic prefix-filtering set-similarity join
+    (stages/setjoin.py — AllPairs/PPJoin candidate generation + size-ratio
+    filter + exact verify) that prunes candidates by the rarest
+    ~``(1-t)|d|`` shingles per doc and is the 100-TB scale path for
+    selective thresholds (t >= ~0.6). ``auto`` switches on corpus size at
+    _SETJOIN_AUTO_DOCS docs."""
+    from imagededupx_ray.stages.setjoin import set_similarity_join
 
     def doc_shingle_sets(batch: pa.Table) -> pa.Table:
         s = pc.utf8_lower(pc.utf8_trim_whitespace(batch["text"]))
@@ -360,10 +364,27 @@ def shingle_jaccard_pairs(
         th = H.token_hash_flat(pa.array(shingles, type=pa.string()))
         return _distinct_sets_table(d, th)
 
-    sets_ds = _read(sf_dir, "documents").map_batches(
-        doc_shingle_sets, batch_format="pyarrow"
+    docs = _read(sf_dir, "documents")
+    if engine == "auto":
+        engine = "prefix" if docs.count() >= _SETJOIN_AUTO_DOCS else "tiled"
+    sets_ds = docs.map_batches(doc_shingle_sets, batch_format="pyarrow")
+    if engine == "tiled":
+        return _tiled_set_jaccard(sets_ds, threshold, block, "jaccard")
+
+    def round6(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "jaccard": _round_col(
+                    t["jaccard"].to_numpy(zero_copy_only=False), 6
+                ),
+            }
+        )
+
+    return set_similarity_join(sets_ds, threshold).map_batches(
+        round6, batch_format="pyarrow"
     )
-    return _tiled_set_jaccard(sets_ds, threshold, block, "jaccard")
 
 
 def tfidf_cosine_topk(sf_dir: str, n_queries: int = 10, k: int = 10):

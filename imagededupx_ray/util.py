@@ -95,3 +95,27 @@ def parallel_block_tables(total: int, block: int, make_block):
         except Exception:
             pass
     return [make_block(s, e) for s, e in ranges]
+
+
+def seg_searchsorted_right(d_key, d_val, q_key, q_val):
+    """Vectorized SEGMENTED ``searchsorted(..., side='right')``: insertion
+    positions of each (q_key, q_val) query into data rows sorted
+    lexicographically by (d_key, d_val) — a per-key-segment searchsorted
+    answered for ALL keys in one pass, no per-key Python.
+
+    Merge-rank trick: lexsort data and queries together with queries AFTER
+    equal data rows (stable sort, query flag last tie-break); a query's
+    combined position minus its rank among queries IS its insertion point.
+    Requires queries sorted by (q_key, q_val) — callers take them from the
+    already-sorted data."""
+    import numpy as np
+
+    nd, nq = len(d_key), len(q_key)
+    if nq == 0:
+        return np.empty(0, dtype=np.int64)
+    keys = np.concatenate([d_key, q_key])
+    vals = np.concatenate([d_val, q_val])
+    flag = np.concatenate([np.zeros(nd, dtype=np.int8), np.ones(nq, dtype=np.int8)])
+    order = np.lexsort((flag, vals, keys))
+    combined_pos = np.flatnonzero(flag[order] == 1)
+    return combined_pos - np.arange(nq, dtype=np.int64)
