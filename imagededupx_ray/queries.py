@@ -67,20 +67,22 @@ def _coarse_part_col(key: np.ndarray, p: int) -> pa.Array:
 from imagededupx_ray.util import seg_searchsorted_right as _seg_searchsorted_right  # noqa: E402
 
 
+# shuffle-free small-cardinality groupby (shared with the stages)
+from imagededupx_ray.util import partial_groupby as _partial_groupby  # noqa: E402
+
+
 # --------------------------------------------------------------------------
 # documents family (text analysis / dedup-adjacent, SURVEY.md §2.5 G5, §2.2)
 # --------------------------------------------------------------------------
 
 def docs_lang_counts(sf_dir: str):
-    """Per (lang, source): doc count + mean n_chars (grouped aggregate;
+    """Per (lang, source): doc count + mean n_chars (shuffle-free
+    partial-groupby — the (lang, source) domain is tiny and fixed;
     reference analogue: corpus stats G7, improved_faiss_detector.py:399-405)."""
-    from ray.data.aggregate import Count, Mean
-
-    ds = (
-        _read(sf_dir, "documents")
-        .select_columns(["lang", "source", "n_chars"])
-        .groupby(["lang", "source"])
-        .aggregate(Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars"))
+    ds = _partial_groupby(
+        _read(sf_dir, "documents").select_columns(["lang", "source", "n_chars"]),
+        ["lang", "source"],
+        [("count", "", "n_docs"), ("mean", "n_chars", "avg_chars")],
     )
     return ds.map_batches(
         lambda t: t.set_column(
@@ -303,10 +305,18 @@ def _tiled_set_jaccard(
     )
 
 
-def token_jaccard_pairs(sf_dir: str, threshold: float = 0.4, block: int = 512):
+def token_jaccard_pairs(
+    sf_dir: str, threshold: float = 0.4, block: int = 512, engine: str = "auto"
+):
     """All doc pairs with unigram token-set jaccard >= threshold — the n-gram
     jaccard dedup operator at n=1 (G4 jaccard_coef, utils/distance.py:129-134).
-    Exact via the two-sided tiled miner (``_tiled_set_jaccard``)."""
+    Two value-identical engines (see shingle_jaccard_pairs): the exhaustive
+    ``tiled`` miner and the subquadratic ``prefix`` set-similarity join
+    (stages/setjoin.py). At the default t=0.4 the prefix is ~60 % of each
+    set, so pruning is weaker than in the t=0.8 shingle tier — the count
+    filter still removes the near-miss mass and keeps the join
+    candidate-bounded; ``auto`` switches engines at _SETJOIN_AUTO_DOCS."""
+    from imagededupx_ray.stages.setjoin import set_similarity_join
 
     def doc_token_sets(batch: pa.Table) -> pa.Table:
         flat, offsets = tokenize_batch(batch["text"])
@@ -315,10 +325,27 @@ def token_jaccard_pairs(sf_dir: str, threshold: float = 0.4, block: int = 512):
         d = np.repeat(doc_ids, np.diff(offsets))
         return _distinct_sets_table(d, tok_h)
 
-    sets_ds = _read(sf_dir, "documents").map_batches(
-        doc_token_sets, batch_format="pyarrow"
+    docs = _read(sf_dir, "documents")
+    if engine == "auto":
+        engine = "prefix" if docs.count() >= _SETJOIN_AUTO_DOCS else "tiled"
+    sets_ds = docs.map_batches(doc_token_sets, batch_format="pyarrow")
+    if engine == "tiled":
+        return _tiled_set_jaccard(sets_ds, threshold, block, "jaccard")
+
+    def round6(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "jaccard": _round_col(
+                    t["jaccard"].to_numpy(zero_copy_only=False), 6
+                ),
+            }
+        )
+
+    return set_similarity_join(sets_ds, threshold).map_batches(
+        round6, batch_format="pyarrow"
     )
-    return _tiled_set_jaccard(sets_ds, threshold, block, "jaccard")
 
 
 def shingle_jaccard_pairs(
@@ -445,9 +472,10 @@ def tfidf_cosine_topk(sf_dir: str, n_queries: int = 10, k: int = 10):
 # --------------------------------------------------------------------------
 
 def q1_pricing_summary(sf_dir: str):
-    """TPC-H Q1 shape over lineitem: partial aggregation inside map_batches
-    happens natively in Ray's sort-shuffle aggregate (G6-style two-pass)."""
-    from ray.data.aggregate import Count, Mean, Sum
+    """TPC-H Q1 shape over lineitem: 6 fixed (flag, status) cells, so the
+    aggregate runs through the shuffle-free partial-groupby (pyarrow
+    group_by per block + fanout combine) instead of Ray's sort-shuffle —
+    the map-side combiner discipline (G6-style two-pass)."""
 
     def disc_price(batch: pa.Table) -> pa.Table:
         ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
@@ -456,21 +484,21 @@ def q1_pricing_summary(sf_dir: str):
             "disc_price", pa.array(ep * (1.0 - disc), type=pa.float64())
         )
 
-    ds = (
+    ds = _partial_groupby(
         _read(sf_dir, "lineitem")
         .select_columns(
             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]
         )
-        .map_batches(disc_price, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="count_order"),
-        )
+        .map_batches(disc_price, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum", "l_quantity", "sum_qty"),
+            ("sum", "l_extendedprice", "sum_base_price"),
+            ("sum", "disc_price", "sum_disc_price"),
+            ("mean", "l_quantity", "avg_qty"),
+            ("mean", "l_discount", "avg_disc"),
+            ("count", "", "count_order"),
+        ],
     )
 
     def roundcols(t: pa.Table) -> pa.Table:
@@ -537,8 +565,9 @@ def orders_per_customer(sf_dir: str):
 # --------------------------------------------------------------------------
 
 def events_hourly(sf_dir: str):
-    """Per (event_type, hour): counts + value sum; hour as epoch seconds."""
-    from ray.data.aggregate import Count, Sum
+    """Per (event_type, hour): counts + value sum; hour as epoch seconds.
+    The (type, hour) domain is bounded by the crawl window, so this runs
+    shuffle-free through the partial-groupby combiner."""
 
     def bucket(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)  # us
@@ -551,11 +580,10 @@ def events_hourly(sf_dir: str):
             }
         )
 
-    ds = (
-        _read(sf_dir, "events")
-        .map_batches(bucket, batch_format="pyarrow")
-        .groupby(["event_type", "hour_epoch"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    ds = _partial_groupby(
+        _read(sf_dir, "events").map_batches(bucket, batch_format="pyarrow"),
+        ["event_type", "hour_epoch"],
+        [("count", "", "n_events"), ("sum", "value", "sum_value")],
     )
     return ds.map_batches(
         lambda t: t.set_column(

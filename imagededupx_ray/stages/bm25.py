@@ -31,9 +31,78 @@ B = 0.75
 EPSILON = 0.25
 
 
-def _doc_freq_and_sizes(docs_ds):
-    """(term doc-frequency Dataset(term:int64, df:int64), n_docs, avgdl)."""
-    from ray.data.aggregate import Count, Mean
+def _doc_freq_and_sizes(docs_ds, terms: np.ndarray | None = None):
+    """(term doc-frequency Dataset(term:int64, df:int64), n_docs, avgdl).
+
+    With ``terms`` (sorted unique int64 hashes — the QUERY vocabulary), the
+    explode keeps only those terms BEFORE the df count, so the exchange
+    carries |query terms| x |matching docs| rows instead of the corpus's
+    full distinct (term, doc) postings, and the count runs through the
+    shuffle-free partial-groupby (identical df values for the kept terms —
+    BM25 needs no other corpus statistics, unlike TF-IDF's full-vector doc
+    norms). ``terms=None`` keeps the full-index behavior."""
+    from imagededupx_ray.util import partial_groupby
+
+    terms_ref = ray.put(np.sort(np.unique(terms)).astype(np.int64)) if (
+        terms is not None and len(terms)
+    ) else None
+
+    if terms_ref is not None:
+        # ONE tokenize pass computes both the query-term df partials and the
+        # doc-count/length partials: per batch, df of each query term within
+        # the batch (distinct docs containing it) + one summary row keyed
+        # term = i (i >= n_terms) carrying (n_docs, sum_dl). Fixed-width
+        # per-batch output -> shuffle-free fanout combine, no postings
+        # exchange at all.
+        def stats_partial(batch: pa.Table) -> pa.Table:
+            want = ray.get(terms_ref)
+            flat, offsets = tokenize_batch(batch["text"])
+            th = H.token_hash_flat(flat).astype(np.int64)
+            n_tok = np.diff(offsets)
+            doc_idx = np.repeat(np.arange(batch.num_rows), n_tok)
+            pos = np.searchsorted(want, th)
+            pos[pos >= len(want)] = 0
+            hit = want[pos] == th
+            # distinct (term, doc) within batch
+            key = pos[hit] * np.int64(batch.num_rows) + doc_idx[hit]
+            dfc = np.zeros(len(want), dtype=np.int64)
+            if len(key):
+                uk = np.unique(key)
+                np.add.at(dfc, (uk // batch.num_rows).astype(np.int64), 1)
+            idx = np.arange(len(want) + 1, dtype=np.int64)
+            vals = np.concatenate([dfc, [int(n_tok.sum())]])
+            ndoc = np.concatenate(
+                [np.zeros(len(want), dtype=np.int64), [batch.num_rows]]
+            )
+            return pa.table(
+                {
+                    "i": pa.array(idx, type=pa.int64()),
+                    "v": pa.array(vals, type=pa.int64()),
+                    "nd": pa.array(ndoc, type=pa.int64()),
+                }
+            )
+
+        agg = partial_groupby(
+            docs_ds.map_batches(stats_partial, batch_format="pyarrow"),
+            ["i"],
+            [("sum", "v", "v"), ("sum", "nd", "nd")],
+        ).to_pandas().sort_values("i").reset_index(drop=True)
+        want = ray.get(terms_ref)
+        n_docs = int(agg["nd"].iloc[-1])
+        sum_dl = int(agg["v"].iloc[-1])
+        avgdl = sum_dl / max(n_docs, 1)
+        import ray.data as rd
+
+        df_tbl = pa.table(
+            {
+                "term": pa.array(want, type=pa.int64()),
+                "df": pa.array(
+                    agg["v"].to_numpy()[: len(want)].astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+        return rd.from_arrow(df_tbl), n_docs, float(avgdl)
 
     def explode(batch: pa.Table) -> pa.Table:
         flat, offsets = tokenize_batch(batch["text"])
@@ -59,13 +128,16 @@ def _doc_freq_and_sizes(docs_ds):
             }
         )
 
+    from ray.data.aggregate import Count
+
     tf = docs_ds.map_batches(explode, batch_format="pyarrow")
     df_ds = tf.groupby("term").aggregate(Count(alias_name="df"))
-    len_stats = (
-        docs_ds.map_batches(lens, batch_format="pyarrow")
-        .aggregate(Count(alias_name="n"), Mean("dl", alias_name="avgdl"))
-    )
-    return df_ds, int(len_stats["n"]), float(len_stats["avgdl"])
+    len_tbl = partial_groupby(
+        docs_ds.map_batches(lens, batch_format="pyarrow"),
+        [],
+        [("count", "", "n"), ("mean", "dl", "avgdl")],
+    ).to_pandas()
+    return df_ds, int(len_tbl["n"].iloc[0]), float(len_tbl["avgdl"].iloc[0])
 
 
 def _idf_for_terms(df_ds, term_hashes: np.ndarray, n_docs: int) -> dict[int, float]:
@@ -100,8 +172,6 @@ def bm25_topk(
     """Top-k BM25 per query. Returns (query_id, doc_id, score, rank); ties
     broken by doc_id ascending — deterministic where the reference depends on
     argsort stability (rank_bm25.py:62-68)."""
-    df_ds, n_docs, avgdl = _doc_freq_and_sizes(docs_ds)
-
     q_tokens = []
     for q in queries:
         flat, _ = tokenize_batch(pa.array([q], type=pa.string()))
@@ -109,6 +179,7 @@ def bm25_topk(
     all_terms = (
         np.unique(np.concatenate(q_tokens)) if q_tokens else np.empty(0, np.int64)
     )
+    df_ds, n_docs, avgdl = _doc_freq_and_sizes(docs_ds, terms=all_terms)
     idf = _idf_for_terms(df_ds, all_terms, n_docs)
 
     # per-query aligned (sorted term hashes, idf weights)

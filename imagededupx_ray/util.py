@@ -119,3 +119,121 @@ def seg_searchsorted_right(d_key, d_val, q_key, q_val):
     order = np.lexsort((flag, vals, keys))
     combined_pos = np.flatnonzero(flag[order] == 1)
     return combined_pos - np.arange(nq, dtype=np.int64)
+
+
+def partial_groupby(ds, keys, specs):
+    """Small-cardinality distributed groupby WITHOUT the all-to-all sort
+    shuffle: pyarrow ``Table.group_by`` partials inside ``map_batches``
+    (fuses with the upstream read), fanout-bounded combine levels, one local
+    finalize of <= n_keys rows. Returns a Dataset.
+
+    Use ONLY when the number of distinct key tuples is small and bounded
+    (q1's 6 flag/status cells, 24 hours, languages, brands...) — driver
+    traffic is n_keys rows regardless of corpus size, and the empty reduce
+    partitions Ray's sort-aggregate emits for tiny key domains (schema-less
+    RefBundle warnings) never exist. ``keys = []`` gives a global
+    (keyless) aggregate. ``specs`` rows are (op, col, alias) with op in
+    sum | count | mean | min | max; count ignores ``col`` and counts ALL
+    rows (SQL COUNT(*)); mean divides by the per-col non-null count
+    (Ray/SQL AVG semantics)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    fanout = 64
+    keyless = not keys
+    gkeys = ["__g"] if keyless else list(keys)
+    # partial columns needed: op -> pyarrow group_by aggregations
+    aggs = []
+    renames = {}
+    for op, col, _alias in specs:
+        if op == "sum" or op == "mean":
+            aggs.append((col, "sum"))
+            renames[f"{col}_sum"] = f"__sum_{col}"
+        if op == "mean":
+            aggs.append((col, "count"))
+            renames[f"{col}_count"] = f"__nct_{col}"
+        if op == "count":
+            aggs.append(([], "count_all"))
+            renames["count_all"] = "__cnt"
+        if op in ("min", "max"):
+            aggs.append((col, op))
+            renames[f"{col}_{op}"] = f"__{op}_{col}"
+    # dedupe aggregations (same partial may serve several specs)
+    seen = set()
+    uniq_aggs = []
+    for a in aggs:
+        tag = f"{a[0]}_{a[1]}" if isinstance(a[0], str) else a[1]
+        if tag not in seen:
+            seen.add(tag)
+            uniq_aggs.append(a)
+
+    def partial(batch: "pa.Table") -> "pa.Table":
+        if keyless:
+            batch = batch.append_column(
+                "__g", pa.array(np.zeros(batch.num_rows, np.int32), type=pa.int32())
+            )
+        g = batch.group_by(gkeys, use_threads=False).aggregate(uniq_aggs)
+        return g.rename_columns([renames.get(c, c) for c in g.column_names])
+
+    def combine(batch: "pa.Table") -> "pa.Table":
+        if batch.num_rows == 0:
+            return batch
+        caggs = []
+        for c in batch.column_names:
+            if c.startswith(("__sum_", "__nct_")) or c == "__cnt":
+                caggs.append((c, "sum"))
+            elif c.startswith("__min_"):
+                caggs.append((c, "min"))
+            elif c.startswith("__max_"):
+                caggs.append((c, "max"))
+        g = batch.group_by(gkeys, use_threads=False).aggregate(caggs)
+        return g.rename_columns(
+            [c[: -len("_sum")] if c.endswith("_sum") and c.startswith("__") else
+             (c[: -len("_min")] if c.endswith("_min") and c.startswith("__min_")
+              else (c[: -len("_max")] if c.endswith("_max") and
+                    c.startswith("__max_") else c))
+             for c in g.column_names]
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    nb = parts.num_blocks()
+    while nb > 1:
+        parts = (
+            parts.repartition(max(1, -(-nb // fanout)))
+            .map_batches(combine, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+        new_nb = parts.num_blocks()
+        if new_nb >= nb:
+            break
+        nb = new_nb
+    tabs = [t for t in (ray.get(r) for r in parts.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        cols = {}
+        sch = ds.schema()
+        tmap = dict(zip(sch.names, sch.types))
+        for k in keys:
+            cols[k] = pa.array([], type=tmap[k])
+        for op, col, alias in specs:
+            if op == "count":
+                cols[alias] = pa.array([], type=pa.int64())
+            elif op == "mean":
+                cols[alias] = pa.array([], type=pa.float64())
+            else:
+                cols[alias] = pa.array([], type=tmap[col])
+        return rd.from_arrow(pa.table(cols))
+    merged = combine(pa.concat_tables(tabs).combine_chunks())
+    out = {k: merged[k] for k in keys}
+    for op, col, alias in specs:
+        if op == "sum":
+            out[alias] = merged[f"__sum_{col}"]
+        elif op == "count":
+            out[alias] = merged["__cnt"].cast(pa.int64())
+        elif op == "mean":
+            s = merged[f"__sum_{col}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            c = merged[f"__nct_{col}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            out[alias] = pa.array(s / np.maximum(c, 1.0), type=pa.float64())
+        else:
+            out[alias] = merged[f"__{op}_{col}"]
+    return rd.from_arrow(pa.table(out))
