@@ -98,6 +98,13 @@ def _warm_workers() -> None:
         import pandas  # noqa: F401  (map_groups stages deserialize pandas blocks)
         import imagededupx_ray.stages.lsh  # noqa: F401  (pulls numpy/pyarrow too)
         import imagededupx_ray.stages.verify  # noqa: F401
+        # media actor pools (PerceptualHashStage / audio / video) import the
+        # pure-python codec family on first actor init — pay it here so the
+        # timed media queries measure decode + mining, not module imports
+        import imagededupx_ray.stages.multimodal  # noqa: F401
+        import imagededupx_ray.stages.audio  # noqa: F401
+        import imagededupx_ray.stages.video  # noqa: F401
+        import imagededupx_ray.functions.imagehash  # noqa: F401
         from imagededupx_ray.functions import native
 
         native.available()  # compile/load the C kernels before the timed window

@@ -1325,7 +1325,7 @@ def image_decode_features(sf_dir: str):
     deterministic fake (no torch in the container)."""
     from imagededupx_ray.stages.multimodal import decode_images
 
-    return decode_images(_mixed_codec_dataset(200), concurrency=(2, 8)).map_batches(
+    return decode_images(_mixed_codec_dataset(200), concurrency=(2, 8), batch_size=8).map_batches(
         lambda t: t.drop_columns(["feature"]), batch_format="pyarrow"
     )
 
@@ -1341,14 +1341,7 @@ def image_perceptual_hashes(sf_dir: str):
     codec correctness in tests/test_png.py and tests/test_jpeg.py."""
     from imagededupx_ray.stages.multimodal import perceptual_hashes
 
-    return perceptual_hashes(_mixed_codec_dataset(200), concurrency=(2, 8))
-
-
-def _split_blocks(tbl, n_blocks: int = 16):
-    """Split one Arrow table into n_blocks Dataset blocks (actor-pool
-    stages otherwise see a single input block and serialize)."""
-    step = -(-tbl.num_rows // n_blocks)
-    return rd.from_arrow([tbl.slice(s, step) for s in range(0, tbl.num_rows, step)])
+    return perceptual_hashes(_mixed_codec_dataset(200), concurrency=(2, 8), batch_size=8)
 
 
 def _mixed_codec_dataset(n: int, n_blocks: int = 16):
@@ -1360,11 +1353,10 @@ def _mixed_codec_dataset(n: int, n_blocks: int = 16):
     pure-python encoders dominate the query wall otherwise); decode — the
     operator under test — still runs live every time."""
     from imagededupx_ray.stages.multimodal import synthetic_mixed_images
-    from imagededupx_ray.util import cached_corpus
+    from imagededupx_ray.util import cached_corpus_ds
 
-    return _split_blocks(
-        cached_corpus(f"mixed_images_n{n}_s42_d5", lambda: synthetic_mixed_images(n)),
-        n_blocks,
+    return cached_corpus_ds(
+        f"mixed_images_n{n}_s42_d5", lambda: synthetic_mixed_images(n), n_blocks
     )
 
 
@@ -1377,7 +1369,7 @@ def image_phash_dup_pairs(sf_dir: str, hamming_max: int = 10):
     from imagededupx_ray.stages.multimodal import perceptual_hashes
     from imagededupx_ray.stages.simhash_lsh import hamming_band_pairs
 
-    hashes = perceptual_hashes(_mixed_codec_dataset(200), concurrency=(2, 8))
+    hashes = perceptual_hashes(_mixed_codec_dataset(200), concurrency=(2, 8), batch_size=8)
     return hamming_band_pairs(
         hashes.select_columns(["image_id", "phash"]),
         id_col="image_id",
@@ -1396,25 +1388,29 @@ def audio_clip_features(sf_dir: str):
     tests/test_audio.py."""
     from imagededupx_ray.stages.audio import audio_features
 
-    return audio_features(_split_blocks(_wav_corpus(120))).drop_columns(
+    return audio_features(_wav_corpus(120), concurrency=(2, 8), batch_size=8).drop_columns(
         ["fingerprints"]
     )
 
 
 def _wav_corpus(n: int):
-    """/tmp-cached synthetic WAV corpus (see _mixed_codec_dataset)."""
+    """/tmp-cached synthetic WAV corpus as a pinned-block Dataset (see
+    _mixed_codec_dataset)."""
     from imagededupx_ray.stages.audio import synthetic_wav_clips
-    from imagededupx_ray.util import cached_corpus
+    from imagededupx_ray.util import cached_corpus_ds
 
-    return cached_corpus(f"wav_clips_n{n}_s42_d5_r8000", lambda: synthetic_wav_clips(n))
+    return cached_corpus_ds(
+        f"wav_clips_n{n}_s42_d5_r8000", lambda: synthetic_wav_clips(n)
+    )
 
 
 def _video_corpus(n: int):
-    """/tmp-cached synthetic MJV1 corpus (see _mixed_codec_dataset)."""
+    """/tmp-cached synthetic MJV1 corpus as a pinned-block Dataset (see
+    _mixed_codec_dataset)."""
     from imagededupx_ray.stages.video import synthetic_video_clips
-    from imagededupx_ray.util import cached_corpus
+    from imagededupx_ray.util import cached_corpus_ds
 
-    return cached_corpus(
+    return cached_corpus_ds(
         f"video_clips_n{n}_s42_d5_f10", lambda: synthetic_video_clips(n)
     )
 
@@ -1427,7 +1423,7 @@ def audio_dup_pairs(sf_dir: str):
     tests/test_audio.py)."""
     from imagededupx_ray.stages.audio import audio_features, fingerprint_dup_pairs
 
-    feats = audio_features(_split_blocks(_wav_corpus(120)))
+    feats = audio_features(_wav_corpus(120), concurrency=(2, 8), batch_size=8)
     return fingerprint_dup_pairs(feats)
 
 
@@ -1443,7 +1439,7 @@ def video_dup_pairs(sf_dir: str):
         video_frame_hashes,
     )
 
-    fh = video_frame_hashes(_split_blocks(_video_corpus(60)), every_k=2)
+    fh = video_frame_hashes(_video_corpus(60), every_k=2, concurrency=(2, 8))
     return _vdp(fh)
 
 

@@ -57,6 +57,11 @@ def hamming_band_pairs(
     p = _pow2(num_partitions)
     layout = band_layout(hamming_max)
     n_bands = len(layout)
+    # this operator consumes codes_ds TWICE (band explode + the
+    # pair-member code broadcast below); pin the (id, 8-byte code) rows so
+    # an expensive upstream (e.g. the image decode actor pool) never
+    # re-executes for the second pass
+    codes_ds = codes_ds.materialize()
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)

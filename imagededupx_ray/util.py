@@ -75,9 +75,29 @@ def cached_corpus(key: str, build):
     t = build()
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp{os.getpid()}"
-    pq.write_table(t, tmp)
+    # small row groups so cached_corpus_ds can split the read into enough
+    # blocks for an actor pool without a repartition
+    pq.write_table(t, tmp, row_group_size=max(1, t.num_rows // 32))
     os.replace(tmp, path)
     return t
+
+
+def cached_corpus_ds(key: str, build, n_blocks: int = 16):
+    """``cached_corpus`` as a Dataset read straight off the cache file with
+    an EXPLICIT block count: ``from_arrow`` block counts get padded to
+    ``DataContext.read_op_min_num_blocks`` (bench sets 64), which shreds a
+    200-row media corpus into 3-row blocks and drowns the decode actor pool
+    in per-block scheduling; ``override_num_blocks`` pins the fan-out to
+    the pool size instead."""
+    import os
+
+    import ray.data as rd
+
+    cached_corpus(key, build)  # ensure the file exists / is valid
+    path = f"/tmp/graft_media_cache/{key}.parquet"
+    if not os.path.exists(path):  # cache dir unwritable: fall back
+        return rd.from_arrow(cached_corpus(key, build))
+    return rd.read_parquet(path, override_num_blocks=n_blocks)
 
 
 def parallel_block_tables(total: int, block: int, make_block):
