@@ -1574,13 +1574,10 @@ def docs_length_quantiles(sf_dir: str):
     not the corpus — and the quantile interpolation runs over the tiny
     histogram on the driver. The scalable exact-quantile pattern (a t-digest
     would be the approximate path for unbounded domains)."""
-    from ray.data.aggregate import Count
-
-    hist = (
-        _read(sf_dir, "documents")
-        .select_columns(["lang", "n_chars"])
-        .groupby(["lang", "n_chars"])
-        .aggregate(Count(alias_name="cnt"))
+    hist = _partial_groupby(
+        _read(sf_dir, "documents").select_columns(["lang", "n_chars"]),
+        ["lang", "n_chars"],
+        [("count", "", "cnt")],
     ).to_pandas()  # histogram-sized: O(langs x distinct lengths)
 
     rows = []
@@ -2067,10 +2064,10 @@ def orders_bulk_semijoin(sf_dir: str, min_qty: float = 45.0):
         .select_columns(["l_orderkey"])
     )
     orders = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_orderpriority"])
-    return (
-        orders.join(qual, "inner", 8, on=("o_orderkey",), right_on=("l_orderkey",))
-        .groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_orders"))
+    return _partial_groupby(
+        orders.join(qual, "inner", 8, on=("o_orderkey",), right_on=("l_orderkey",)),
+        ["o_orderpriority"],
+        [("count", "", "n_orders")],
     )
 
 
@@ -2149,12 +2146,10 @@ def orders_bulk_antijoin(sf_dir: str, min_qty: float = 45.0):
             }
         )
 
-    return (
-        od.union(li)
-        .groupby("_part")
-        .map_groups(anti_part, batch_format="pyarrow")
-        .groupby("o_orderpriority")
-        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    return _partial_groupby(
+        od.union(li).groupby("_part").map_groups(anti_part, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        [("sum", "n_orders", "n_orders")],
     )
 
 
@@ -2352,17 +2347,15 @@ def customers_order_fill(sf_dir: str):
             }
         )
 
-    ds = (
-        cust.union(orders)
-        .groupby("_part")
-        .map_groups(fill_part, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(
-            Sum("n_customers", alias_name="n_customers"),
-            Sum("n_inactive", alias_name="n_inactive"),
-            Sum("n_orders_sum", alias_name="n_orders_sum"),
-            Sum("total_spend", alias_name="total_spend"),
-        )
+    ds = _partial_groupby(
+        cust.union(orders).groupby("_part").map_groups(fill_part, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        [
+            ("sum", "n_customers", "n_customers"),
+            ("sum", "n_inactive", "n_inactive"),
+            ("sum", "n_orders_sum", "n_orders_sum"),
+            ("sum", "total_spend", "total_spend"),
+        ],
     )
     return ds.map_batches(
         lambda t: t.set_column(
@@ -2472,14 +2465,14 @@ def events_daily_distinct_users(sf_dir: str):
             }
         )
 
-    return (
+    return _partial_groupby(
         _read(sf_dir, "events")
         .select_columns(["ts", "user_id"])
         .map_batches(pairs, batch_format="pyarrow")
         .groupby(["day_epoch", "user_id"])
-        .aggregate(Sum("n", alias_name="n_ev"))
-        .groupby("day_epoch")
-        .aggregate(Count(alias_name="n_users"), Sum("n_ev", alias_name="n_events"))
+        .aggregate(Sum("n", alias_name="n_ev")),
+        ["day_epoch"],
+        [("count", "", "n_users"), ("sum", "n_ev", "n_events")],
     )
 
 
@@ -2490,15 +2483,11 @@ def parts_rollup(sf_dir: str):
     plan, so the corpus is scanned once and the extra levels cost only the
     domain-bounded finest table. 'ALL' marks the rolled-up column (DuckDB
     ROLLUP emits NULL; both sides coalesce to 'ALL' for the hash gate)."""
-    from ray.data.aggregate import Count, Sum
-
-    finest = (
-        _read(sf_dir, "part")
-        .select_columns(["p_brand", "p_type", "p_retailprice"])
-        .groupby(["p_brand", "p_type"])
-        .aggregate(Count(alias_name="n"), Sum("p_retailprice", alias_name="s"))
-        .to_pandas()
-    )  # domain-bounded: |brands| x |types| rows
+    finest = _partial_groupby(
+        _read(sf_dir, "part").select_columns(["p_brand", "p_type", "p_retailprice"]),
+        ["p_brand", "p_type"],
+        [("count", "", "n"), ("sum", "p_retailprice", "s")],
+    ).to_pandas()  # domain-bounded: |brands| x |types| rows
     brand = finest.groupby("p_brand", as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
     brand["p_type"] = "ALL"
     total = pd.DataFrame(
@@ -2538,12 +2527,12 @@ def docs_train_test_split(sf_dir: str, test_pct: int = 10):
             }
         )
 
-    ds = (
+    ds = _partial_groupby(
         _read(sf_dir, "documents")
         .select_columns(["text", "lang", "n_chars"])
-        .map_batches(assign, batch_format="pyarrow")
-        .groupby(["split", "lang"])
-        .aggregate(Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars"))
+        .map_batches(assign, batch_format="pyarrow"),
+        ["split", "lang"],
+        [("count", "", "n_docs"), ("mean", "n_chars", "avg_chars")],
     )
     return ds.map_batches(
         lambda t: t.set_column(
@@ -2698,10 +2687,10 @@ def docs_dup_rate_by_source(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = (
-        hashed.map_batches(partials, batch_format="pyarrow")
-        .groupby("source")
-        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_dup_docs", alias_name="n_dup_docs"))
+    agg = _partial_groupby(
+        hashed.map_batches(partials, batch_format="pyarrow"),
+        ["source"],
+        [("sum", "n_docs", "n_docs"), ("sum", "n_dup_docs", "n_dup_docs")],
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -2745,14 +2734,14 @@ def docs_lang_pivot(sf_dir: str):
         g = df.groupby("source", as_index=False).sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    aggs = [Sum(f"n_{lg}", alias_name=f"n_{lg}") for lg in langs]
-    aggs.append(Sum("n_total", alias_name="n_total"))
-    ds = (
+    specs = [("sum", f"n_{lg}", f"n_{lg}") for lg in langs]
+    specs.append(("sum", "n_total", "n_total"))
+    ds = _partial_groupby(
         _read(sf_dir, "documents")
         .select_columns(["source", "lang"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("source")
-        .aggregate(*aggs)
+        .map_batches(partial, batch_format="pyarrow"),
+        ["source"],
+        specs,
     )
 
     def toint(t: pa.Table) -> pa.Table:
@@ -2778,11 +2767,9 @@ def docs_above_lang_avg(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     docs = _read(sf_dir, "documents").select_columns(["lang", "n_chars"])
-    stats = (
-        docs.groupby("lang")
-        .aggregate(Sum("n_chars", alias_name="s"), Count(alias_name="n"))
-        .to_pandas()
-    )
+    stats = _partial_groupby(
+        docs, ["lang"], [("sum", "n_chars", "s"), ("count", "", "n")]
+    ).to_pandas()
     mu = {
         r.lang: float(np.float64(int(r.s)) / np.float64(int(r.n)))
         for r in stats.itertuples()
@@ -2802,10 +2789,10 @@ def docs_above_lang_avg(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(Sum("n_above", alias_name="n_above"), Sum("n_docs", alias_name="n_docs"))
+    agg = _partial_groupby(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["lang"],
+        [("sum", "n_above", "n_above"), ("sum", "n_docs", "n_docs")],
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -3046,12 +3033,11 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA"):
             }
         )
 
-    agg = (
-        joined.map_batches(same_nation, batch_format="pyarrow")
-        .groupby("n_nat")
-        .aggregate(Sum("rev", alias_name="rev"))
-        .to_pandas()
-    )
+    agg = _partial_groupby(
+        joined.map_batches(same_nation, batch_format="pyarrow"),
+        ["n_nat"],
+        [("sum", "rev", "rev")],
+    ).to_pandas()
     pos = np.searchsorted(nat_keys, agg["n_nat"].to_numpy(dtype=np.int64))
     out = pd.DataFrame(
         {
