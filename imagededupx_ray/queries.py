@@ -2937,14 +2937,14 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA"):
     (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier). Scale plan:
     the three dimension sides (region⋈nation, supplier→nation,
     customer→nation) are broadcast sorted-array lookups (`ray.put` once,
-    searchsorted per batch — dimensions, not facts); the fact side
-    pre-aggregates lineitem revenue per (orderkey, supplier-nation) BEFORE
-    the exchange (combiner), and the single corpus-sized exchange is ONE
-    hash-partitioned ``Dataset.join`` on orderkey against the region-filtered
-    orders. The same-nation predicate applies map-side after the join; the
-    final per-nation sum is a 5-row aggregate. (Date-window predicate of the
-    official Q5 omitted: this corpus spans one generation epoch.)"""
-    from ray.data.aggregate import Sum
+    searchsorted per batch — dimensions, not facts); the fact⋈fact join
+    (lineitem ⋈ orders on orderkey) runs as ONE coarse-partition union
+    exchange — both sides hash by ``splitmix64(orderkey) & (P-1)``, each
+    partition task sorts its order keys once and resolves every lineitem by
+    searchsorted (the customers_order_fill machinery; no per-key Python,
+    no join actor pool) — and emits nation-bounded revenue partials, so
+    the final sum is a 5-row partial-groupby. (Date-window predicate of
+    the official Q5 omitted: this corpus spans one generation epoch.)"""
 
     nat = _read(sf_dir, "nation").to_pandas()
     reg = _read(sf_dir, "region").to_pandas()
@@ -2992,49 +2992,79 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA"):
             }
         )
 
-    per_line = (
-        _read(sf_dir, "lineitem")
-        .select_columns(["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-        .map_batches(line_rev, batch_format="pyarrow")
-        .groupby(["l_orderkey", "s_nat"])
-        .aggregate(Sum("rev", alias_name="rev"))
-    )
+    parts = _coarse_parts()
 
-    def order_nat(batch: pa.Table) -> pa.Table:
+    def li_rows(batch: pa.Table) -> pa.Table:
+        t = line_rev(batch)
+        key = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_part": _coarse_part_col(key, parts),
+                "key": t["l_orderkey"],
+                "nat": t["s_nat"],
+                "rev": t["rev"],
+                "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
         nk, _, _, cks, cnat = ray.get(dims_ref)
         keys = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         c_nat, hit = _lookup(cks, cnat, keys)
         in_reg = hit & np.isin(c_nat, nk)
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[in_reg]
         return pa.table(
             {
-                "o_orderkey": pa.array(
-                    batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[in_reg]
-                ),
-                "c_nat": pa.array(c_nat[in_reg], type=pa.int64()),
+                "_part": _coarse_part_col(okey, parts),
+                "key": pa.array(okey, type=pa.int64()),
+                "nat": pa.array(c_nat[in_reg], type=pa.int64()),
+                "rev": pa.array(np.zeros(len(okey), dtype=np.float64)),
+                "side": pa.array(np.zeros(len(okey), dtype=np.int8)),
             }
         )
 
+    li = (
+        _read(sf_dir, "lineitem")
+        .select_columns(["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(li_rows, batch_format="pyarrow")
+    )
     orders = (
         _read(sf_dir, "orders")
         .select_columns(["o_orderkey", "o_custkey"])
-        .map_batches(order_nat, batch_format="pyarrow")
+        .map_batches(order_rows, batch_format="pyarrow")
     )
 
-    joined = per_line.join(orders, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",))
-
-    def same_nation(t: pa.Table) -> pa.Table:
-        keep = t["s_nat"].to_numpy(zero_copy_only=False) == t["c_nat"].to_numpy(
-            zero_copy_only=False
-        )
+    def join_part(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("n_nat", pa.int64()), ("rev", pa.float64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        key = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nat = t["nat"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = t["rev"].to_numpy(zero_copy_only=False).astype(np.float64)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        om = side == 0
+        ok = key[om]
+        o_ord = np.argsort(ok, kind="stable")
+        ok_s, onat_s = ok[o_ord], nat[om][o_ord]
+        lkey, lnat, lrev = key[~om], nat[~om], rev[~om]
+        if len(ok_s) == 0 or len(lkey) == 0:
+            return out_schema.empty_table()
+        pos = np.searchsorted(ok_s, lkey)
+        pos[pos >= len(ok_s)] = 0
+        keep = (ok_s[pos] == lkey) & (onat_s[pos] == lnat)
+        if not keep.any():
+            return out_schema.empty_table()
+        nats, inv = np.unique(lnat[keep], return_inverse=True)
+        sums = np.bincount(inv, weights=lrev[keep], minlength=len(nats))
         return pa.table(
             {
-                "n_nat": t["s_nat"].filter(pa.array(keep)),
-                "rev": t["rev"].filter(pa.array(keep)),
+                "n_nat": pa.array(nats, type=pa.int64()),
+                "rev": pa.array(sums, type=pa.float64()),
             }
         )
 
     agg = _partial_groupby(
-        joined.map_batches(same_nation, batch_format="pyarrow"),
+        li.union(orders).groupby("_part").map_groups(join_part, batch_format="pyarrow"),
         ["n_nat"],
         [("sum", "rev", "rev")],
     ).to_pandas()
