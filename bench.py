@@ -133,6 +133,9 @@ def _warm_workers() -> None:
             "b": _pa.array([2], type=_pa.int64()),
         }
     )
+    from imagededupx_ray.pipelines import dedup as _pd
+
+    ray.get(_pd._merge_uniq.remote(_pd._block_uniq.remote(pt)))
     import numpy as _np
 
     sig = (
@@ -146,6 +149,10 @@ def _warm_workers() -> None:
     ray.get(
         _vf._pair_verify_part.remote(sig, _CFG, *[_vf._pair_map_block.remote(pt, 1)])
     )
+    empty_sig = _pa.table({"doc_id": _pa.array([], type=_pa.int64())})
+    ray.get(_vf._sig_assemble.remote(
+        _CFG.num_perms, _vf._sig_compact.remote(empty_sig, None, _CFG.num_perms)
+    ))
 
 
 def run_headline(sf: float, pages_per_sf: int = PAGES_PER_SF) -> dict:

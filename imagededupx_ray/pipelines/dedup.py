@@ -65,6 +65,38 @@ VERIFY_JOIN_ID_THRESHOLD = 32_000_000
 # members), never the sum of per-block arrays (multi-GB at high dup rates)
 _UNIQ_TREE_FANOUT = 16
 
+
+# module scope, NOT closures inside run_dedup: a closure-defined @ray.remote
+# re-exports its pickled function to every worker on every pipeline run —
+# measured as most of the 0.7s verify_pair_ids wall at 32 procs (bench
+# warmup can also pre-spin module-level functions, never per-run closures)
+@ray.remote
+def _block_uniq(t):
+    import numpy as _np
+
+    if t.num_rows == 0 or "a" not in t.column_names:
+        return _np.empty(0, _np.int64)  # empty blocks keep no schema
+    return _np.unique(
+        _np.concatenate(
+            [
+                t["a"].to_numpy(zero_copy_only=False).astype(_np.int64),
+                t["b"].to_numpy(zero_copy_only=False).astype(_np.int64),
+            ]
+        )
+    )
+
+
+@ray.remote
+def _merge_uniq(*arrs):
+    import numpy as _np
+
+    arrs = [a for a in arrs if len(a)]
+    if not arrs:
+        return _np.empty(0, _np.int64)
+    if len(arrs) == 1:
+        return arrs[0]
+    return _np.unique(_np.concatenate(arrs))
+
 # beyond this many verified pairs the final {member -> root} map (up to
 # 2 pairs' worth of entries) stops fitting a driver dict + broadcast array;
 # assignment flips to the star-edge Dataset hash-join path
@@ -124,30 +156,10 @@ def run_dedup(
         # collection). Per-block uniques run as plain ray tasks over the
         # MATERIALIZED pair blocks, then merge through a fanout-bounded task
         # TREE — the driver receives one already-deduped id array (bounded by
-        # distinct pair members), never the per-block sum.
+        # distinct pair members), never the per-block sum. (_block_uniq /
+        # _merge_uniq live at module scope so their one-time export cost sits
+        # in warmup, not in every timed pipeline run.)
         import numpy as _np
-
-        @ray.remote
-        def _block_uniq(t):
-            if t.num_rows == 0 or "a" not in t.column_names:
-                return _np.empty(0, _np.int64)  # empty blocks keep no schema
-            return _np.unique(
-                _np.concatenate(
-                    [
-                        t["a"].to_numpy(zero_copy_only=False).astype(_np.int64),
-                        t["b"].to_numpy(zero_copy_only=False).astype(_np.int64),
-                    ]
-                )
-            )
-
-        @ray.remote
-        def _merge_uniq(*arrs):
-            arrs = [a for a in arrs if len(a)]
-            if not arrs:
-                return _np.empty(0, _np.int64)
-            if len(arrs) == 1:
-                return arrs[0]
-            return _np.unique(_np.concatenate(arrs))
 
         refs = [_block_uniq.remote(r) for r in raw_pairs.to_arrow_refs()]
         while len(refs) > 1:

@@ -84,6 +84,53 @@ class BroadcastVerify:
         )
 
 
+@ray.remote
+def _sig_compact(batch: pa.Table, want, nperm: int):
+    """One materialized signature block → (ids i64, mh u32 matrix, sim
+    u64), restricted to ``want`` (auto-dereferenced broadcast array).
+    Minhash truncates to the low 32 bits: verify only tests per-component
+    EQUALITY (est_jaccard = agreement fraction), and a 32-bit false-equal
+    is 2^-32/component — halves every broadcast cost."""
+    if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+        # 0-row blocks may carry no schema at all
+        return (
+            np.empty(0, np.int64),
+            np.empty((0, nperm), np.uint32),
+            np.empty(0, np.uint64),
+        )
+    i, m, s, _ = signatures_to_numpy(batch, nperm)
+    if want is not None:
+        if len(want):
+            pos = np.searchsorted(want, i)
+            pos[pos >= len(want)] = 0
+            keep = want[pos] == i
+        else:
+            keep = np.zeros(len(i), dtype=bool)
+        i, m, s = i[keep], m[keep], s[keep]
+    return (
+        i.astype(np.int64, copy=False),
+        np.ascontiguousarray(m.astype(np.uint32)),
+        s.astype(np.uint64, copy=False),
+    )
+
+
+@ray.remote
+def _sig_assemble(nperm: int, *cells):
+    """Concat the per-block cells into the broadcast arrays INSIDE a
+    worker — the big object is written to the object store once as the
+    task's return value; the driver only ever holds the ref (driver
+    serial time is what caps scaling efficiency)."""
+    ids = np.concatenate([c[0] for c in cells]) if cells else np.empty(0, np.int64)
+    mh = (
+        np.concatenate([c[1] for c in cells])
+        if cells
+        else np.empty((0, nperm), np.uint32)
+    )
+    sim = np.concatenate([c[2] for c in cells]) if cells else np.empty(0, np.uint64)
+    order = np.argsort(ids).astype(np.int64)
+    return (ids[order], order, mh, sim)
+
+
 def broadcast_signatures(
     signatures_ds, cfg: DedupConfig = DEFAULT_CONFIG, only_ids: np.ndarray | None = None
 ):
@@ -101,56 +148,17 @@ def broadcast_signatures(
     nperm = cfg.num_perms
     only_ref = ray.put(np.sort(only_ids.astype(np.int64))) if only_ids is not None else None
 
-    @ray.remote
-    def compact(batch: pa.Table, want):
-        """One materialized signature block → (ids i64, mh u32 matrix, sim
-        u64), restricted to ``want`` (auto-dereferenced broadcast array).
-        Minhash truncates to the low 32 bits: verify only tests per-component
-        EQUALITY (est_jaccard = agreement fraction), and a 32-bit false-equal
-        is 2^-32/component — halves every broadcast cost."""
-        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
-            # 0-row blocks may carry no schema at all
-            return (
-                np.empty(0, np.int64),
-                np.empty((0, nperm), np.uint32),
-                np.empty(0, np.uint64),
-            )
-        i, m, s, _ = signatures_to_numpy(batch, nperm)
-        if want is not None:
-            if len(want):
-                pos = np.searchsorted(want, i)
-                pos[pos >= len(want)] = 0
-                keep = want[pos] == i
-            else:
-                keep = np.zeros(len(i), dtype=bool)
-            i, m, s = i[keep], m[keep], s[keep]
-        return (
-            i.astype(np.int64, copy=False),
-            np.ascontiguousarray(m.astype(np.uint32)),
-            s.astype(np.uint64, copy=False),
-        )
-
-    @ray.remote
-    def assemble(*cells):
-        """Concat the per-block cells into the broadcast arrays INSIDE a
-        worker — the big object is written to the object store once as the
-        task's return value; the driver only ever holds the ref (driver
-        serial time is what caps scaling efficiency)."""
-        ids = np.concatenate([c[0] for c in cells]) if cells else np.empty(0, np.int64)
-        mh = (
-            np.concatenate([c[1] for c in cells])
-            if cells
-            else np.empty((0, nperm), np.uint32)
-        )
-        sim = np.concatenate([c[2] for c in cells]) if cells else np.empty(0, np.uint64)
-        order = np.argsort(ids).astype(np.int64)
-        return (ids[order], order, mh, sim)
-
     # plain ray tasks over the signature blocks — no Dataset execution (its
     # planning/stream/barrier latency was a fixed serial segment in the
-    # verify phase); to_arrow_refs() on the materialized signatures is free
-    cells = [compact.remote(r, only_ref) for r in signatures_ds.to_arrow_refs()]
-    return assemble.remote(*cells)
+    # verify phase); to_arrow_refs() on the materialized signatures is free.
+    # _sig_compact/_sig_assemble are module-scope so their one-time export
+    # cost never lands inside a timed pipeline run (closure remotes
+    # re-export per call).
+    cells = [
+        _sig_compact.remote(r, only_ref, nperm)
+        for r in signatures_ds.to_arrow_refs()
+    ]
+    return _sig_assemble.remote(nperm, *cells)
 
 
 _PROC_CACHE: dict = {}
