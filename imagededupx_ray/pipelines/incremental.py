@@ -87,6 +87,81 @@ from imagededupx_ray.util import suggest_num_partitions
 _EMPTY = np.empty(0, dtype=np.int64)
 
 
+# module-scope remotes (closure-defined @ray.remote re-exports its pickled
+# body to every worker on each merge call — the same fixed-cost leak the
+# dedup pipeline's verify path had; the derive fns passed as ARGS pickle in
+# bytes, the function export happens once per session)
+@ray.remote
+def _pick_uniq_multi(t: pa.Table, value_fn):
+    if t.num_rows == 0:
+        return _EMPTY, _EMPTY
+    u, c = np.unique(value_fn(t), return_counts=True)
+    return u, u[c >= 2]
+
+
+@ray.remote
+def _pick_uniq(t: pa.Table, value_fn):
+    if t.num_rows == 0:
+        return _EMPTY
+    return np.unique(value_fn(t))
+
+
+@ray.remote
+def _index_lookup(kp: str, vp: str, want, key: str, val: str):
+    """Memmapped binary-search point lookup into one part's sorted index.
+    ``want`` arrives auto-dereferenced (the ObjectRef is a task arg)."""
+    schema = pa.schema([(key, pa.int64()), (val, pa.int64())])
+    k = np.load(kp, mmap_mode="r")
+    if len(k) == 0 or len(want) == 0:
+        return schema.empty_table()
+    lo = np.searchsorted(k, want, side="left")
+    hi = np.searchsorted(k, want, side="right")
+    cnt = hi - lo
+    nz = cnt > 0
+    if not nz.any():
+        return schema.empty_table()
+    lo2, cnt2 = lo[nz], cnt[nz]
+    total = int(cnt2.sum())
+    excl = np.concatenate(([0], np.cumsum(cnt2)[:-1]))
+    idx = np.repeat(lo2 - excl, cnt2) + np.arange(total)
+    v = np.load(vp, mmap_mode="r")
+    return pa.table(
+        {
+            key: pa.array(np.asarray(k[idx]), type=pa.int64()),
+            val: pa.array(np.asarray(v[idx]), type=pa.int64()),
+        }
+    )
+
+
+@ray.remote
+def _index_gather(ip: str, pp: str, want, width: int):
+    """``want`` arrives auto-dereferenced (the ObjectRef is a task arg)."""
+    ids = np.load(ip, mmap_mode="r")
+    if len(ids) == 0 or len(want) == 0:
+        return np.empty(0, np.int64), np.empty((0, width), np.uint8)
+    pos = np.searchsorted(ids, want)
+    pos[pos >= len(ids)] = 0
+    hit = ids[pos] == want
+    idx = pos[hit]
+    pl = np.load(pp, mmap_mode="r")
+    return np.asarray(ids[idx]), np.asarray(pl[idx])
+
+
+@ray.remote
+def _sig_tuple_assemble(nperm: int, width: int, *cells):
+    ids = np.concatenate([c[0] for c in cells]) if cells else np.empty(0, np.int64)
+    pl = (
+        np.concatenate([c[1] for c in cells])
+        if cells
+        else np.empty((0, width), np.uint8)
+    )
+    order = np.argsort(ids).astype(np.int64)
+    n = len(ids)
+    mh = np.ascontiguousarray(pl[:, : nperm * 4]).view(np.uint32).reshape(n, nperm)
+    sim = np.ascontiguousarray(pl[:, nperm * 4 :]).view(np.uint64).reshape(n)
+    return ids[order], order, mh, sim
+
+
 # ------------------------------------------------------------ small helpers
 def _sig_of(t: pa.Table) -> np.ndarray:
     return sig_ids_from_sha(t["text_sha256"])
@@ -127,15 +202,14 @@ def _uniq_and_multi(ds, value_fn) -> tuple[np.ndarray, np.ndarray]:
     pass of block tasks — the driver merge is bounded by the dataset's
     distinct count (delta-bounded at every call site)."""
 
-    @ray.remote
-    def pick(t: pa.Table):
-        if t.num_rows == 0:
-            return _EMPTY, _EMPTY
-        u, c = np.unique(value_fn(t), return_counts=True)
-        return u, u[c >= 2]
-
     _t = time.monotonic()
-    res = [r for r in ray.get([pick.remote(b) for b in ds.to_arrow_refs()]) if len(r[0])]
+    res = [
+        r
+        for r in ray.get(
+            [_pick_uniq_multi.remote(b, value_fn) for b in ds.to_arrow_refs()]
+        )
+        if len(r[0])
+    ]
     MERGE_PAIR_WALLS["um_tasks_sec"] = round(time.monotonic() - _t, 3)
     _t = time.monotonic()
     if not res:
@@ -162,13 +236,11 @@ def _collect_unique_i64(ds, value_fn) -> np.ndarray:
     Dataset-execution latency; lazy inputs execute once, as before). The
     driver only ever holds the distinct set."""
 
-    @ray.remote
-    def pick(t: pa.Table) -> np.ndarray:
-        if t.num_rows == 0:
-            return _EMPTY
-        return np.unique(value_fn(t))
-
-    parts = [p for p in ray.get([pick.remote(r) for r in ds.to_arrow_refs()]) if len(p)]
+    parts = [
+        p
+        for p in ray.get([_pick_uniq.remote(r, value_fn) for r in ds.to_arrow_refs()])
+        if len(p)
+    ]
     return np.unique(np.concatenate(parts)) if parts else _EMPTY
 
 
@@ -345,33 +417,9 @@ def _lookup_sorted_parts(dirs: list[str], key: str, val: str, wanted: np.ndarray
     if paths is None:
         return None
     want_ref = ray.put(np.ascontiguousarray(wanted, dtype=np.int64))
-    schema = pa.schema([(key, pa.int64()), (val, pa.int64())])
-
-    @ray.remote
-    def lookup(kp: str, vp: str):
-        k = np.load(kp, mmap_mode="r")
-        want = ray.get(want_ref)
-        if len(k) == 0 or len(want) == 0:
-            return schema.empty_table()
-        lo = np.searchsorted(k, want, side="left")
-        hi = np.searchsorted(k, want, side="right")
-        cnt = hi - lo
-        nz = cnt > 0
-        if not nz.any():
-            return schema.empty_table()
-        lo2, cnt2 = lo[nz], cnt[nz]
-        total = int(cnt2.sum())
-        excl = np.concatenate(([0], np.cumsum(cnt2)[:-1]))
-        idx = np.repeat(lo2 - excl, cnt2) + np.arange(total)
-        v = np.load(vp, mmap_mode="r")
-        return pa.table(
-            {
-                key: pa.array(np.asarray(k[idx]), type=pa.int64()),
-                val: pa.array(np.asarray(v[idx]), type=pa.int64()),
-            }
-        )
-
-    tables = ray.get([lookup.remote(kp, vp) for kp, vp in paths])
+    tables = ray.get(
+        [_index_lookup.remote(kp, vp, want_ref, key, val) for kp, vp in paths]
+    )
     return rd.from_arrow(tables)
 
 
@@ -388,35 +436,11 @@ def _broadcast_sigs_from_parts(dirs: list[str], pair_ids: np.ndarray, nperm: int
         return None
     want_ref = ray.put(np.ascontiguousarray(pair_ids, dtype=np.int64))
     width = nperm * 4 + 8
-
-    @ray.remote
-    def gather(ip: str, pp: str):
-        ids = np.load(ip, mmap_mode="r")
-        want = ray.get(want_ref)
-        if len(ids) == 0 or len(want) == 0:
-            return np.empty(0, np.int64), np.empty((0, width), np.uint8)
-        pos = np.searchsorted(ids, want)
-        pos[pos >= len(ids)] = 0
-        hit = ids[pos] == want
-        idx = pos[hit]
-        pl = np.load(pp, mmap_mode="r")
-        return np.asarray(ids[idx]), np.asarray(pl[idx])
-
-    @ray.remote
-    def assemble(*cells):
-        ids = np.concatenate([c[0] for c in cells]) if cells else np.empty(0, np.int64)
-        pl = (
-            np.concatenate([c[1] for c in cells])
-            if cells
-            else np.empty((0, width), np.uint8)
-        )
-        order = np.argsort(ids).astype(np.int64)
-        n = len(ids)
-        mh = np.ascontiguousarray(pl[:, : nperm * 4]).view(np.uint32).reshape(n, nperm)
-        sim = np.ascontiguousarray(pl[:, nperm * 4 :]).view(np.uint64).reshape(n)
-        return ids[order], order, mh, sim
-
-    return assemble.remote(*[gather.remote(ip, pp) for ip, pp in paths])
+    return _sig_tuple_assemble.remote(
+        nperm,
+        width,
+        *[_index_gather.remote(ip, pp, want_ref, width) for ip, pp in paths],
+    )
 
 
 # sub-phase walls of the most recent merge's verified_pairs stage — the
@@ -473,20 +497,11 @@ def _emit_verify(
     MERGE_PAIR_WALLS["emit_shuffle_sec"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
 
-    @ray.remote
-    def _uniq(t: pa.Table) -> np.ndarray:
-        if t.num_rows == 0 or "a" not in t.column_names:
-            return _EMPTY
-        return np.unique(
-            np.concatenate(
-                [
-                    t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
-                    t["b"].to_numpy(zero_copy_only=False).astype(np.int64),
-                ]
-            )
-        )
+    from imagededupx_ray.pipelines.dedup import _block_uniq
 
-    ids_l = [u for u in ray.get([_uniq.remote(r) for r in raw.to_arrow_refs()]) if len(u)]
+    ids_l = [
+        u for u in ray.get([_block_uniq.remote(r) for r in raw.to_arrow_refs()]) if len(u)
+    ]
     pair_ids = np.unique(np.concatenate(ids_l)) if ids_l else _EMPTY
     MERGE_PAIR_WALLS["pair_ids_sec"] = round(time.monotonic() - t0, 3)
     sig_ref = None
