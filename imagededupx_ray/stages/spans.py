@@ -112,6 +112,17 @@ def pair_spans(text_a: str, text_b: str, min_len: int) -> list[tuple[int, int, i
     return sorted(out)
 
 
+@ray.remote
+def _to_text_map(*tbls):
+    """Member-text map assembled INSIDE a worker: the driver only holds the
+    ref (pair-member-bounded either way, but no driver pandas). Module scope
+    so the remote exports once per session, not per call."""
+    out = {}
+    for t in tbls:
+        out.update(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    return out
+
+
 def substring_spans(
     pairs_ds,
     docs_ds,
@@ -138,17 +149,7 @@ def substring_spans(
         return batch.filter(pa.array(keep)).select(["doc_id", "text"])
 
     member_cells = docs_ds.map_batches(member_filter, batch_format="pyarrow").materialize()
-
-    @ray.remote
-    def to_text_map(*tbls):
-        # member-text map assembled INSIDE a worker: the driver only holds
-        # the ref (pair-member-bounded either way, but no driver pandas)
-        out = {}
-        for t in tbls:
-            out.update(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-        return out
-
-    text_ref = to_text_map.remote(*member_cells.to_arrow_refs())
+    text_ref = _to_text_map.remote(*member_cells.to_arrow_refs())
     min_len = cfg.span_min_len
 
     def emit(batch: pa.Table) -> pa.Table:
