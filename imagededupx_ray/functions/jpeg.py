@@ -4,18 +4,28 @@ The reference's namesake input is encoded image files decoded through PIL
 (/root/reference/improved_faiss_detector.py:145-257 extract pipeline,
 /root/reference/similarities/similarities/utils/image_util.py:23-107
 multi-format loader), and JPEG is the dominant web-image codec. This
-container ships no image libraries, so this module implements the baseline
-sequential DCT subset of ITU-T T.81 (the public JPEG specification):
+container ships no image libraries, so this module implements the Huffman
+DCT subsets of ITU-T T.81 (the public JPEG specification):
 
-- decode_jpeg: SOI/APPn/DQT/DHT/SOF0/DRI/SOS/EOI parsing, Huffman entropy
+- decode_jpeg: SOI/APPn/DQT/DHT/SOF/DRI/SOS/EOI parsing, Huffman entropy
   decode with byte-unstuffing and restart-marker resync, dequantize +
   dezigzag, orthonormal matmul IDCT, chroma upsampling for any (h, v)
   sampling factors (4:4:4, 4:2:2, 4:2:0, ...), JFIF YCbCr -> RGB.
-  Progressive (SOF2) and arithmetic-coded streams raise ValueError.
+  Handles baseline sequential (SOF0/SOF1) interleaved AND non-interleaved
+  multi-scan layouts, plus PROGRESSIVE (SOF2) with spectral selection and
+  successive approximation (DC/AC first + refinement scans, EOB runs —
+  T.81 Annex G). Arithmetic-coded / lossless / hierarchical frames raise
+  ValueError.
 - encode_jpeg: baseline encoder (Annex K quantization tables scaled by a
   quality knob, Annex K Huffman tables, optional 2x2 chroma subsampling) —
   the test-vector generator for the decoder's entropy/subsampling paths;
   roundtrip error is bounded by the quantization step sizes.
+- encode_jpeg_multiscan / encode_jpeg_progressive: the non-interleaved and
+  progressive writers (the latter per the libjpeg jcphuff.c scan-script
+  control flow, EOB-run + correction-bit buffering) — decoding their
+  output is BIT-IDENTICAL to decoding the baseline encode at the same
+  quality (same quantized coefficients, losslessly reordered), which is
+  the equality gate in tests/test_jpeg.py.
 
 Entropy decode is a sequential bit loop (Huffman is inherently serial per
 scan segment); at pipeline level the cost parallelizes across images via
@@ -209,17 +219,148 @@ def _parse_segments(data: bytes):
             return
 
 
+def _entropy_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """From ``start``, unstuff the entropy-coded stream into restart
+    segments; return (segments, offset of the next marker's 0xFF byte)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = start
+    n = len(data)
+    while p < n:
+        b = data[p]
+        if b == 0xFF:
+            nxt = data[p + 1] if p + 1 < n else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI or next marker segment
+        cur.append(b)
+        p += 1
+    segments.append(bytes(cur))
+    return segments, p
+
+
+def _block_first(reader, blk, dc_tbl, ac_tbl, ss, se, al, pred, eobrun):
+    """First-pass block decode (Ah == 0). Handles sequential scans (ss=0,
+    se=63), progressive DC-first (se=0) and progressive AC-first bands —
+    the EOB-run form generalizes the baseline EOB (r is always 0 there).
+    ``pred`` is a 1-element list (DC predictor); returns the new eobrun."""
+    if ss == 0:
+        t = reader.read_huff(dc_tbl)
+        diff = _extend(reader.read_bits(t), t) if t else 0
+        pred[0] += diff
+        blk[0] = pred[0] << al
+        k = 1
+    else:
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+    while k <= se:
+        rs = reader.read_huff(ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC index overflow")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _block_ac_refine(reader, blk, ac_tbl, ss, se, al, eobrun):
+    """Progressive AC refinement (Ah > 0): correction bits for
+    history-nonzero coefficients plus newly-significant +-1<<Al insertions
+    (T.81 G.1.2.3; the libjpeg decode_mcu_AC_refine control flow)."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_huff(ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break  # correction bits of THIS block's tail below
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: bad refine magnitude")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit():
+                        if (abs(int(blk[k])) & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0 and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if reader.read_bit():
+                    if (abs(int(blk[k])) & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else -(1 << al)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline-sequential JPEG bytes to uint8 (h, w) or (h, w, 3)."""
+    """Decode JPEG bytes to uint8 (h, w) or (h, w, 3).
+
+    Supports baseline sequential (SOF0/SOF1) — interleaved or
+    non-interleaved multi-scan — AND progressive (SOF2) with spectral
+    selection + successive approximation (DC/AC first and refinement
+    scans, EOB runs, restart resync). Arithmetic-coded and
+    lossless/hierarchical frames raise ValueError."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
-    scan_comps = None
     restart_interval = 0
-    entropy_start = None
+    planes: dict[int, np.ndarray] = {}  # comp id -> (bh, bw, 64) ZIGZAG order
+    grid = None  # (hmax, vmax, mcus_x, mcus_y)
+    got_scan = False
 
-    for marker, payload, end in _parse_segments(data):
+    pos = 2
+    n = len(data)
+    while pos + 2 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RSTn
+            pos += 2
+            continue
+        if pos + 4 > n:
+            raise ValueError("jpeg: truncated segment")
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + length]
+        end = pos + 2 + length
         if marker == 0xDB:  # DQT
             p = 0
             while p < len(payload):
@@ -243,9 +384,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(payload[p + 17 : p + 17 + nvals])
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
                 p += 17 + nvals
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline(-ish) sequential
-            precision = payload[0]
-            if precision != 8:
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            if payload[0] != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
             h, w = struct.unpack(">HH", payload[1:5])
             ncomp = payload[5]
@@ -253,125 +393,65 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: only baseline sequential (SOF0/SOF1) supported")
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            grid = (hmax, vmax, mcus_x, mcus_y)
+            for c in comps:
+                planes[c["id"]] = np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32
+                )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "jpeg: only baseline/extended sequential and progressive "
+                "Huffman frames supported (no arithmetic/lossless/hierarchical)"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
             ns = payload[0]
-            # baseline NON-interleaved multi-scan (one SOS per component)
-            # would silently decode only the first scan: parsing stops at the
-            # first SOS, so a partial-component scan must raise for callers
-            # to fall back (same contract as progressive)
-            if frame is not None and ns < len(frame["comps"]):
-                raise ValueError(
-                    "jpeg: non-interleaved multi-scan not supported "
-                    f"(scan has {ns} of {len(frame['comps'])} components)"
-                )
-            scan_comps = []
+            scomps = []
+            by_id = {c["id"]: c for c in frame["comps"]}
             for i in range(ns):
                 cs, tt = payload[1 + 2 * i : 3 + 2 * i]
-                scan_comps.append({"id": cs, "td": tt >> 4, "ta": tt & 0x0F})
-            entropy_start = end
-    if frame is None or scan_comps is None or entropy_start is None:
+                if cs not in by_id:
+                    raise ValueError("jpeg: scan references unknown component")
+                scomps.append({"c": by_id[cs], "td": tt >> 4, "ta": tt & 0x0F})
+            ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not frame["progressive"]:
+                ss, se, ah, al = 0, 63, 0, 0  # baseline ignores these fields
+            segments, pos = _entropy_segments(data, end)
+            _decode_scan(
+                segments, frame, grid, planes, scomps, ss, se, ah, al,
+                huff_dc, huff_ac, restart_interval,
+            )
+            got_scan = True
+            continue
+        pos = end
+    if frame is None or not got_scan:
         raise ValueError("jpeg: missing SOF/SOS")
 
-    comps = frame["comps"]
-    by_id = {c["id"]: c for c in comps}
-    for sc in scan_comps:
-        by_id[sc["id"]]["td"] = sc["td"]
-        by_id[sc["id"]]["ta"] = sc["ta"]
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = -(-frame["w"] // mcu_w)
-    mcus_y = -(-frame["h"] // mcu_h)
-
-    # Split the entropy stream into unstuffed restart segments.
-    segments: list[bytes] = []
-    cur = bytearray()
-    p = entropy_start
-    n = len(data)
-    while p < n:
-        b = data[p]
-        if b == 0xFF:
-            nxt = data[p + 1] if p + 1 < n else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                p += 2
-                continue
-            break  # EOI or next marker
-        cur.append(b)
-        p += 1
-    segments.append(bytes(cur))
-
-    # Per-component coefficient planes (in blocks).
-    planes = {}
-    for c in comps:
-        bw = mcus_x * c["h"]
-        bh = mcus_y * c["v"]
-        planes[c["id"]] = np.zeros((bh, bw, 8, 8), dtype=np.int32)
-
-    seg_idx = 0
-    reader = _BitReader(segments[0])
-    pred = {c["id"]: 0 for c in comps}
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                seg_idx += 1
-                reader = _BitReader(segments[seg_idx])
-                pred = {c["id"]: 0 for c in comps}
-            for sc in scan_comps:
-                c = by_id[sc["id"]]
-                dc_tbl = huff_dc[c["td"]]
-                ac_tbl = huff_ac[c["ta"]]
-                for v in range(c["v"]):
-                    for hh in range(c["h"]):
-                        blk = np.zeros(64, np.int32)
-                        t = reader.read_huff(dc_tbl)
-                        diff = _extend(reader.read_bits(t), t) if t else 0
-                        pred[c["id"]] += diff
-                        blk[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = reader.read_huff(ac_tbl)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("jpeg: AC index overflow")
-                            blk[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        raster = np.zeros(64, np.int32)
-                        raster[_ZIGZAG] = blk
-                        planes[c["id"]][my * c["v"] + v, mx * c["h"] + hh] = raster.reshape(8, 8)
-            mcu_count += 1
-
-    # Dequantize + IDCT per component (vectorized over all blocks at once).
+    hmax, vmax, _, _ = grid
     samples = {}
-    for c in comps:
-        coef = planes[c["id"]].astype(np.float64) * quant[c["tq"]][None, None]
+    for c in frame["comps"]:
+        zz = planes[c["id"]]
+        bh, bw = zz.shape[:2]
+        raster = np.zeros((bh, bw, 64), np.int32)
+        raster[:, :, _ZIGZAG] = zz
+        coef = raster.reshape(bh, bw, 8, 8).astype(np.float64) * quant[c["tq"]][None, None]
         spatial = np.einsum("ij,bcjk,kl->bcil", _DCT.T, coef, _DCT)
-        bh, bw = coef.shape[:2]
         img = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
-        # Upsample to full MCU-grid resolution, then crop to frame size.
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             img = np.repeat(np.repeat(img, ry, axis=0), rx, axis=1)
         samples[c["id"]] = img[: frame["h"], : frame["w"]]
 
+    comps = frame["comps"]
     if len(comps) == 1:
         return np.clip(np.round(samples[comps[0]["id"]]), 0, 255).astype(np.uint8)
     y = samples[comps[0]["id"]]
@@ -381,6 +461,77 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=-1
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_scan(
+    segments, frame, grid, planes, scomps, ss, se, ah, al,
+    huff_dc, huff_ac, restart_interval,
+):
+    """Decode one scan's entropy segments into the zigzag coefficient
+    planes. Interleaved scans walk the MCU grid; single-component scans walk
+    the component's OWN ceil(samples/8) block grid (T.81 A.2.2 — smaller
+    than the MCU-padded plane). The restart interval counts MCUs, where a
+    non-interleaved MCU is one block."""
+    hmax, vmax, mcus_x, mcus_y = grid
+    interleaved = len(scomps) > 1
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    pred = {sc["c"]["id"]: [0] for sc in scomps}
+    eobrun = 0
+    unit = 0
+
+    def restart():
+        nonlocal seg_idx, reader, eobrun
+        seg_idx += 1
+        if seg_idx >= len(segments):
+            raise ValueError("jpeg: missing restart segment")
+        reader = _BitReader(segments[seg_idx])
+        for v in pred.values():
+            v[0] = 0
+        eobrun = 0
+
+    def do_block(blk, c, sc):
+        nonlocal eobrun
+        if ah == 0:
+            eobrun = _block_first(
+                reader, blk,
+                huff_dc.get(sc["td"]) if ss == 0 else None,
+                huff_ac.get(sc["ta"]) if se > 0 else None,
+                ss, se, al, pred[c["id"]], eobrun,
+            )
+        elif ss == 0:  # DC refinement: one bit, plain OR at bit Al
+            blk[0] |= reader.read_bit() << al
+        else:
+            eobrun = _block_ac_refine(
+                reader, blk, huff_ac[sc["ta"]], ss, se, al, eobrun
+            )
+
+    if interleaved:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    restart()
+                unit += 1
+                for sc in scomps:
+                    c = sc["c"]
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            do_block(
+                                planes[c["id"]][my * c["v"] + v, mx * c["h"] + hh],
+                                c, sc,
+                            )
+    else:
+        sc = scomps[0]
+        c = sc["c"]
+        cw = -(-frame["w"] * c["h"] // hmax)
+        ch = -(-frame["h"] * c["v"] // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    restart()
+                unit += 1
+                do_block(planes[c["id"]][by, bx], c, sc)
 
 
 class _BitWriter:
@@ -430,13 +581,43 @@ def _magnitude(v: int) -> tuple[int, int]:
     return n, bits
 
 
-def encode_jpeg(
-    arr: np.ndarray, quality: int = 90, subsample: bool = False, restart_interval: int = 0
-) -> bytes:
-    """Encode uint8 (h, w) grayscale or (h, w, 3) RGB as baseline JPEG.
-    subsample=True uses 4:2:0 chroma (exercises the decoder's upsampler);
-    restart_interval>0 emits DRI + RSTn markers every that many MCUs
-    (exercises the decoder's restart resync)."""
+def _write_block_sequential(writer, zz, pred, enc_dc, enc_ac):
+    """Baseline DC-diff + AC-RLE emission of one zigzag block (shared by the
+    interleaved encoder and the non-interleaved multi-scan encoder)."""
+    diff = int(zz[0]) - pred[0]
+    pred[0] = int(zz[0])
+    nb, bits = _magnitude(diff)
+    ln, code = enc_dc[nb]
+    writer.write(code, ln)
+    if nb:
+        writer.write(bits, nb)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        val = int(zz[k])
+        if val == 0:
+            if k > last_nz:
+                ln, code = enc_ac[0x00]  # EOB
+                writer.write(code, ln)
+                break
+            run += 1
+            if run == 16:
+                ln, code = enc_ac[0xF0]  # ZRL
+                writer.write(code, ln)
+                run = 0
+            continue
+        nb, bits = _magnitude(val)
+        ln, code = enc_ac[(run << 4) | nb]
+        writer.write(code, ln)
+        writer.write(bits, nb)
+        run = 0
+
+
+def _zz_planes_for_encode(arr: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front half: color-convert, pad to the MCU grid, DCT,
+    quantize. Returns (gray, h, w, samp, qy, qc, coefs) where coefs[i] is
+    component i's (block_rows, block_cols, 64) int32 ZIGZAG coefficients
+    over the MCU-padded grid."""
     arr = np.asarray(arr)
     if arr.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8")
@@ -475,9 +656,8 @@ def encode_jpeg(
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
 
-    # Pad each plane to its block grid (edge replication).
-    padded = []
-    for p, (sh, sv) in zip(planes, samp):
+    coefs = []
+    for p, (sh, sv), q in zip(planes, samp, comp_q):
         th, tw = mcus_y * sv * 8, mcus_x * sh * 8
         ph, pw = p.shape
         out = np.empty((th, tw), np.float64)
@@ -486,17 +666,37 @@ def encode_jpeg(
             out[ph:, :pw] = p[-1:, :]
         if tw > pw:
             out[:, pw:] = out[:, pw - 1 : pw]
-        padded.append(out)
+        bh, bw = th // 8, tw // 8
+        blocks = out.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,bcjk,kl->bcil", _DCT, blocks, _DCT.T)
+        qzz = np.round(coef / q[None, None]).astype(np.int32).reshape(bh, bw, 64)
+        coefs.append(qzz[:, :, _ZIGZAG])
+    return gray, h, w, samp, qy, qc, coefs
 
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 90, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """Encode uint8 (h, w) grayscale or (h, w, 3) RGB as baseline JPEG.
+    subsample=True uses 4:2:0 chroma (exercises the decoder's upsampler);
+    restart_interval>0 emits DRI + RSTn markers every that many MCUs
+    (exercises the decoder's restart resync)."""
+    gray, h, w, samp, qy, qc, coefs = _zz_planes_for_encode(arr, quality, subsample)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    ncomp = len(coefs)
     dc_y, ac_y = _HuffTable(_DC_LUMA_BITS, _DC_LUMA_VALS), _HuffTable(_AC_LUMA_BITS, _AC_LUMA_VALS)
     dc_c, ac_c = _HuffTable(_DC_CHROMA_BITS, _DC_CHROMA_VALS), _HuffTable(
         _AC_CHROMA_BITS, _AC_CHROMA_VALS
     )
-    enc_dc = [dc_y.encode_map()] + [dc_c.encode_map()] * (len(planes) - 1)
-    enc_ac = [ac_y.encode_map()] + [ac_c.encode_map()] * (len(planes) - 1)
+    enc_dc = [dc_y.encode_map()] + [dc_c.encode_map()] * (ncomp - 1)
+    enc_ac = [ac_y.encode_map()] + [ac_c.encode_map()] * (ncomp - 1)
 
     writer = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [[0] for _ in range(ncomp)]
     mcu_count = 0
     rst = 0
     for my in range(mcus_y):
@@ -505,44 +705,18 @@ def encode_jpeg(
                 writer.flush()
                 writer.out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
-                pred = [0] * len(planes)
+                pred = [[0] for _ in range(ncomp)]
             mcu_count += 1
-            for ci, (plane, (sh, sv)) in enumerate(zip(padded, samp)):
+            for ci, (zzp, (sh, sv)) in enumerate(zip(coefs, samp)):
                 for v in range(sv):
                     for hh in range(sh):
-                        by = (my * sv + v) * 8
-                        bx = (mx * sh + hh) * 8
-                        block = plane[by : by + 8, bx : bx + 8]
-                        coef = _DCT @ block @ _DCT.T
-                        q = np.round(coef / comp_q[ci]).astype(np.int32)
-                        zz = q.reshape(64)[_ZIGZAG]
-                        diff = int(zz[0]) - pred[ci]
-                        pred[ci] = int(zz[0])
-                        nb, bits = _magnitude(diff)
-                        ln, code = enc_dc[ci][nb]
-                        writer.write(code, ln)
-                        if nb:
-                            writer.write(bits, nb)
-                        run = 0
-                        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-                        for k in range(1, 64):
-                            val = int(zz[k])
-                            if val == 0:
-                                if k > last_nz:
-                                    ln, code = enc_ac[ci][0x00]  # EOB
-                                    writer.write(code, ln)
-                                    break
-                                run += 1
-                                if run == 16:
-                                    ln, code = enc_ac[ci][0xF0]  # ZRL
-                                    writer.write(code, ln)
-                                    run = 0
-                                continue
-                            nb, bits = _magnitude(val)
-                            ln, code = enc_ac[ci][(run << 4) | nb]
-                            writer.write(code, ln)
-                            writer.write(bits, nb)
-                            run = 0
+                        _write_block_sequential(
+                            writer,
+                            zzp[my * sv + v, mx * sh + hh],
+                            pred[ci],
+                            enc_dc[ci],
+                            enc_ac[ci],
+                        )
     writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -573,3 +747,282 @@ def encode_jpeg(
     out += writer.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _common_headers(gray, h, w, samp, qy, qc, sof_marker: int) -> bytearray:
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in ((0, qy), (1, qc))[: 1 if gray else 2]:
+        out += _seg(0xDB, bytes([tq]) + bytes(q.reshape(64)[_ZIGZAG].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sh, sv = samp[i]
+        sof += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
+    out += _seg(sof_marker, sof)
+    return out
+
+
+def _comp_block_grid(h: int, w: int, samp, ci: int) -> tuple[int, int]:
+    """Non-interleaved scan grid for component ci: ceil(samples / 8) in each
+    axis (T.81 A.2.2) — smaller than the MCU-padded coefficient planes."""
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    cw = -(-w * samp[ci][0] // hmax)
+    ch = -(-h * samp[ci][1] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def encode_jpeg_multiscan(
+    arr: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """Baseline NON-interleaved multi-scan encoder: SOF0 with one SOS per
+    component, each scan walking that component's own block grid — the
+    legal baseline layout some writers emit, and the decoder's
+    multi-scan-walker test vector."""
+    gray, h, w, samp, qy, qc, coefs = _zz_planes_for_encode(arr, quality, subsample)
+    out = _common_headers(gray, h, w, samp, qy, qc, 0xC0)
+    tables = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if not gray:
+        tables += [
+            (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+    for tid, bits, vals in tables:
+        out += _seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    dc_y, ac_y = _HuffTable(_DC_LUMA_BITS, _DC_LUMA_VALS), _HuffTable(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c, ac_c = _HuffTable(_DC_CHROMA_BITS, _DC_CHROMA_VALS), _HuffTable(
+        _AC_CHROMA_BITS, _AC_CHROMA_VALS
+    )
+    for ci, zzp in enumerate(coefs):
+        td = 0 if ci == 0 else 1
+        enc_dc = (dc_y if ci == 0 else dc_c).encode_map()
+        enc_ac = (ac_y if ci == 0 else ac_c).encode_map()
+        out += _seg(0xDA, bytes([1, ci + 1, (td << 4) | td, 0, 63, 0]))
+        writer = _BitWriter()
+        pred = [0]
+        bh, bw = _comp_block_grid(h, w, samp, ci)
+        for by in range(bh):
+            for bx in range(bw):
+                _write_block_sequential(writer, zzp[by, bx], pred, enc_dc, enc_ac)
+        writer.flush()
+        out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# near-uniform AC table for progressive scans: EOB-run symbols (r<<4 with
+# r up to 14) are not in the Annex K tables, so progressive writers carry
+# their own DHT — this one maps every possible symbol (255 codes at 9 bits
+# + 1 at 10; DHT per-length counts are single bytes, and the last code 510
+# is not all-ones)
+_PROG_AC_BITS = [0] * 8 + [255, 1] + [0] * 6
+_PROG_AC_VALS = list(range(256))
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90, subsample: bool = False, al: int = 1
+) -> bytes:
+    """Progressive (SOF2) encoder with a 4-kind scan script per T.81 Annex G
+    successive approximation: interleaved DC first (Al=al) + DC refinement
+    down to Al=0, then per component AC first (band 1..63 at Al=al) + AC
+    refinement — exercising every progressive decode path (EOB runs,
+    ZRL-in-refine, correction-bit buffering). Decoding the result is
+    bit-identical to decoding the baseline encode at the same quality
+    (same quantized coefficients, reordered losslessly)."""
+    if not 0 <= al <= 1:
+        raise ValueError("encode_jpeg_progressive: al must be 0 or 1")
+    gray, h, w, samp, qy, qc, coefs = _zz_planes_for_encode(arr, quality, subsample)
+    ncomp = len(coefs)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    out = _common_headers(gray, h, w, samp, qy, qc, 0xC2)
+    tables = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS)]
+    if not gray:
+        tables += [(0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS)]
+    tables += [(0x10, _PROG_AC_BITS, _PROG_AC_VALS)]
+    for tid, bits, vals in tables:
+        out += _seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    enc_dc = [
+        _HuffTable(_DC_LUMA_BITS, _DC_LUMA_VALS).encode_map()
+        if ci == 0
+        else _HuffTable(_DC_CHROMA_BITS, _DC_CHROMA_VALS).encode_map()
+        for ci in range(ncomp)
+    ]
+    enc_ac = _HuffTable(_PROG_AC_BITS, _PROG_AC_VALS).encode_map()
+
+    def sos(comp_specs, ss, se, ah, a_low):
+        body = bytes([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | a_low])
+        return _seg(0xDA, body)
+
+    # ---- scan 1: DC first, all components interleaved, Al=al -------------
+    out += sos([(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)], 0, 0, 0, al)
+    writer = _BitWriter()
+    pred = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (zzp, (sh, sv)) in enumerate(zip(coefs, samp)):
+                for v in range(sv):
+                    for hh in range(sh):
+                        dc = int(zzp[my * sv + v, mx * sh + hh][0]) >> al
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        nb, bits = _magnitude(diff)
+                        ln, code = enc_dc[ci][nb]
+                        writer.write(code, ln)
+                        if nb:
+                            writer.write(bits, nb)
+    writer.flush()
+    out += writer.out
+
+    # ---- scan 2: DC refinement Ah=al..Al=0 (one raw bit per block) --------
+    if al > 0:
+        out += sos([(ci + 1, 0, 0) for ci in range(ncomp)], 0, 0, al, 0)
+        writer = _BitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (zzp, (sh, sv)) in enumerate(zip(coefs, samp)):
+                    for v in range(sv):
+                        for hh in range(sh):
+                            writer.write(
+                                (int(zzp[my * sv + v, mx * sh + hh][0]) >> (al - 1)) & 1, 1
+                            )
+        writer.flush()
+        out += writer.out
+
+    # ---- per component: AC first (Al=al), then AC refine (Ah=al, Al=0) ---
+    for ci, zzp in enumerate(coefs):
+        bh, bw = _comp_block_grid(h, w, samp, ci)
+        out += sos([(ci + 1, 0, 0)], 1, 63, 0, al)
+        writer = _BitWriter()
+        state = {"eobrun": 0, "bits": []}
+        for by in range(bh):
+            for bx in range(bw):
+                _ac_first_emit(writer, zzp[by, bx], enc_ac, al, state)
+        _flush_eobrun(writer, enc_ac, state)
+        writer.flush()
+        out += writer.out
+        if al > 0:
+            out += sos([(ci + 1, 0, 0)], 1, 63, al, 0)
+            writer = _BitWriter()
+            state = {"eobrun": 0, "bits": []}
+            for by in range(bh):
+                for bx in range(bw):
+                    _ac_refine_emit(writer, zzp[by, bx], enc_ac, al - 1, state)
+            _flush_eobrun(writer, enc_ac, state)
+            writer.flush()
+            out += writer.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _flush_eobrun(writer, enc_ac, state):
+    """Emit the pending EOB-run symbol + its buffered correction bits
+    (refinement scans append per-block correction bits to the run)."""
+    n = state["eobrun"]
+    if n == 0 and not state["bits"]:
+        return
+    if n == 0:
+        raise ValueError("jpeg: refine bits without an EOB run")
+    r = n.bit_length() - 1
+    ln, code = enc_ac[r << 4]
+    writer.write(code, ln)
+    if r:
+        writer.write(n - (1 << r), r)
+    for v, nb in state["bits"]:
+        writer.write(v, nb)
+    state["eobrun"] = 0
+    state["bits"] = []
+
+
+def _ac_first_emit(writer, zz, enc_ac, al, state):
+    """Progressive AC first pass for one block: sign-magnitude point
+    transform (|v| >> al), EOB-run accumulation across blocks."""
+    run = 0
+    emitted = False
+    for k in range(1, 64):
+        v = int(zz[k])
+        mag = abs(v) >> al
+        if mag == 0:
+            run += 1
+            continue
+        if not emitted:
+            _flush_eobrun(writer, enc_ac, state)
+            emitted = True
+        while run > 15:
+            ln, code = enc_ac[0xF0]
+            writer.write(code, ln)
+            run -= 16
+        nb, bits = _magnitude(mag if v > 0 else -mag)
+        ln, code = enc_ac[(run << 4) | nb]
+        writer.write(code, ln)
+        writer.write(bits, nb)
+        run = 0
+    if run > 0 or not emitted:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(writer, enc_ac, state)
+
+
+def _ac_refine_emit(writer, zz, enc_ac, al, state):
+    """Progressive AC refinement for one block (Ah=al+1 -> Al=al): the
+    libjpeg encode_mcu_AC_refine control flow — ZRLs emitted at the first
+    nonzero position where the pending zero-run exceeds 15 (but only before
+    the block's last newly-significant coefficient, else they fold into the
+    EOB run), correction bits buffered and flushed right after each emitted
+    symbol so the decoder's walk consumes them in position order."""
+    p_bit = 1 << al
+    mags = [abs(int(zz[k])) >> al for k in range(64)]
+    eob_pos = 0  # 1 + last newly-significant position
+    for k in range(1, 64):
+        if mags[k] == 1:
+            eob_pos = k + 1
+    run = 0
+    br: list[tuple[int, int]] = []
+    emitted = False
+    for k in range(1, 64):
+        mag = mags[k]
+        if mag == 0:
+            run += 1
+            continue
+        # a nonzero position: first fold pending ZRLs (only before eob_pos)
+        while run > 15 and k <= eob_pos - 1:
+            if not emitted:
+                _flush_eobrun(writer, enc_ac, state)
+                emitted = True
+            ln, code = enc_ac[0xF0]
+            writer.write(code, ln)
+            run -= 16
+            for v, nb in br:
+                writer.write(v, nb)
+            br = []
+        if mag > 1:
+            br.append(((int(zz[k]) if zz[k] > 0 else -int(zz[k])) & p_bit and 1 or 0, 1))
+            continue
+        # newly significant (+-1 at this precision)
+        if not emitted:
+            _flush_eobrun(writer, enc_ac, state)
+            emitted = True
+        ln, code = enc_ac[(run << 4) | 1]
+        writer.write(code, ln)
+        writer.write(1 if zz[k] > 0 else 0, 1)
+        for v, nb in br:
+            writer.write(v, nb)
+        br = []
+        run = 0
+    if run > 0 or br:
+        state["eobrun"] += 1
+        state["bits"].extend(br)
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(writer, enc_ac, state)

@@ -1355,10 +1355,11 @@ def _mixed_codec_dataset(n: int, n_blocks: int = 16):
     from imagededupx_ray.stages.multimodal import synthetic_mixed_images
     from imagededupx_ray.util import cached_corpus_ds
 
-    # v2: 4-codec rotation (PNG/JPEG/GIF/TIFF); the key encodes the
-    # generation recipe so stale 3-codec caches never serve
+    # v4: 4-codec rotation (PNG / JPEG baseline+progressive+multiscan /
+    # GIF / TIFF); the key encodes the generation recipe so stale caches
+    # never serve
     return cached_corpus_ds(
-        f"mixed_images_n{n}_s42_d5_v2", lambda: synthetic_mixed_images(n), n_blocks
+        f"mixed_images_n{n}_s42_d5_v4", lambda: synthetic_mixed_images(n), n_blocks
     )
 
 

@@ -4,13 +4,15 @@ extraction, re-expressed as actor-pool map_batches stages).
 
 Decode support without any image library: PNG decodes FOR REAL through the
 stdlib-zlib codec in functions/png.py (all five scanline filters, gray /
-RGB / RGBA / palette), baseline JPEG decodes FOR REAL through the numpy
-codec in functions/jpeg.py (Huffman + IDCT + chroma upsampling + restart
-markers), GIF decodes FOR REAL through the LZW codec in functions/gif.py
-(87a/89a, interlace, transparency), and the self-describing RAW1 raster
-needs no codec at all — so the perceptual-hash and decode stages run on
-genuine encoded images in the three dominant web formats. Other formats
-(progressive JPEG, WebP...):
+RGB / RGBA / palette), JPEG decodes FOR REAL through the numpy codec in
+functions/jpeg.py (baseline interleaved AND non-interleaved multi-scan AND
+progressive SOF2 — Huffman + IDCT + chroma upsampling + restart markers),
+GIF decodes FOR REAL through the LZW codec in functions/gif.py (87a/89a,
+interlace, transparency), TIFF decodes FOR REAL through functions/tiff.py
+(strips; none/PackBits/LZW), BMP through the uncompressed reader, and the
+self-describing RAW1 raster needs no codec at all — so the perceptual-hash
+and decode stages run on genuine encoded images in the dominant web
+formats. Remaining formats (WebP, arithmetic JPEG, tiled TIFF...):
 with ``allow_fake=True`` (default) a deterministic fake decoder derives
 (width, height, mean_luma) and a 64-d feature vector from the bytes'
 blake2b stream; with ``allow_fake=False`` the stage raises
@@ -101,7 +103,7 @@ class ImageDecodeStage:
             try:
                 arr = decode_jpeg(payload)
             except _DECODE_ERRORS:
-                arr = None  # progressive/arithmetic/corrupt: PIL/fake path
+                arr = None  # arithmetic/lossless/corrupt: PIL/fake path
         elif payload[:6] in GIF_SIGNATURES:
             try:
                 arr = decode_gif(payload)
@@ -271,7 +273,7 @@ class PerceptualHashStage:
             try:
                 return decode_jpeg(payload)
             except _DECODE_ERRORS:
-                pass  # progressive/arithmetic/corrupt: fall through to PIL/fake
+                pass  # arithmetic/lossless/corrupt: fall through to PIL/fake
         from imagededupx_ray.functions.gif import GIF_SIGNATURES, decode_gif
 
         if payload[:6] in GIF_SIGNATURES:
@@ -473,11 +475,16 @@ def synthetic_gif_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table
 
 def synthetic_mixed_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table:
     """The synthetic_raw_images corpus with codec rotating by index (PNG /
-    baseline JPEG / GIF / TIFF-LZW-or-PackBits) — one encode per image,
-    planted near-dup pairs frequently SPAN codecs (pixels match across the
-    split up to JPEG quantization)."""
+    JPEG in baseline, non-interleaved multi-scan AND progressive layouts /
+    GIF / TIFF-LZW-or-PackBits) — one encode per image, planted near-dup
+    pairs frequently SPAN codecs (pixels match across the split up to JPEG
+    quantization)."""
     from imagededupx_ray.functions.gif import encode_gif
-    from imagededupx_ray.functions.jpeg import encode_jpeg
+    from imagededupx_ray.functions.jpeg import (
+        encode_jpeg,
+        encode_jpeg_multiscan,
+        encode_jpeg_progressive,
+    )
     from imagededupx_ray.functions.png import encode_png
     from imagededupx_ray.functions.tiff import encode_tiff
     from imagededupx_ray.util import parallel_block_table
@@ -494,9 +501,17 @@ def synthetic_mixed_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Tab
             elif codec == 1:
                 if im.ndim == 2:
                     im = np.repeat(im[:, :, None], 3, axis=2)
-                payloads.append(
-                    encode_jpeg(im, quality=(85, 90, 95)[i % 3], subsample=i % 2 == 0)
-                )
+                q = (85, 90, 95)[i % 3]
+                # mostly baseline; every 4th JPEG alternates progressive /
+                # multi-scan so the exotic scan layouts decode in-band
+                # without the (8-scan) progressive decode dominating the wall
+                variant = (i // 4) % 4
+                enc = encode_jpeg
+                if variant == 1:
+                    enc = encode_jpeg_progressive
+                elif variant == 3:
+                    enc = encode_jpeg_multiscan
+                payloads.append(enc(im, quality=q, subsample=i % 2 == 0))
                 fmts.append("jpeg")
             elif codec == 2:
                 payloads.append(encode_gif(im, interlace=i % 2 == 0))

@@ -102,12 +102,12 @@ def test_marker_stream_structure():
     assert data[-2:] == b"\xff\xd9"
 
 
-def test_rejects_progressive_and_garbage():
+def test_rejects_arithmetic_and_garbage():
     img = _gradient_rgb(16, 16)
     data = bytearray(encode_jpeg(img))
     sof = data.index(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    data[sof + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(ValueError, match="arithmetic"):
         decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg at all")
@@ -172,33 +172,37 @@ def test_decode_stage_reads_jpeg_dimensions(ray_session):
         assert abs(row.mean_luma - float(to_grayscale(arr).mean())) < 1e-3
 
 
-def test_rejects_noninterleaved_multiscan():
-    """A baseline multi-scan file (one SOS per component) must raise at the
-    first partial-component SOS instead of silently decoding one scan —
-    callers then fall back exactly like they do for progressive."""
-    import struct
+@pytest.mark.parametrize("sub", [False, True])
+def test_multiscan_decodes_identical_to_baseline(sub):
+    """Baseline NON-interleaved multi-scan (one SOS per component, each scan
+    on the component's own ceil-grid) must decode bit-identically to the
+    interleaved baseline encode of the same image (same quantized
+    coefficients, different scan layout)."""
+    from imagededupx_ray.functions.jpeg import encode_jpeg_multiscan
 
-    import numpy as np
-    import pytest
+    img = _gradient_rgb(37, 53)
+    base = decode_jpeg(encode_jpeg(img, quality=90, subsample=sub))
+    data = encode_jpeg_multiscan(img, quality=90, subsample=sub)
+    assert data.count(b"\xff\xda") == 3  # one SOS per component
+    assert (decode_jpeg(data) == base).all()
 
-    from imagededupx_ray.functions.jpeg import decode_jpeg, encode_jpeg
 
-    img = np.random.default_rng(7).integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
-    data = bytearray(encode_jpeg(img, quality=90))
-    # find the SOS marker and rewrite its payload to claim a 1-component scan
-    pos = 2
-    while pos + 4 <= len(data):
-        marker = data[pos + 1]
-        (length,) = struct.unpack(">H", bytes(data[pos + 2 : pos + 4]))
-        if marker == 0xDA:
-            payload = data[pos + 4 : pos + 2 + length]
-            ns = payload[0]
-            assert ns == 3  # our encoder writes one interleaved scan
-            new_payload = bytes([1]) + bytes(payload[1:3]) + bytes(payload[-3:])
-            data[pos + 2 : pos + 2 + length] = (
-                struct.pack(">H", len(new_payload) + 2) + new_payload
-            )
-            break
-        pos += 2 + length
-    with pytest.raises(ValueError, match="multi-scan"):
-        decode_jpeg(bytes(data))
+@pytest.mark.parametrize("sub,al", [(False, 1), (True, 1), (False, 0)])
+def test_progressive_decodes_identical_to_baseline(sub, al):
+    """Progressive (SOF2, spectral selection + successive approximation:
+    DC first/refine, per-component AC first/refine with EOB runs) is a
+    lossless reordering of the baseline coefficients — decode must be
+    BIT-IDENTICAL to the baseline decode at the same quality."""
+    from imagededupx_ray.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(3)
+    for img in [
+        _gradient_rgb(48, 64),
+        rng.integers(0, 256, (41, 57, 3), dtype=np.uint8),
+        rng.integers(0, 256, (30, 22), dtype=np.uint8),  # grayscale
+    ]:
+        s = sub and img.ndim == 3
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsample=s))
+        data = encode_jpeg_progressive(img, quality=85, subsample=s, al=al)
+        assert b"\xff\xc2" in data  # SOF2
+        assert (decode_jpeg(data) == base).all()
