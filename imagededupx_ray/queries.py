@@ -524,14 +524,55 @@ def orders_per_customer(sf_dir: str):
     keys, not positional df.iloc like faiss_bert_similarity.py:175): the
     customer dimension table is small-side (``ray.put`` once, sorted-array
     searchsorted lookup inside map_batches over the distributed orders
-    aggregate) — no all-to-all shuffle, no per-partition aggregator actors."""
-    from ray.data.aggregate import Count, Sum
+    aggregate) — no per-partition aggregator actors. The per-customer
+    aggregate itself is ONE coarse-partition exchange + a segmented
+    lexsort/reduceat per partition (the repo's standard keyed-exchange
+    shape) instead of Ray's native sort-shuffle."""
+    p = _coarse_parts()
+    _AGG_SCHEMA = pa.schema(
+        [
+            ("o_custkey", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("total_spent", pa.float64()),
+        ]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ck_ = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_part": _coarse_part_col(ck_, p),
+                "o_custkey": pa.array(ck_, type=pa.int64()),
+                "o_totalprice": batch["o_totalprice"],
+            }
+        )
+
+    def agg_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _AGG_SCHEMA.empty_table()
+        ck_ = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tp = t["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        o = np.argsort(ck_, kind="stable")
+        ck_, tp = ck_[o], tp[o]
+        first = np.ones(len(ck_), dtype=bool)
+        first[1:] = ck_[1:] != ck_[:-1]
+        starts = np.flatnonzero(first)
+        return pa.table(
+            {
+                "o_custkey": pa.array(ck_[starts], type=pa.int64()),
+                "n_orders": pa.array(
+                    np.diff(np.append(starts, len(ck_))).astype(np.int64)
+                ),
+                "total_spent": pa.array(np.add.reduceat(tp, starts), type=pa.float64()),
+            }
+        )
 
     orders_agg = (
         _read(sf_dir, "orders")
         .select_columns(["o_custkey", "o_totalprice"])
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_spent"))
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(agg_part, batch_format="pyarrow")
     )
     cust_df = (
         _read(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"]).to_pandas()
