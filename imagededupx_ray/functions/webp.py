@@ -1,0 +1,1077 @@
+"""Dependency-free lossless-WebP (VP8L) decoder/encoder (stdlib + numpy).
+
+Closes the last codec-breadth gap next to functions/{png,jpeg,gif,tiff}.py
+(the reference's multi-format loader,
+/root/reference/similarities/similarities/utils/image_util.py:23-107,
+accepts WebP through PIL). Implements the public "WebP Lossless Bitstream
+Specification" in full on the decode side: RIFF/VP8X container walk, the
+LSB-first bit stream, simple and normal (code-length-coded) prefix codes
+with the canonical-code construction shared with DEFLATE, meta prefix
+codes via a recursively decoded entropy image, color cache, LZ77
+backward references with the 24-symbol length/distance prefix coding and
+the 120-entry two-dimensional distance map, and all four transforms
+applied inverse-in-reverse-read-order: PREDICTOR (all 14 modes, with the
+contiguous-buffer TR quirk on the rightmost column), COLOR (signed
+fixed-point cross-channel deltas), SUBTRACT_GREEN, and COLOR_INDEXING
+(palette delta accumulation + 1/2/4/8-bit packed index widths).
+
+Lossy VP8 payloads raise ValueError so callers fall through to the
+PIL/fake path exactly like arithmetic JPEG does (stages/multimodal.py).
+
+decode_webp: bytes -> uint8 (h, w, 3) RGB array (alpha composited away
+             is NOT performed; alpha plane is dropped after decode).
+encode_webp_lossless: uint8 array -> bytes — the test-vector generator
+             for every decoder path: optional subtract-green / fixed
+             predictor-mode / fixed color-transform / palette transforms,
+             optional color cache, and greedy run-length LZ77.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+RIFF_MAGIC = b"RIFF"
+WEBP_MAGIC = b"WEBP"
+VP8L_SIGNATURE_BYTE = 0x2F
+
+# transform types (spec section 3)
+_T_PREDICTOR = 0
+_T_COLOR = 1
+_T_SUBTRACT_GREEN = 2
+_T_COLOR_INDEXING = 3
+
+# order in which code-length-code lengths are transmitted (spec section 5.2.2)
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+_NUM_LITERALS = 256
+_NUM_LENGTH_CODES = 24
+_NUM_DISTANCE_CODES = 40
+_MAX_CODE_LENGTH = 15
+
+# 120-entry (xoffset, yoffset) neighborhood map for distance codes 1..120
+# (spec section 4.2.2); positive x points LEFT.
+_DISTANCE_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+_DISTANCE_MAP_INV = {xy: i + 1 for i, xy in enumerate(_DISTANCE_MAP)}
+
+
+def _subsample_size(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+# ---------------------------------------------------------------------------
+# bit I/O (LSB-first within bytes, spec section 2)
+# ---------------------------------------------------------------------------
+
+
+# 15-bit reversal table for LUT-indexed prefix decode (first-read bit of a
+# prefix code is its MSB, but the stream is LSB-first)
+_REV15 = np.zeros(1 << 15, dtype=np.uint16)
+for _i in range(15):
+    _REV15 |= (((np.arange(1 << 15) >> _i) & 1) << (14 - _i)).astype(np.uint16)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self._d = data + b"\x00" * 8  # padded for chunked peeks
+        self._nbits = len(data) * 8
+        self._pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        p = self._pos
+        self._pos = p + n
+        if self._pos > self._nbits:
+            raise ValueError("vp8l: truncated bit stream")
+        chunk = int.from_bytes(self._d[p >> 3 : (p >> 3) + 8], "little") >> (p & 7)
+        return chunk & ((1 << n) - 1)
+
+    def read_bit(self) -> int:
+        p = self._pos
+        self._pos = p + 1
+        if self._pos > self._nbits:
+            raise ValueError("vp8l: truncated bit stream")
+        return (self._d[p >> 3] >> (p & 7)) & 1
+
+    def peek15_rev(self) -> int:
+        """Next 15 bits (zero-padded past the end) as a prefix-LUT index:
+        first-read bit in the most-significant position."""
+        p = self._pos
+        chunk = int.from_bytes(self._d[p >> 3 : (p >> 3) + 4], "little") >> (p & 7)
+        return int(_REV15[chunk & 0x7FFF])
+
+    def skip(self, n: int) -> None:
+        self._pos += n
+        if self._pos > self._nbits:
+            raise ValueError("vp8l: truncated bit stream")
+
+
+class _BitWriter:
+    def __init__(self):
+        self._out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self._acc |= (value & ((1 << n) - 1)) << self._nbits
+        self._nbits += n
+        while self._nbits >= 8:
+            self._out.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._nbits -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        # prefix codes are read MSB-of-code first (DEFLATE convention)
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        out = bytes(self._out)
+        if self._nbits:
+            out += bytes([self._acc & 0xFF])
+        return out
+
+
+# ---------------------------------------------------------------------------
+# canonical prefix codes (shared construction, RFC1951-style; spec section 5)
+# ---------------------------------------------------------------------------
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for nonzero lengths, canonical order."""
+    max_len = max(lengths, default=0)
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    next_code = [0] * (max_len + 2)
+    code = 0
+    for ln in range(1, max_len + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    out: dict[int, tuple[int, int]] = {}
+    for sym, ln in enumerate(lengths):
+        if ln:
+            out[sym] = (next_code[ln], ln)
+            next_code[ln] += 1
+    return out
+
+
+class _PrefixDecoder:
+    """Bit-serial canonical prefix decoder; complete-code validation with
+    the spec's single-symbol zero-length-code special case."""
+
+    @classmethod
+    def from_explicit(cls, entries: list[tuple[int, int, int]]) -> "_PrefixDecoder":
+        """Build from explicit (code, length, symbol) triples — the simple
+        code form assigns codes in TRANSMISSION order, not canonical order."""
+        self = cls.__new__(cls)
+        if len(entries) == 1:
+            self._single = entries[0][2]
+            self._lut = None
+        else:
+            self._single = None
+            self._build_lut({sym: (code, ln) for code, ln, sym in entries})
+        return self
+
+    def __init__(self, lengths: list[int]):
+        nonzero = [(s, ln) for s, ln in enumerate(lengths) if ln]
+        if not nonzero:
+            raise ValueError("vp8l: empty prefix code")
+        if len(nonzero) == 1:
+            self._single = nonzero[0][0]
+            self._lut = None
+            return
+        kraft = sum(1 << (_MAX_CODE_LENGTH - ln) for _, ln in nonzero)
+        if max(ln for _, ln in nonzero) > _MAX_CODE_LENGTH or kraft != (
+            1 << _MAX_CODE_LENGTH
+        ):
+            raise ValueError("vp8l: invalid (incomplete/oversubscribed) code")
+        self._single = None
+        self._build_lut(_canonical_codes(lengths))
+
+    def _build_lut(self, codes: dict[int, tuple[int, int]]) -> None:
+        """Flat 2^15-entry table: every 15-bit window maps to
+        (symbol << 4) | code_length — one lookup decodes one symbol."""
+        lut = np.zeros(1 << _MAX_CODE_LENGTH, dtype=np.uint32)
+        for sym, (code, ln) in codes.items():
+            start = code << (_MAX_CODE_LENGTH - ln)
+            lut[start : start + (1 << (_MAX_CODE_LENGTH - ln))] = (sym << 4) | ln
+        self._lut = lut
+
+    def decode(self, br: _BitReader) -> int:
+        if self._single is not None:
+            return self._single
+        v = int(self._lut[br.peek15_rev()])
+        ln = v & 0xF
+        if ln == 0:
+            raise ValueError("vp8l: bad prefix code bits")
+        br.skip(ln)
+        return v >> 4
+
+
+def _read_code_lengths(br: _BitReader, cl_lengths: list[int], n: int) -> list[int]:
+    """Second-stage symbol code lengths via the code-length code with
+    16/17/18 repeats and the optional max_symbol cutoff (spec 5.2.2)."""
+    cl_dec = _PrefixDecoder(cl_lengths)
+    if br.read_bit():  # use length / max_symbol
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = n
+    lengths = [0] * n
+    symbol = 0
+    prev_len = 8
+    while symbol < n:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code_len = cl_dec.decode(br)
+        if code_len < 16:
+            lengths[symbol] = code_len
+            symbol += 1
+            if code_len:
+                prev_len = code_len
+        else:
+            if code_len == 16:
+                repeat, value = 3 + br.read(2), prev_len
+            elif code_len == 17:
+                repeat, value = 3 + br.read(3), 0
+            else:
+                repeat, value = 11 + br.read(7), 0
+            if symbol + repeat > n:
+                raise ValueError("vp8l: code-length repeat overflows alphabet")
+            for _ in range(repeat):
+                lengths[symbol] = value
+                symbol += 1
+    return lengths
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixDecoder:
+    if br.read_bit():  # simple code: 1-2 symbols (spec 5.2.1)
+        num_symbols = br.read(1) + 1
+        first_8bits = br.read_bit()
+        sym0 = br.read(8 if first_8bits else 1)
+        if sym0 >= alphabet_size:
+            raise ValueError("vp8l: simple-code symbol out of range")
+        entries = [(0, 1, sym0)]
+        if num_symbols == 2:
+            sym1 = br.read(8)
+            if sym1 >= alphabet_size:
+                raise ValueError("vp8l: simple-code symbol out of range")
+            entries.append((1, 1, sym1))
+        else:
+            entries = [(0, 0, sym0)]
+        return _PrefixDecoder.from_explicit(entries)
+    num_cl = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = br.read(3)
+    return _PrefixDecoder(_read_code_lengths(br, cl_lengths, alphabet_size))
+
+
+# ---------------------------------------------------------------------------
+# LZ77 prefix coding helpers (spec 4.2.1)
+# ---------------------------------------------------------------------------
+
+
+def _read_prefix_coded_value(br: _BitReader, prefix_code: int) -> int:
+    if prefix_code < 4:
+        return prefix_code + 1
+    extra_bits = (prefix_code - 2) >> 1
+    offset = (2 + (prefix_code & 1)) << extra_bits
+    return offset + br.read(extra_bits) + 1
+
+
+def _prefix_encode_value(value: int) -> tuple[int, int, int]:
+    """value (>=1) -> (prefix_code, extra_bits_value, extra_bits_count)."""
+    if value <= 4:
+        return value - 1, 0, 0
+    v = value - 1
+    highest = v.bit_length() - 1
+    second = (v >> (highest - 1)) & 1
+    code = 2 * highest + second
+    extra_bits = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra_bits
+    return code, value - offset - 1, extra_bits
+
+
+def _plane_code_to_distance(xsize: int, plane_code: int) -> int:
+    if plane_code > 120:
+        return plane_code - 120
+    xoff, yoff = _DISTANCE_MAP[plane_code - 1]
+    dist = yoff * xsize + xoff
+    return dist if dist >= 1 else 1
+
+
+def _cache_key(argb: int, cache_bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def _decode_image_stream(
+    br: _BitReader, width: int, height: int, is_level0: bool
+) -> tuple[np.ndarray, list]:
+    """Decode one spatially-coded image; returns (argb uint32 flat array of
+    length w*h in scan order at the REDUCED width, transforms list of
+    (type, data, xsize_at_read) in read order; empty unless level0)."""
+    transforms: list = []
+    xsize = width
+    if is_level0:
+        seen: set[int] = set()
+        while br.read_bit():
+            ttype = br.read(2)
+            if ttype in seen:
+                raise ValueError("vp8l: duplicate transform")
+            seen.add(ttype)
+            if ttype == _T_PREDICTOR or ttype == _T_COLOR:
+                size_bits = br.read(3) + 2
+                sub_w = _subsample_size(xsize, size_bits)
+                sub_h = _subsample_size(height, size_bits)
+                sub, _ = _decode_image_stream(br, sub_w, sub_h, False)
+                transforms.append((ttype, (size_bits, sub), xsize))
+            elif ttype == _T_SUBTRACT_GREEN:
+                transforms.append((ttype, None, xsize))
+            else:  # COLOR_INDEXING
+                num_colors = br.read(8) + 1
+                raw_palette, _ = _decode_image_stream(br, num_colors, 1, False)
+                # palette entries are component-wise deltas off the previous
+                palette = np.zeros(num_colors, dtype=np.uint32)
+                prev = np.zeros(4, dtype=np.uint32)
+                for i in range(num_colors):
+                    p = raw_palette[i]
+                    comps = (
+                        (prev + np.array(
+                            [p >> 24, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF],
+                            dtype=np.uint32,
+                        ))
+                        & 0xFF
+                    )
+                    palette[i] = (
+                        (int(comps[0]) << 24)
+                        | (int(comps[1]) << 16)
+                        | (int(comps[2]) << 8)
+                        | int(comps[3])
+                    )
+                    prev = comps
+                if num_colors <= 2:
+                    width_bits = 3
+                elif num_colors <= 4:
+                    width_bits = 2
+                elif num_colors <= 16:
+                    width_bits = 1
+                else:
+                    width_bits = 0
+                transforms.append((ttype, (width_bits, palette), xsize))
+                xsize = _subsample_size(xsize, width_bits)
+
+    cache_bits = 0
+    if br.read_bit():
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("vp8l: bad color-cache size")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    # meta prefix codes (entropy image) — top-level ARGB image only
+    entropy_img = None
+    huffman_bits = 0
+    entropy_w = 0
+    num_groups = 1
+    if is_level0 and br.read_bit():
+        huffman_bits = br.read(3) + 2
+        entropy_w = _subsample_size(xsize, huffman_bits)
+        entropy_h = _subsample_size(height, huffman_bits)
+        entropy_img, _ = _decode_image_stream(br, entropy_w, entropy_h, False)
+        meta_codes = ((entropy_img >> 16) & 0xFF) << 8 | ((entropy_img >> 8) & 0xFF)
+        num_groups = int(meta_codes.max()) + 1
+        entropy_img = meta_codes
+    green_alpha = _NUM_LITERALS + _NUM_LENGTH_CODES + cache_size
+    groups = []
+    for _ in range(num_groups):
+        groups.append(
+            (
+                _read_prefix_code(br, green_alpha),
+                _read_prefix_code(br, _NUM_LITERALS),  # red
+                _read_prefix_code(br, _NUM_LITERALS),  # blue
+                _read_prefix_code(br, _NUM_LITERALS),  # alpha
+                _read_prefix_code(br, _NUM_DISTANCE_CODES),
+            )
+        )
+
+    n = xsize * height
+    out = np.zeros(n, dtype=np.uint32)
+    cache = [0] * cache_size
+    pos = 0
+    group = groups[0]
+    single_group = num_groups == 1 and entropy_img is None
+    while pos < n:
+        if not single_group:
+            x, y = pos % xsize, pos // xsize
+            group = groups[
+                int(entropy_img[(y >> huffman_bits) * entropy_w + (x >> huffman_bits)])
+            ]
+        g_dec, r_dec, b_dec, a_dec, d_dec = group
+        s = g_dec.decode(br)
+        if s < _NUM_LITERALS:
+            red = r_dec.decode(br)
+            blue = b_dec.decode(br)
+            alpha = a_dec.decode(br)
+            pix = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = pix
+            if cache_size:
+                cache[_cache_key(pix, cache_bits)] = pix
+            pos += 1
+        elif s < _NUM_LITERALS + _NUM_LENGTH_CODES:
+            length = _read_prefix_coded_value(br, s - _NUM_LITERALS)
+            dist_prefix = d_dec.decode(br)
+            dist_code = _read_prefix_coded_value(br, dist_prefix)
+            dist = _plane_code_to_distance(xsize, dist_code)
+            if dist > pos or pos + length > n:
+                raise ValueError("vp8l: backward reference out of range")
+            for _ in range(length):
+                pix = int(out[pos - dist])
+                out[pos] = pix
+                if cache_size:
+                    cache[_cache_key(pix, cache_bits)] = pix
+                pos += 1
+        else:
+            idx = s - _NUM_LITERALS - _NUM_LENGTH_CODES
+            if idx >= cache_size:
+                raise ValueError("vp8l: color-cache symbol out of range")
+            pix = cache[idx]
+            out[pos] = pix
+            pos += 1
+    return out, transforms
+
+
+def _avg2(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) & 0xFF) + ((b >> 24) & 0xFF)) >> 1) << 24
+        | ((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) >> 1) << 16
+        | ((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) >> 1) << 8
+        | ((a & 0xFF) + (b & 0xFF)) >> 1
+    )
+
+
+def _clamp(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _select(left: int, top: int, top_left: int) -> int:
+    p_l = 0
+    p_t = 0
+    for sh in (24, 16, 8, 0):
+        lc = (left >> sh) & 0xFF
+        tc = (top >> sh) & 0xFF
+        tlc = (top_left >> sh) & 0xFF
+        pred = lc + tc - tlc
+        p_l += abs(pred - lc)
+        p_t += abs(pred - tc)
+    return left if p_l < p_t else top
+
+
+def _clamp_add_subtract_full(a: int, b: int, c: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        out |= _clamp(((a >> sh) & 0xFF) + ((b >> sh) & 0xFF) - ((c >> sh) & 0xFF)) << sh
+    return out
+
+
+def _clamp_add_subtract_half(a: int, c: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        av = (a >> sh) & 0xFF
+        cv = (c >> sh) & 0xFF
+        d = av - cv
+        # C truncating division (toward zero) per the spec pseudo-code
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        out |= _clamp(av + half) << sh
+    return out
+
+
+def _predict(mode: int, data: np.ndarray, pos: int, xsize: int) -> int:
+    """Predictor value for pixel at flat ``pos`` using already-reconstructed
+    neighbors in the contiguous buffer — TR of the rightmost column is the
+    first pixel of the current row by construction (spec note)."""
+    left = int(data[pos - 1])
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    top = int(data[pos - xsize])
+    if mode == 2:
+        return top
+    top_right = int(data[pos - xsize + 1])
+    if mode == 3:
+        return top_right
+    top_left = int(data[pos - xsize - 1])
+    if mode == 4:
+        return top_left
+    if mode == 5:
+        return _avg2(_avg2(left, top_right), top)
+    if mode == 6:
+        return _avg2(left, top_left)
+    if mode == 7:
+        return _avg2(left, top)
+    if mode == 8:
+        return _avg2(top_left, top)
+    if mode == 9:
+        return _avg2(top, top_right)
+    if mode == 10:
+        return _avg2(_avg2(left, top_left), _avg2(top, top_right))
+    if mode == 11:
+        return _select(left, top, top_left)
+    if mode == 12:
+        return _clamp_add_subtract_full(left, top, top_left)
+    if mode == 13:
+        return _clamp_add_subtract_half(_avg2(left, top), top_left)
+    raise ValueError("vp8l: bad predictor mode")
+
+
+def _add_pixels(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) & 0xFF) + ((b >> 24) & 0xFF)) & 0xFF) << 24
+        | ((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) & 0xFF) << 16
+        | ((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) & 0xFF) << 8
+        | (((a & 0xFF) + (b & 0xFF)) & 0xFF)
+    )
+
+
+def _color_delta(t: int, c: int) -> int:
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def _inverse_predictor(data: np.ndarray, w: int, h: int, size_bits: int, sub: np.ndarray) -> None:
+    sub_w = _subsample_size(w, size_bits)
+    for y in range(h):
+        row_base = y * w
+        sub_row = (y >> size_bits) * sub_w
+        for x in range(w):
+            pos = row_base + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(data[pos - 1])  # L
+            elif x == 0:
+                pred = int(data[pos - w])  # T
+            else:
+                mode = (int(sub[sub_row + (x >> size_bits)]) >> 8) & 0xFF
+                pred = _predict(mode, data, pos, w)
+            data[pos] = _add_pixels(int(data[pos]), pred)
+
+
+def _inverse_color_transform(data: np.ndarray, w: int, h: int, size_bits: int, sub: np.ndarray) -> None:
+    sub_w = _subsample_size(w, size_bits)
+    for y in range(h):
+        sub_row = (y >> size_bits) * sub_w
+        for x in range(w):
+            cte = int(sub[sub_row + (x >> size_bits)])
+            g2r = cte & 0xFF  # blue channel of the transform pixel
+            g2b = (cte >> 8) & 0xFF  # green channel
+            r2b = (cte >> 16) & 0xFF  # red channel
+            pix = int(data[y * w + x])
+            green = (pix >> 8) & 0xFF
+            red = ((pix >> 16) & 0xFF) + _color_delta(g2r, green)
+            red &= 0xFF
+            blue = (pix & 0xFF) + _color_delta(g2b, green) + _color_delta(r2b, red)
+            blue &= 0xFF
+            data[y * w + x] = (pix & 0xFF00FF00) | (red << 16) | blue
+
+
+def _inverse_subtract_green(data: np.ndarray) -> None:
+    green = (data >> 8) & 0xFF
+    red = ((data >> 16) & 0xFF) + green
+    blue = (data & 0xFF) + green
+    data[:] = (data & 0xFF00FF00) | ((red & 0xFF) << 16) | (blue & 0xFF)
+
+
+def _inverse_color_indexing(
+    data: np.ndarray, w: int, h: int, width_bits: int, palette: np.ndarray
+) -> np.ndarray:
+    if width_bits == 0:
+        idx = (data >> 8) & 0xFF
+        safe = np.where(idx < len(palette), idx, 0)
+        out = palette[safe]
+        out[idx >= len(palette)] = 0
+        return out
+    packed_w = _subsample_size(w, width_bits)
+    pixels_per_byte = 1 << width_bits
+    bits_per_pixel = 8 >> width_bits
+    mask = (1 << bits_per_pixel) - 1
+    greens = ((data >> 8) & 0xFF).reshape(h, packed_w)
+    xs = np.arange(w)
+    shifts = (xs % pixels_per_byte) * bits_per_pixel
+    idx = (greens[:, xs // pixels_per_byte] >> shifts[None, :]) & mask
+    idx = idx.reshape(-1)
+    safe = np.where(idx < len(palette), idx, 0)
+    out = palette[safe]
+    out[idx >= len(palette)] = 0
+    return out
+
+
+def decode_vp8l(payload: bytes) -> np.ndarray:
+    """Decode a raw VP8L stream (no RIFF container) -> uint8 (h, w, 3)."""
+    if not payload or payload[0] != VP8L_SIGNATURE_BYTE:
+        raise ValueError("vp8l: bad signature byte")
+    br = _BitReader(payload[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("vp8l: unsupported version")
+    if w * h > 1 << 22:
+        # bit-serial pure-python decode; oversized payloads fall through to
+        # the PIL/fake path like the other stdlib codecs' unsupported modes
+        raise ValueError("vp8l: image too large for pure-python decode")
+    data, transforms = _decode_image_stream(br, w, h, True)
+    # apply inverse transforms in reverse read order; COLOR_INDEXING
+    # restores the full width recorded at its read time
+    for ttype, tdata, xsize in reversed(transforms):
+        if ttype == _T_COLOR_INDEXING:
+            width_bits, palette = tdata
+            data = _inverse_color_indexing(data, xsize, h, width_bits, palette)
+        elif ttype == _T_SUBTRACT_GREEN:
+            _inverse_subtract_green(data)
+        elif ttype == _T_COLOR:
+            size_bits, sub = tdata
+            _inverse_color_transform(data, xsize, h, size_bits, sub)
+        else:  # PREDICTOR
+            size_bits, sub = tdata
+            _inverse_predictor(data, xsize, h, size_bits, sub)
+    rgb = np.empty((h * w, 3), dtype=np.uint8)
+    rgb[:, 0] = (data >> 16) & 0xFF
+    rgb[:, 1] = (data >> 8) & 0xFF
+    rgb[:, 2] = data & 0xFF
+    return rgb.reshape(h, w, 3)
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """Decode a WebP file (RIFF container; VP8L directly or inside VP8X).
+    Lossy 'VP8 ' payloads raise ValueError (no lossy decoder here)."""
+    if len(payload) < 12 or payload[:4] != RIFF_MAGIC or payload[8:12] != WEBP_MAGIC:
+        raise ValueError("webp: not a RIFF/WEBP container")
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8L":
+            return decode_vp8l(body)
+        if fourcc == b"VP8 ":
+            raise ValueError("webp: lossy VP8 not supported")
+        pos += 8 + size + (size & 1)
+    raise ValueError("webp: no VP8L chunk found")
+
+
+def is_webp(payload: bytes) -> bool:
+    return len(payload) >= 12 and payload[:4] == RIFF_MAGIC and payload[8:12] == WEBP_MAGIC
+
+
+# ---------------------------------------------------------------------------
+# encoder (test-vector generator)
+# ---------------------------------------------------------------------------
+
+
+def _balanced_lengths(used: list[int], alphabet_size: int) -> list[int]:
+    """Complete canonical code over the used symbol set: with n symbols and
+    L = ceil(log2 n), the first (2^L - n) symbols get length L-1 and the
+    rest length L (Kraft sum exactly 1)."""
+    n = len(used)
+    lengths = [0] * alphabet_size
+    if n == 1:
+        lengths[used[0]] = 1  # caller handles the single-symbol form
+        return lengths
+    ln = max(1, (n - 1).bit_length())
+    n_short = (1 << ln) - n
+    for i, sym in enumerate(sorted(used)):
+        lengths[sym] = ln - 1 if i < n_short else ln
+    return lengths
+
+
+def _write_prefix_code(
+    bw: _BitWriter, lengths: list[int]
+) -> dict[int, tuple[int, int]]:
+    """Emit one prefix-code description; returns symbol -> (code, len)."""
+    used = [s for s, ln in enumerate(lengths) if ln]
+    if 1 <= len(used) <= 2 and all(s < 256 for s in used):
+        bw.write(1, 1)  # simple code
+        bw.write(len(used) - 1, 1)
+        first = used[0]
+        if first < 2:
+            bw.write(0, 1)
+            bw.write(first, 1)
+        else:
+            bw.write(1, 1)
+            bw.write(first, 8)
+        if len(used) == 2:
+            bw.write(used[1], 8)
+        if len(used) == 1:
+            return {used[0]: (0, 0)}
+        return {used[0]: (0, 1), used[1]: (1, 1)}
+    bw.write(0, 1)  # normal code
+    # run-length the symbol lengths into code-length-code symbols
+    events: list[tuple[int, int, int]] = []  # (cl_symbol, extra_value, extra_bits)
+    i = 0
+    n = len(lengths)
+    while i < n:
+        if lengths[i] == 0:
+            j = i
+            while j < n and lengths[j] == 0:
+                j += 1
+            run = j - i
+            while run >= 3:
+                if run >= 11:
+                    take = min(run, 138)
+                    events.append((18, take - 11, 7))
+                else:
+                    take = min(run, 10)
+                    events.append((17, take - 3, 3))
+                run -= take
+            for _ in range(run):
+                events.append((0, 0, 0))
+            i = j
+        else:
+            events.append((lengths[i], 0, 0))
+            i += 1
+    # events must cover the FULL alphabet: without the max_symbol shortcut
+    # the decoder keeps reading code-length symbols until every alphabet
+    # slot is filled, so a dropped tail would desynchronize the stream
+    cl_used = sorted({e[0] for e in events})
+    cl_lengths = _balanced_lengths(cl_used, 19)
+    num_cl = max(
+        4, max((i + 1 for i, sym in enumerate(_CL_ORDER) if cl_lengths[sym]), default=4)
+    )
+    bw.write(num_cl - 4, 4)
+    for i in range(num_cl):
+        bw.write(cl_lengths[_CL_ORDER[i]], 3)
+    bw.write(0, 1)  # no max_symbol shortcut
+    cl_codes = _canonical_codes(cl_lengths)
+    for sym, extra_val, extra_bits in events:
+        if len(cl_used) > 1:
+            code, ln = cl_codes[sym]
+            bw.write_code(code, ln)
+        # single-symbol code-length code consumes zero bits per symbol
+        if extra_bits:
+            bw.write(extra_val, extra_bits)
+    return _canonical_codes(lengths)
+
+
+def _emit_symbol(bw: _BitWriter, codes: dict[int, tuple[int, int]], sym: int) -> None:
+    code, ln = codes[sym]
+    if ln:
+        bw.write_code(code, ln)
+
+
+def _tokenize_pixels(
+    argb: np.ndarray, xsize: int, cache_bits: int, use_lz77: bool
+) -> list[tuple]:
+    """Greedy tokens: ('lit', pix) / ('cache', idx) / ('copy', length, dist).
+    Backrefs use dist=1 runs and row-above (dist=xsize) matches."""
+    n = len(argb)
+    tokens: list[tuple] = []
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [None] * cache_size
+
+    def _insert(pix: int) -> None:
+        if cache_size:
+            cache[_cache_key(pix, cache_bits)] = pix
+
+    pos = 0
+    while pos < n:
+        if use_lz77 and pos >= 1 and argb[pos] == argb[pos - 1]:
+            dist = 1
+        elif use_lz77 and pos >= xsize and argb[pos] == argb[pos - xsize]:
+            dist = xsize
+        else:
+            dist = 0
+        if dist:
+            length = 1
+            while (
+                pos + length < n
+                and length < 4096
+                and argb[pos + length] == argb[pos + length - dist]
+            ):
+                length += 1
+            if length >= 3:
+                for k in range(length):
+                    _insert(int(argb[pos + k]))
+                tokens.append(("copy", length, dist))
+                pos += length
+                continue
+        pix = int(argb[pos])
+        if cache_size:
+            key = _cache_key(pix, cache_bits)
+            if cache[key] == pix:
+                tokens.append(("cache", key))
+                pos += 1
+                continue
+        tokens.append(("lit", pix))
+        _insert(pix)
+        pos += 1
+    return tokens
+
+
+def _encode_image_stream(
+    bw: _BitWriter,
+    argb: np.ndarray,
+    xsize: int,
+    cache_bits: int = 0,
+    use_lz77: bool = True,
+    is_level0: bool = False,
+) -> None:
+    """Encode one spatially-coded image (no transforms at this level):
+    color-cache flag, one prefix-code group, tokens. The meta-prefix bit
+    exists ONLY at the top (ARGB) level — sub-images have no such field."""
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    if is_level0:
+        bw.write(0, 1)  # no meta prefix codes
+    tokens = _tokenize_pixels(argb, xsize, cache_bits, use_lz77)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green_alpha = _NUM_LITERALS + _NUM_LENGTH_CODES + cache_size
+    g_used: set[int] = set()
+    r_used: set[int] = set()
+    b_used: set[int] = set()
+    a_used: set[int] = set()
+    d_used: set[int] = set()
+    for t in tokens:
+        if t[0] == "lit":
+            pix = t[1]
+            g_used.add((pix >> 8) & 0xFF)
+            r_used.add((pix >> 16) & 0xFF)
+            b_used.add(pix & 0xFF)
+            a_used.add((pix >> 24) & 0xFF)
+        elif t[0] == "cache":
+            g_used.add(_NUM_LITERALS + _NUM_LENGTH_CODES + t[1])
+        else:
+            _, length, dist = t
+            g_used.add(_NUM_LITERALS + _prefix_encode_value(length)[0])
+            d_used.add(_prefix_encode_value(dist + 120)[0])
+    # every decoder group needs all five codes present; default fillers
+    if not g_used:
+        g_used.add(0)
+    for su in (r_used, b_used, a_used):
+        if not su:
+            su.add(0)
+    if not d_used:
+        d_used.add(0)
+    g_codes = _write_prefix_code(bw, _balanced_lengths(sorted(g_used), green_alpha))
+    r_codes = _write_prefix_code(bw, _balanced_lengths(sorted(r_used), _NUM_LITERALS))
+    b_codes = _write_prefix_code(bw, _balanced_lengths(sorted(b_used), _NUM_LITERALS))
+    a_codes = _write_prefix_code(bw, _balanced_lengths(sorted(a_used), _NUM_LITERALS))
+    d_codes = _write_prefix_code(
+        bw, _balanced_lengths(sorted(d_used), _NUM_DISTANCE_CODES)
+    )
+    for t in tokens:
+        if t[0] == "lit":
+            pix = t[1]
+            _emit_symbol(bw, g_codes, (pix >> 8) & 0xFF)
+            _emit_symbol(bw, r_codes, (pix >> 16) & 0xFF)
+            _emit_symbol(bw, b_codes, pix & 0xFF)
+            _emit_symbol(bw, a_codes, (pix >> 24) & 0xFF)
+        elif t[0] == "cache":
+            _emit_symbol(bw, g_codes, _NUM_LITERALS + _NUM_LENGTH_CODES + t[1])
+        else:
+            _, length, dist = t
+            lcode, lextra, lbits = _prefix_encode_value(length)
+            _emit_symbol(bw, g_codes, _NUM_LITERALS + lcode)
+            if lbits:
+                bw.write(lextra, lbits)
+            dcode, dextra, dbits = _prefix_encode_value(dist + 120)
+            _emit_symbol(bw, d_codes, dcode)
+            if dbits:
+                bw.write(dextra, dbits)
+
+
+def _forward_predictor(
+    argb: np.ndarray, w: int, h: int, size_bits: int, mode: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Residuals for a constant predictor mode + the mode sub-image."""
+    recon = argb.copy()
+    resid = np.zeros_like(argb)
+    for y in range(h):
+        for x in range(w):
+            pos = y * w + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(recon[pos - 1])
+            elif x == 0:
+                pred = int(recon[pos - w])
+            else:
+                pred = _predict(mode, recon, pos, w)
+            cur = int(argb[pos])
+            resid[pos] = (
+                ((((cur >> 24) - (pred >> 24)) & 0xFF) << 24)
+                | (((((cur >> 16) & 0xFF) - ((pred >> 16) & 0xFF)) & 0xFF) << 16)
+                | (((((cur >> 8) & 0xFF) - ((pred >> 8) & 0xFF)) & 0xFF) << 8)
+                | (((cur & 0xFF) - (pred & 0xFF)) & 0xFF)
+            )
+    sub_w = _subsample_size(w, size_bits)
+    sub_h = _subsample_size(h, size_bits)
+    sub = np.full(sub_w * sub_h, 0xFF000000 | (mode << 8), dtype=np.uint32)
+    return resid, sub
+
+
+def encode_webp_lossless(
+    img: np.ndarray,
+    subtract_green: bool = False,
+    predictor_mode: int | None = None,
+    color_transform: tuple[int, int, int] | None = None,
+    palette: bool = False,
+    cache_bits: int = 0,
+    use_lz77: bool = True,
+) -> bytes:
+    """Encode uint8 gray (h, w) or RGB (h, w, 3) losslessly as WebP/VP8L.
+
+    Options select which decoder paths the stream exercises: SUBTRACT_GREEN,
+    a constant-mode PREDICTOR transform (any of the 14 modes), a constant
+    COLOR transform (green_to_red, green_to_blue, red_to_blue), palette
+    COLOR_INDEXING with packed index widths, a color cache, and greedy
+    run-length LZ77 backward references."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("webp encoder expects uint8 (h, w) or (h, w, 3)")
+    h, w = img.shape[:2]
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("webp: dimensions out of range")
+    flat = img.reshape(-1, 3).astype(np.uint32)
+    argb = (
+        np.uint32(0xFF000000) | (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
+    ).astype(np.uint32)
+
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # no alpha
+    bw.write(0, 3)  # version
+
+    xsize = w
+    if palette:
+        colors, inverse = np.unique(argb, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError("webp: palette encode needs <=256 distinct colors")
+        bw.write(1, 1)
+        bw.write(_T_COLOR_INDEXING, 2)
+        bw.write(len(colors) - 1, 8)
+        # palette sub-image: component-wise delta off the previous entry
+        deltas = np.zeros(len(colors), dtype=np.uint32)
+        prev = 0
+        for i, c in enumerate(colors):
+            c = int(c)
+            deltas[i] = (
+                ((((c >> 24) - (prev >> 24)) & 0xFF) << 24)
+                | (((((c >> 16) & 0xFF) - ((prev >> 16) & 0xFF)) & 0xFF) << 16)
+                | (((((c >> 8) & 0xFF) - ((prev >> 8) & 0xFF)) & 0xFF) << 8)
+                | (((c & 0xFF) - (prev & 0xFF)) & 0xFF)
+            )
+            prev = c
+        _encode_image_stream(bw, deltas, len(colors), use_lz77=False)
+        if len(colors) <= 2:
+            width_bits = 3
+        elif len(colors) <= 4:
+            width_bits = 2
+        elif len(colors) <= 16:
+            width_bits = 1
+        else:
+            width_bits = 0
+        idx = inverse.reshape(h, w).astype(np.uint32)
+        if width_bits:
+            packed_w = _subsample_size(w, width_bits)
+            pixels_per_byte = 1 << width_bits
+            bits_per_pixel = 8 >> width_bits
+            packed = np.zeros((h, packed_w), dtype=np.uint32)
+            for x in range(w):
+                packed[:, x // pixels_per_byte] |= idx[:, x] << (
+                    (x % pixels_per_byte) * bits_per_pixel
+                )
+            greens = packed.reshape(-1)
+            xsize = packed_w
+        else:
+            greens = idx.reshape(-1)
+        argb = (np.uint32(0xFF000000) | (greens << 8)).astype(np.uint32)
+    else:
+        if predictor_mode is not None:
+            if not 0 <= predictor_mode <= 13:
+                raise ValueError("webp: predictor mode out of range")
+            size_bits = 4
+            # forward transforms apply in reverse of the signaled order at
+            # decode time; signal PREDICTOR first so it is inverted LAST
+            bw.write(1, 1)
+            bw.write(_T_PREDICTOR, 2)
+            bw.write(size_bits - 2, 3)
+            resid, sub = _forward_predictor(argb, w, h, size_bits, predictor_mode)
+            _encode_image_stream(bw, sub, _subsample_size(w, size_bits), use_lz77=False)
+            argb = resid
+        if color_transform is not None:
+            g2r, g2b, r2b = (v & 0xFF for v in color_transform)
+            size_bits = 4
+            bw.write(1, 1)
+            bw.write(_T_COLOR, 2)
+            bw.write(size_bits - 2, 3)
+            sub_w = _subsample_size(w, size_bits)
+            sub_h = _subsample_size(h, size_bits)
+            cte = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+            _encode_image_stream(
+                bw, np.full(sub_w * sub_h, cte, dtype=np.uint32), sub_w, use_lz77=False
+            )
+            # forward: subtract the deltas the decoder will add back
+            out = argb.copy()
+            for i in range(len(out)):
+                pix = int(out[i])
+                green = (pix >> 8) & 0xFF
+                red_orig = (pix >> 16) & 0xFF
+                # the decoder adds d(r2b, red) with red already RESTORED, so
+                # the forward pass must subtract d(r2b, original red)
+                red = (red_orig - _color_delta(g2r, green)) & 0xFF
+                blue = (
+                    (pix & 0xFF)
+                    - _color_delta(g2b, green)
+                    - _color_delta(r2b, red_orig)
+                ) & 0xFF
+                out[i] = (pix & 0xFF00FF00) | (red << 16) | blue
+            argb = out
+        if subtract_green:
+            bw.write(1, 1)
+            bw.write(_T_SUBTRACT_GREEN, 2)
+            green = (argb >> 8) & 0xFF
+            red = (((argb >> 16) & 0xFF) - green) & 0xFF
+            blue = ((argb & 0xFF) - green) & 0xFF
+            argb = (argb & np.uint32(0xFF00FF00)) | (red << 16) | blue
+    bw.write(0, 1)  # end of transforms
+    _encode_image_stream(
+        bw, argb, xsize, cache_bits=cache_bits, use_lz77=use_lz77, is_level0=True
+    )
+
+    payload = bytes([VP8L_SIGNATURE_BYTE]) + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return RIFF_MAGIC + struct.pack("<I", 4 + len(chunk)) + WEBP_MAGIC + chunk

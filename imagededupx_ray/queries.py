@@ -1386,9 +1386,9 @@ def image_perceptual_hashes(sf_dir: str):
 
 
 def _mixed_codec_dataset(n: int, n_blocks: int = 16):
-    """PNG / baseline-JPEG / GIF rotating by index over the SAME raster
-    corpus (one encode per image — every driver run exercises all three
-    real stdlib codecs, and planted near-dup pairs span codecs), pre-split
+    """PNG / JPEG / GIF / TIFF / WebP rotating by index over the SAME
+    raster corpus (one encode per image — every driver run exercises all
+    five real stdlib codecs, and planted near-dup pairs span codecs), pre-split
     into Dataset blocks so the actor-pool hash stage parallelizes from the
     first batch. The encoded corpus is /tmp-cached by generation key (the
     pure-python encoders dominate the query wall otherwise); decode — the
@@ -1396,11 +1396,11 @@ def _mixed_codec_dataset(n: int, n_blocks: int = 16):
     from imagededupx_ray.stages.multimodal import synthetic_mixed_images
     from imagededupx_ray.util import cached_corpus_ds
 
-    # v4: 4-codec rotation (PNG / JPEG baseline+progressive+multiscan /
-    # GIF / TIFF); the key encodes the generation recipe so stale caches
-    # never serve
+    # v5: 5-codec rotation (PNG / JPEG baseline+progressive+multiscan /
+    # GIF / TIFF / lossless WebP); the key encodes the generation recipe so
+    # stale caches never serve
     return cached_corpus_ds(
-        f"mixed_images_n{n}_s42_d5_v4", lambda: synthetic_mixed_images(n), n_blocks
+        f"mixed_images_n{n}_s42_d5_v5", lambda: synthetic_mixed_images(n), n_blocks
     )
 
 

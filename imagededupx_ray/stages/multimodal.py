@@ -123,6 +123,13 @@ class ImageDecodeStage:
                 arr = decode_tiff(payload)
             except _DECODE_ERRORS:
                 arr = None  # tiled/16-bit/palette: PIL/fake path
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from imagededupx_ray.functions.webp import decode_webp
+
+            try:
+                arr = decode_webp(payload)
+            except _DECODE_ERRORS:
+                arr = None  # lossy VP8/corrupt: PIL/fake path
         if arr is not None:
             from imagededupx_ray.functions.imagehash import to_grayscale
 
@@ -295,6 +302,13 @@ class PerceptualHashStage:
                 return decode_tiff(payload)
             except _DECODE_ERRORS:
                 pass  # tiled/16-bit/palette: fall through to PIL/fake
+        from imagededupx_ray.functions.webp import decode_webp, is_webp
+
+        if is_webp(payload):
+            try:
+                return decode_webp(payload)
+            except _DECODE_ERRORS:
+                pass  # lossy VP8/corrupt: fall through to PIL/fake
         if self._pil is not None:
             import io
 
@@ -476,9 +490,9 @@ def synthetic_gif_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table
 def synthetic_mixed_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table:
     """The synthetic_raw_images corpus with codec rotating by index (PNG /
     JPEG in baseline, non-interleaved multi-scan AND progressive layouts /
-    GIF / TIFF-LZW-or-PackBits) — one encode per image, planted near-dup
-    pairs frequently SPAN codecs (pixels match across the split up to JPEG
-    quantization)."""
+    GIF / TIFF-LZW-or-PackBits / lossless WebP with rotating transforms) —
+    one encode per image, planted near-dup pairs frequently SPAN codecs
+    (pixels match across the split up to JPEG quantization)."""
     from imagededupx_ray.functions.gif import encode_gif
     from imagededupx_ray.functions.jpeg import (
         encode_jpeg,
@@ -487,6 +501,7 @@ def synthetic_mixed_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Tab
     )
     from imagededupx_ray.functions.png import encode_png
     from imagededupx_ray.functions.tiff import encode_tiff
+    from imagededupx_ray.functions.webp import encode_webp_lossless
     from imagededupx_ray.util import parallel_block_table
 
     def block(s: int, e: int) -> pa.Table:
@@ -494,7 +509,7 @@ def synthetic_mixed_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Tab
         fmts = []
         for k, im in enumerate(_raw_block(s, e, seed, dup_every)):
             i = s + k
-            codec = i % 4
+            codec = i % 5
             if codec == 0:
                 payloads.append(encode_png(im, filter_type=i % 5))
                 fmts.append("png")
@@ -516,11 +531,22 @@ def synthetic_mixed_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Tab
             elif codec == 2:
                 payloads.append(encode_gif(im, interlace=i % 2 == 0))
                 fmts.append("gif")
-            else:
+            elif codec == 3:
                 payloads.append(
                     encode_tiff(im, compression=("lzw", "packbits")[i % 2])
                 )
                 fmts.append("tiff")
+            else:
+                variant = i % 3
+                if variant == 0:
+                    payloads.append(
+                        encode_webp_lossless(im, subtract_green=True, cache_bits=6)
+                    )
+                elif variant == 1:
+                    payloads.append(encode_webp_lossless(im, predictor_mode=i % 14))
+                else:
+                    payloads.append(encode_webp_lossless(im))
+                fmts.append("webp")
         t = _image_table(s, e, payloads, "mixed")
         return t.set_column(2, "format", pa.array(fmts, type=pa.string()))
 
