@@ -1767,6 +1767,56 @@ def docs_repetition_stats(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
 
 
+def docs_dedup_consecutive_tokens(sf_dir: str):
+    """In-document repetition CLEANUP (not just scoring): rewrite each doc
+    with consecutive duplicate tokens collapsed to one occurrence — the
+    within-page templating/stutter removal step of web-text curation
+    pipelines (the transform counterpart to docs_repetition_stats'
+    Gopher-style filters). Emits (doc_id, clean_text, n_removed).
+
+    Scale shape: stateless per-batch map, NO exchange — the keep-mask is one
+    vectorized Arrow equality over the flat token array (token i survives iff
+    it starts its doc or differs from token i-1), and the rewrite is one
+    ``binary_join`` over a rebuilt list array. Scales with read bandwidth."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokenize_batch(batch["text"])
+        n = len(flat)
+        n_tok = np.diff(offsets)
+        keep = np.ones(n, dtype=bool)
+        if n > 1:
+            eq = pc.equal(flat.slice(1), flat.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            keep[1:] = ~eq
+        # tokens at doc starts always survive (a doc never inherits its
+        # predecessor's trailing token); empty docs have no start token
+        keep[offsets[:-1][n_tok > 0]] = True
+        doc_idx = np.repeat(np.arange(batch.num_rows), n_tok)
+        kept_counts = np.bincount(
+            doc_idx[keep], minlength=batch.num_rows
+        ).astype(np.int64)
+        new_offsets = np.zeros(batch.num_rows + 1, dtype=np.int32)
+        np.cumsum(kept_counts, out=new_offsets[1:])
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(new_offsets), flat.filter(pa.array(keep))
+        )
+        clean = pc.binary_join(kept_list, " ")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": clean,
+                "n_removed": pa.array((n_tok - kept_counts).astype(np.int64)),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "text"])
+        .map_batches(fn, batch_format="pyarrow")
+    )
+
+
 def orders_cumulative_revenue(sf_dir: str):
     """Running-total windowed aggregate (SUM OVER PARTITION BY ... ORDER BY
     ... ROWS UNBOUNDED PRECEDING): per customer, cumulative o_totalprice in
@@ -3263,11 +3313,16 @@ def multimodal_suite(sf_dir: str) -> pd.DataFrame:
 
 
 def nonsql_suite(sf_dir: str) -> pd.DataFrame:
-    """similarity_suite + multimodal_suite as ONE driver-visible entry (the
-    driver artifact records at most 50 ``queries()`` rows; merging the two
-    rows-only families keeps every one of the 16 component pipelines'
-    evidence rows inside the cap while freeing a slot for a SQL-gated
-    query)."""
+    """similarity_suite + multimodal_suite + the dedup cluster report as ONE
+    driver-visible entry (the driver artifact records at most 50
+    ``queries()`` rows; merging the rows-only family keeps all 17 component
+    pipelines' evidence rows inside the cap while freeing slots for
+    SQL-gated queries)."""
     return pd.concat(
-        [similarity_suite(sf_dir), multimodal_suite(sf_dir)], ignore_index=True
+        [
+            similarity_suite(sf_dir),
+            multimodal_suite(sf_dir),
+            _suite_summary({"dedup_cluster_report": dedup_cluster_report(sf_dir)}),
+        ],
+        ignore_index=True,
     )

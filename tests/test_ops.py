@@ -209,3 +209,38 @@ def test_simhash_pairs_match_bruteforce(ray_session):
     keep = ids[ii] < ids[jj]
     want = {(int(a), int(b)) for a, b in zip(ids[ii[keep]], ids[jj[keep]])}
     assert {(int(r.a), int(r.b)) for _, r in got.iterrows()} == want
+
+
+def test_dedup_consecutive_tokens_edge_cases(ray_session, tmp_path):
+    """Vectorized consecutive-dup collapse: empty / whitespace-only docs,
+    all-duplicate runs, cross-doc boundaries (a doc never inherits its
+    predecessor's trailing token), single-token docs."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa_
+
+    from imagededupx_ray import queries as Q
+
+    docs = pa_.table(
+        {
+            "doc_id": pa_.array([0, 1, 2, 3, 4, 5], type=pa_.int64()),
+            "text": pa_.array(
+                [
+                    "a a a b b c",
+                    "",
+                    "   ",
+                    "x x x x",
+                    "c d",  # starts with doc 0's trailing token
+                    "solo",
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    got = (
+        Q.docs_dedup_consecutive_tokens(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.clean_text.tolist() == ["a b c", "", "", "x", "c d", "solo"]
+    assert got.n_removed.tolist() == [3, 0, 0, 3, 0, 0]
