@@ -71,19 +71,22 @@ _UNIQ_TREE_FANOUT = 16
 # measured as most of the 0.7s verify_pair_ids wall at 32 procs (bench
 # warmup can also pre-spin module-level functions, never per-run closures)
 @ray.remote
-def _block_uniq(t):
+def _block_uniq(*tables):
+    """Unique pair-member ids over a GROUP of pair blocks (one task per
+    fanout-sized group, not per block — per-task dispatch latency was the
+    whole verify_pair_ids wall at 32 procs where the pair exchange emits
+    hundreds of small blocks)."""
     import numpy as _np
 
-    if t.num_rows == 0 or "a" not in t.column_names:
-        return _np.empty(0, _np.int64)  # empty blocks keep no schema
-    return _np.unique(
-        _np.concatenate(
-            [
-                t["a"].to_numpy(zero_copy_only=False).astype(_np.int64),
-                t["b"].to_numpy(zero_copy_only=False).astype(_np.int64),
-            ]
-        )
-    )
+    cols = [
+        t[c].to_numpy(zero_copy_only=False).astype(_np.int64)
+        for t in tables
+        if t.num_rows and "a" in t.column_names  # empty blocks keep no schema
+        for c in ("a", "b")
+    ]
+    if not cols:
+        return _np.empty(0, _np.int64)
+    return _np.unique(_np.concatenate(cols))
 
 
 @ray.remote
@@ -161,7 +164,11 @@ def run_dedup(
         # in warmup, not in every timed pipeline run.)
         import numpy as _np
 
-        refs = [_block_uniq.remote(r) for r in raw_pairs.to_arrow_refs()]
+        raw_refs = raw_pairs.to_arrow_refs()
+        refs = [
+            _block_uniq.remote(*raw_refs[i : i + _UNIQ_TREE_FANOUT])
+            for i in range(0, len(raw_refs), _UNIQ_TREE_FANOUT)
+        ]
         while len(refs) > 1:
             refs = [
                 _merge_uniq.remote(*refs[i : i + _UNIQ_TREE_FANOUT])

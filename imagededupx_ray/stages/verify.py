@@ -198,16 +198,24 @@ def verify_pairs_broadcast(
 
 
 @ray.remote
-def _pair_map_block(t: pa.Table, P: int):
-    """Map side of the fused pair-distinct+verify exchange: hash-split one
-    raw-pair block into P (a, b) partition slices by the pair key."""
+def _pair_map_block(P: int, *tables: pa.Table):
+    """Map side of the fused pair-distinct+verify exchange: hash-split a
+    GROUP of raw-pair blocks into P (a, b) partition slices by the pair key
+    (one task per fanout-sized group — per-task dispatch plus B×P ref
+    plumbing anti-scaled when the pair exchange emitted hundreds of small
+    blocks at high parallelism)."""
     from imagededupx_ray.functions import hashing as H
 
-    if t.num_rows == 0 or "a" not in t.column_names:
+    live = [t for t in tables if t.num_rows and "a" in t.column_names]
+    if not live:
         empty = (np.empty(0, np.int64), np.empty(0, np.int64))
         return tuple(empty for _ in range(P)) if P > 1 else empty
-    a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-    b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    a = np.concatenate(
+        [t["a"].to_numpy(zero_copy_only=False).astype(np.int64) for t in live]
+    )
+    b = np.concatenate(
+        [t["b"].to_numpy(zero_copy_only=False).astype(np.int64) for t in live]
+    )
     key = (
         H.splitmix64(a.astype(np.uint64) ^ (b.astype(np.uint64) << np.uint64(1))).astype(
             np.int64
@@ -296,9 +304,12 @@ def verify_pairs_broadcast_fused(
                 )
             )
         P = min(p, 1 << max(0, (len(blocks) - 1).bit_length()))
+        group = 16  # blocks per map task: dispatch is fanout-bounded
         per_block = [
-            _pair_map_block.options(num_returns=P if P > 1 else 1).remote(ref, P)
-            for ref in blocks
+            _pair_map_block.options(num_returns=P if P > 1 else 1).remote(
+                P, *blocks[i : i + group]
+            )
+            for i in range(0, len(blocks), group)
         ]
         cols = [per_block] if P == 1 else list(zip(*per_block))
         out_refs = [
