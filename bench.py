@@ -126,7 +126,7 @@ def _warm_workers() -> None:
             "doc_id": _pa.array([1], type=_pa.int64()),
         }
     )
-    ray.get(_dd._dup_reduce_part.remote(_dd._dup_map_block.remote(t, 1)))
+    ray.get(_dd._dup_reduce_part.remote(_dd._dup_map_block.remote(1, t)))
     pt = _pa.table(
         {
             "a": _pa.array([1], type=_pa.int64()),
@@ -147,7 +147,7 @@ def _warm_workers() -> None:
     from imagededupx_ray.config import DEFAULT_CONFIG as _CFG
 
     ray.get(
-        _vf._pair_verify_part.remote(sig, _CFG, *[_vf._pair_map_block.remote(pt, 1)])
+        _vf._pair_verify_part.remote(sig, _CFG, *[_vf._pair_map_block.remote(1, pt)])
     )
     empty_sig = _pa.table({"doc_id": _pa.array([], type=_pa.int64())})
     ray.get(_vf._sig_assemble.remote(

@@ -1178,9 +1178,12 @@ def _dup_groups_broadcast(meta_ds, p: int):
         order = np.argsort(keys16)
         return ray.put((keys16[order], canon[order], counts[order]))
     P = 1 << max(0, (max(1, len(blocks)) - 1).bit_length() - 2)
+    group = 16  # blocks per map task (matches exact_dedup's batched exchange)
     per_block = [
-        _dup_map_block.options(num_returns=P if P > 1 else 1).remote(ref, P)
-        for ref in blocks
+        _dup_map_block.options(num_returns=P if P > 1 else 1).remote(
+            P, *blocks[i : i + group]
+        )
+        for i in range(0, len(blocks), group)
     ]
     cols = [per_block] if P == 1 else list(zip(*per_block))
     res = ray.get([_dup_reduce_part.remote(*col) for col in cols])

@@ -208,9 +208,13 @@ def _local_dup_agg(t: pa.Table):
 
 
 @ray.remote
-def _dup_map_block(t: pa.Table, P: int):
-    """Map side of the dup-group exchange: local distinct aggregation, then
-    split by h1 hash bits into P partition slices (one return value each)."""
+def _dup_map_block(P: int, *tables: pa.Table):
+    """Map side of the dup-group exchange: local distinct aggregation over a
+    GROUP of blocks (one task per fanout-sized group — per-block dispatch
+    plus B×P ref plumbing anti-scaled at high parallelism), then split by h1
+    hash bits into P partition slices (one return value each)."""
+    live = [t for t in tables if t.num_rows and "text_sha256" in t.column_names]
+    t = pa.concat_tables(live) if live else pa.table({})
     ku, h1u, mins, counts = _local_dup_agg(t)
     part = (h1u & (P - 1)).astype(np.int32)
     po = np.argsort(part, kind="stable")
@@ -322,9 +326,12 @@ def exact_dedup(
         keys_s, canon_s, counts_s = keys16[order], canon[order], counts[order]
     else:
         P = 1 << max(0, (max(1, len(blocks)) - 1).bit_length() - 2)  # ~blocks/4
+        group = 16  # blocks per map task: dispatch is fanout-bounded
         per_block = [
-            _dup_map_block.options(num_returns=P if P > 1 else 1).remote(ref, P)
-            for ref in blocks
+            _dup_map_block.options(num_returns=P if P > 1 else 1).remote(
+                P, *blocks[i : i + group]
+            )
+            for i in range(0, len(blocks), group)
         ]
         if P == 1:
             red = [_dup_reduce_part.remote(*per_block)] if per_block else []
