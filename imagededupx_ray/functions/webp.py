@@ -563,22 +563,70 @@ def _color_delta(t: int, c: int) -> int:
     return (ts * cs) >> 5
 
 
+# predictor modes whose value needs no LEFT neighbor from the current row
+# (other than the row's first pixel): whole rows vectorize in numpy
+_L_FREE_MODES = frozenset({0, 2, 3, 4, 8, 9})
+
+
+def _row_channels(row: np.ndarray) -> np.ndarray:
+    """(w, 4) int16 channel view of a uint32 ARGB row."""
+    out = np.empty((len(row), 4), dtype=np.int16)
+    out[:, 0] = (row >> 24) & 0xFF
+    out[:, 1] = (row >> 16) & 0xFF
+    out[:, 2] = (row >> 8) & 0xFF
+    out[:, 3] = row & 0xFF
+    return out
+
+
+def _pack_channels(ch: np.ndarray) -> np.ndarray:
+    ch = (ch & 0xFF).astype(np.uint32)
+    return (ch[:, 0] << 24) | (ch[:, 1] << 16) | (ch[:, 2] << 8) | ch[:, 3]
+
+
 def _inverse_predictor(data: np.ndarray, w: int, h: int, size_bits: int, sub: np.ndarray) -> None:
     sub_w = _subsample_size(w, size_bits)
     for y in range(h):
         row_base = y * w
         sub_row = (y >> size_bits) * sub_w
-        for x in range(w):
+        if y == 0:
+            # top row: (0,0) predicts opaque black, the rest predict L
+            data[0] = _add_pixels(int(data[0]), 0xFF000000)
+            for x in range(1, w):
+                data[x] = _add_pixels(int(data[x]), int(data[x - 1]))
+            continue
+        # left column always predicts T
+        data[row_base] = _add_pixels(int(data[row_base]), int(data[row_base - w]))
+        if w == 1:
+            continue
+        modes = ((sub[sub_row + (np.arange(1, w) >> size_bits)] >> 8) & 0xFF).astype(
+            np.int64
+        )
+        if _L_FREE_MODES.issuperset(np.unique(modes)):
+            # whole-row vectorization: T/TR/TL come from the previous row
+            # plus the already-reconstructed first pixel of this row (the
+            # rightmost column's TR quirk)
+            prev = data[row_base - w : row_base]
+            t = _row_channels(prev[1:])
+            tl = _row_channels(prev[:-1])
+            tr_row = np.empty(w - 1, dtype=np.uint32)
+            tr_row[: w - 2] = prev[2:]
+            tr_row[w - 2] = data[row_base]
+            tr = _row_channels(tr_row)
+            pred = np.zeros((w - 1, 4), dtype=np.int16)
+            pred[modes == 0, 0] = 0xFF
+            pred[modes == 2] = t[modes == 2]
+            pred[modes == 3] = tr[modes == 3]
+            pred[modes == 4] = tl[modes == 4]
+            m8 = modes == 8
+            pred[m8] = (tl[m8] + t[m8]) >> 1
+            m9 = modes == 9
+            pred[m9] = (t[m9] + tr[m9]) >> 1
+            resid = _row_channels(data[row_base + 1 : row_base + w])
+            data[row_base + 1 : row_base + w] = _pack_channels(resid + pred)
+            continue
+        for x in range(1, w):
             pos = row_base + x
-            if x == 0 and y == 0:
-                pred = 0xFF000000
-            elif y == 0:
-                pred = int(data[pos - 1])  # L
-            elif x == 0:
-                pred = int(data[pos - w])  # T
-            else:
-                mode = (int(sub[sub_row + (x >> size_bits)]) >> 8) & 0xFF
-                pred = _predict(mode, data, pos, w)
+            pred = _predict(int(modes[x - 1]), data, pos, w)
             data[pos] = _add_pixels(int(data[pos]), pred)
 
 

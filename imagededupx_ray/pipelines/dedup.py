@@ -164,10 +164,13 @@ def run_dedup(
         # in warmup, not in every timed pipeline run.)
         import numpy as _np
 
+        from imagededupx_ray.util import block_group_size
+
         raw_refs = raw_pairs.to_arrow_refs()
+        _g = max(block_group_size(len(raw_refs)), 2)
         refs = [
-            _block_uniq.remote(*raw_refs[i : i + _UNIQ_TREE_FANOUT])
-            for i in range(0, len(raw_refs), _UNIQ_TREE_FANOUT)
+            _block_uniq.remote(*raw_refs[i : i + _g])
+            for i in range(0, len(raw_refs), _g)
         ]
         while len(refs) > 1:
             refs = [

@@ -82,7 +82,7 @@ from imagededupx_ray.state.checkpoint import (
     write_part_sig_index,
     write_part_sorted_index,
 )
-from imagededupx_ray.util import suggest_num_partitions
+from imagededupx_ray.util import block_group_size, suggest_num_partitions
 
 _EMPTY = np.empty(0, dtype=np.int64)
 
@@ -1178,7 +1178,7 @@ def _dup_groups_broadcast(meta_ds, p: int):
         order = np.argsort(keys16)
         return ray.put((keys16[order], canon[order], counts[order]))
     P = 1 << max(0, (max(1, len(blocks)) - 1).bit_length() - 2)
-    group = 16  # blocks per map task (matches exact_dedup's batched exchange)
+    group = block_group_size(len(blocks))
     per_block = [
         _dup_map_block.options(num_returns=P if P > 1 else 1).remote(
             P, *blocks[i : i + group]

@@ -326,7 +326,9 @@ def exact_dedup(
         keys_s, canon_s, counts_s = keys16[order], canon[order], counts[order]
     else:
         P = 1 << max(0, (max(1, len(blocks)) - 1).bit_length() - 2)  # ~blocks/4
-        group = 16  # blocks per map task: dispatch is fanout-bounded
+        from imagededupx_ray.util import block_group_size
+
+        group = block_group_size(len(blocks))
         per_block = [
             _dup_map_block.options(num_returns=P if P > 1 else 1).remote(
                 P, *blocks[i : i + group]

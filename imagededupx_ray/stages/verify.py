@@ -304,7 +304,9 @@ def verify_pairs_broadcast_fused(
                 )
             )
         P = min(p, 1 << max(0, (len(blocks) - 1).bit_length()))
-        group = 16  # blocks per map task: dispatch is fanout-bounded
+        from imagededupx_ray.util import block_group_size
+
+        group = block_group_size(len(blocks))
         per_block = [
             _pair_map_block.options(num_returns=P if P > 1 else 1).remote(
                 P, *blocks[i : i + group]

@@ -29,6 +29,15 @@ def suggest_num_partitions(cap: int | None = None, per_cpu: int = 1) -> int:
     return n
 
 
+def block_group_size(n_blocks: int, per_cpu: int = 3) -> int:
+    """Blocks per map task for the manual exchanges: large enough that task
+    dispatch stays fanout-bounded (hundreds of per-block tasks anti-scaled
+    at 32 procs), small enough that ~``per_cpu`` tasks per CPU keep every
+    core busy (a fixed group of 16 left only 10 tasks for 32 cores)."""
+    target_tasks = max(1, cluster_cpus() * per_cpu)
+    return max(1, -(-n_blocks // target_tasks))
+
+
 def clamp_actor_pool(requested: int | tuple[int, int]) -> int | tuple[int, int]:
     """Clamp an actor-pool ``concurrency`` so the pool's actors (1 CPU each)
     never reserve the whole cluster: a pool that holds every CPU starves the
