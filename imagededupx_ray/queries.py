@@ -2728,6 +2728,93 @@ def docs_decontaminate(sf_dir: str, k: int = 5, bench_mod: int = 97):
     return docs.map_batches(flag, batch_format="pyarrow")
 
 
+def docs_decontaminate_bloom(
+    sf_dir: str, k: int = 5, bench_mod: int = 97, m_bits: int = 1 << 22
+):
+    """Bloom-filter scale twin of docs_decontaminate: when the benchmark's
+    distinct shingle set outgrows a comfortable exact broadcast (10^9+
+    shingles = 8+ GB sorted u64 and growing with n), a FIXED-size Bloom
+    bitmap keeps the build-partial → OR-merge → broadcast → scan shape with
+    zero false negatives and a sizing-bounded false-positive rate
+    (functions/bloom.py; >= 32 bits/element keeps doc-level flags clean —
+    the default 2^22-bit / 512 KB bitmap covers ~130k benchmark shingles at
+    that density). Per-batch partial bitmaps OR-merge through the same
+    fanout-bounded tree the sketches use; no raw shingle ever reaches the
+    driver. Output: (doc_id, contaminated) for non-benchmark docs; parity
+    with the exact path at this sizing is gated in tests/test_bloom.py."""
+    from imagededupx_ray.functions.bloom import (
+        bloom_build,
+        bloom_contains,
+        bloom_merge,
+    )
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def _plain_shingles(texts: pa.Array):
+        flat, offsets = tokenize_batch(texts)
+        th = H.token_hash_flat(flat)
+        sh, counts = H.shingle_hashes(th, offsets, k)
+        m = np.diff(offsets)
+        short = (m > 0) & (m < k)
+        if short.any():
+            sh = sh[np.repeat(~short, counts)]
+            counts = np.where(short, 0, counts)
+        return sh, counts.astype(np.int64)
+
+    def bench_bloom(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % bench_mod == 0))
+        sh = (
+            _plain_shingles(sub["text"])[0]
+            if sub.num_rows
+            else np.empty(0, np.uint64)
+        )
+        return pa.table({"bloom": pa.array([bloom_build(sh, m_bits).tobytes()])})
+
+    def merge_blooms(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "bloom" not in batch.column_names:
+            return pa.table({"bloom": pa.array([], type=pa.binary())})
+        merged = bloom_merge(
+            *[np.frombuffer(b, dtype=np.uint64) for b in batch["bloom"].to_pylist()]
+        )
+        return pa.table({"bloom": pa.array([merged.tobytes()])})
+
+    parts = _sketch_tree_reduce(
+        docs.map_batches(bench_bloom, batch_format="pyarrow"), merge_blooms
+    )
+    bloom = bloom_merge(
+        *[np.frombuffer(r["bloom"], dtype=np.uint64) for r in parts]
+    ) if parts else np.zeros(m_bits // 64, dtype=np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % bench_mod != 0))
+        n = sub.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "contaminated": pa.array([], type=pa.int64()),
+                }
+            )
+        sh, counts = _plain_shingles(sub["text"])
+        hit = bloom_contains(bf, sh)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        n_hits = np.bincount(doc_idx[hit], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"],
+                "contaminated": pa.array(
+                    (n_hits > 0).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(flag, batch_format="pyarrow")
+
+
 def docs_dup_rate_by_source(sf_dir: str):
     """Per-source duplication report: how much of each source is exact-dup
     mass — the first diagnostic a corpus-curation run reads (which crawls /
@@ -3290,6 +3377,7 @@ def similarity_suite(sf_dir: str) -> pd.DataFrame:
             "substring_spans_docs": substring_spans_docs(sf_dir),
             "docs_distinct_bigrams_hll": docs_distinct_bigrams_hll(sf_dir),
             "docs_length_quantiles_sketch": docs_length_quantiles_sketch(sf_dir),
+            "docs_decontaminate_bloom": docs_decontaminate_bloom(sf_dir),
         }
     )
 
