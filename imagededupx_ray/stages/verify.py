@@ -306,7 +306,10 @@ def verify_pairs_broadcast_fused(
         P = min(p, 1 << max(0, (len(blocks) - 1).bit_length()))
         from imagededupx_ray.util import block_group_size
 
-        group = block_group_size(len(blocks))
+        # per_cpu=1: this exchange parallelizes on its P reduce tasks; the
+        # map side's cost is the (B/group) x P ref fabric, so fewer, larger
+        # map groups win (measured 0.32 s vs 0.99 s at 32 procs)
+        group = block_group_size(len(blocks), per_cpu=1)
         per_block = [
             _pair_map_block.options(num_returns=P if P > 1 else 1).remote(
                 P, *blocks[i : i + group]
