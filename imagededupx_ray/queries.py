@@ -1330,6 +1330,17 @@ def embedding_dup_pairs_ann(sf_dir: str, threshold: float = 0.4):
     return pairs.map_batches(roundc, batch_format="pyarrow")
 
 
+def semdedup_prune(sf_dir: str, eps: float = 0.4):
+    """SemDeDup semantic-dedup verdicts (arXiv:2303.09540): per-vector
+    (vec_id, semdup_id, keep) where duplicate components come from the IVF
+    bucket exchange at cosine >= eps and each component keeps its lowest-
+    centroid-similarity member. Rows-only — the keep-rule/grouping gates
+    live in tests/test_ops.py (planted duplicate groups)."""
+    from imagededupx_ray.stages.semdedup import semdedup_verdicts
+
+    return semdedup_verdicts(_read(sf_dir, "embeddings"), eps=eps)
+
+
 def ann_cosine(sf_dir: str, n_queries: int = 10, k: int = 10):
     """IVF approximate top-k (scale path of knn_cosine); rows-only — recall
     vs brute force is gated in tests/test_ann.py."""
@@ -3374,6 +3385,7 @@ def similarity_suite(sf_dir: str) -> pd.DataFrame:
             "ann_cosine": ann_cosine(sf_dir),
             "ann_hnsw": ann_hnsw(sf_dir),
             "embedding_dup_pairs_ann": embedding_dup_pairs_ann(sf_dir),
+            "semdedup_prune": semdedup_prune(sf_dir),
             "substring_spans_docs": substring_spans_docs(sf_dir),
             "docs_distinct_bigrams_hll": docs_distinct_bigrams_hll(sf_dir),
             "docs_length_quantiles_sketch": docs_length_quantiles_sketch(sf_dir),

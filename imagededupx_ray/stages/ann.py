@@ -129,6 +129,23 @@ class IVFIndex:
         )
 
 
+def fit_centroids(
+    emb_ds, n_clusters: int | None = None, seed: int = 42
+) -> np.ndarray:
+    """Seeded driver-side k-means fit over a bounded sample. ``n_clusters``
+    defaults to ~sqrt(n) so mean bucket size stays ~sqrt(n) instead of n/16
+    at web scale, capped so the fit (sample x centroids per iteration) stays
+    tractable; at true web scale pass an explicit n_clusters and a
+    pre-trained / hierarchical centroid set instead — the driver fit is the
+    oracle-scale path, the bucketed shuffles that consume the centroids are
+    the part that scales."""
+    if n_clusters is None:
+        n_clusters = min(65536, max(16, int(np.sqrt(max(emb_ds.count(), 1)))))
+    sample = emb_ds.limit(min(1_000_000, max(20000, 8 * n_clusters))).to_pandas()
+    X = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    return kmeans_fit(X, n_clusters, seed)
+
+
 def ivf_dup_pairs(
     emb_ds,
     threshold: float,
@@ -138,6 +155,7 @@ def ivf_dup_pairs(
     num_partitions: int | None = None,
     max_bucket_size: int = 4096,
     bucket_window: int = 64,
+    centroids: "np.ndarray | None" = None,
 ):
     """Embedding-cosine near-dup pairs via IVF bucketing — the 10^12-vector
     scale path of the exact blocked matmul: each vector is assigned to its
@@ -165,16 +183,8 @@ def ivf_dup_pairs(
     if num_partitions is None:
         num_partitions = suggest_num_partitions(per_cpu=2)
     p = _pow2(num_partitions)
-    if n_clusters is None:
-        # sqrt(n) keeps mean bucket ~sqrt(n), capped so the driver-side
-        # kmeans fit (sample x centroids per iteration) stays tractable; at
-        # true web scale pass an explicit n_clusters and a pre-trained /
-        # hierarchical centroid set instead — the driver fit is the oracle-
-        # scale path, the bucketed shuffle below is the part that scales
-        n_clusters = min(65536, max(16, int(np.sqrt(max(emb_ds.count(), 1)))))
-    sample = emb_ds.limit(min(1_000_000, max(20000, 8 * n_clusters))).to_pandas()
-    X = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
-    centroids = kmeans_fit(X, n_clusters, seed)
+    if centroids is None:
+        centroids = fit_centroids(emb_ds, n_clusters, seed)
     cent_ref = ray.put(centroids)
 
     def explode_assign(batch: pa.Table) -> pa.Table:

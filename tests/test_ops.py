@@ -73,6 +73,81 @@ def test_ivf_dup_pairs_mega_bucket_bounded(ray_session):
     assert (s >= 0.99 - 1e-9).all()
 
 
+def test_semdedup_planted_groups(ray_session):
+    """SemDeDup verdicts: each planted semantic-duplicate group keeps exactly
+    one representative — the member with the LOWEST cosine to its nearest
+    centroid (paper's keep rule) — singletons keep trivially, and semdup_id
+    is the component min id."""
+    import ray.data as rd
+
+    from imagededupx_ray.stages.ann import fit_centroids
+    from imagededupx_ray.stages.semdedup import semdedup_verdicts
+
+    rng = np.random.default_rng(11)
+    d, groups, gsize, singles = 16, 5, 4, 30
+    vecs = []
+    for _ in range(groups):
+        base = rng.normal(size=d)
+        base /= np.linalg.norm(base)
+        for _ in range(gsize):
+            v = base + rng.normal(scale=5e-3, size=d)
+            vecs.append(v / np.linalg.norm(v))
+    for _ in range(singles):
+        v = rng.normal(size=d)
+        vecs.append(v / np.linalg.norm(v))
+    V = np.asarray(vecs)
+    n = len(V)
+    # planted groups must be the only near-dup pairs at the eps we use
+    sims = V @ V.T
+    gid = np.repeat(np.arange(groups + singles), [gsize] * groups + [1] * singles)
+    same = gid[:, None] == gid[None, :]
+    eps = 0.95
+    assert (sims[same & ~np.eye(n, dtype=bool)] > eps).all()
+    assert (sims[~same] < eps).all()
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(V.reshape(-1), type=pa.float64()), d
+            ),
+        }
+    )
+    out = (
+        semdedup_verdicts(rd.from_arrow(tbl), eps=eps, n_clusters=4, seed=42)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == n
+    keep = out["keep"].to_numpy()
+    semdup = out["semdup_id"].to_numpy()
+    # singletons: keep, own id
+    single_mask = np.arange(n) >= groups * gsize
+    assert keep[single_mask].all()
+    assert (semdup[single_mask] == np.arange(n)[single_mask]).all()
+    # groups: one keeper each, semdup_id = min member id, keeper = lowest
+    # centroid cosine (min vec_id tie-break)
+    C = fit_centroids(rd.from_arrow(tbl), 4, 42)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    csim = np.round((V @ C.T).max(axis=1), 9)
+    for g in range(groups):
+        ids = np.arange(g * gsize, (g + 1) * gsize)
+        assert (semdup[ids] == ids.min()).all()
+        kept = ids[keep[ids]]
+        assert len(kept) == 1
+        want = ids[np.lexsort((ids, csim[ids]))][0]
+        assert kept[0] == want
+    # deterministic across runs
+    out2 = (
+        semdedup_verdicts(rd.from_arrow(tbl), eps=eps, n_clusters=4, seed=42)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
+
+
 def test_ann_recall_vs_brute_force(ray_session):
     import ray.data as rd
 
