@@ -717,7 +717,11 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
 
 def decode_webp(payload: bytes) -> np.ndarray:
     """Decode a WebP file (RIFF container; VP8L directly or inside VP8X).
-    Lossy 'VP8 ' payloads raise ValueError (no lossy decoder here)."""
+    Lossless VP8L decodes with the from-scratch pure-python decoder above;
+    lossy 'VP8 ' payloads decode through the system libwebp when present
+    (functions/webp_native.py — RFC 6386's probability/dequant tables
+    cannot be re-derived) and otherwise raise ValueError so callers fall
+    through to the PIL/fake path."""
     if len(payload) < 12 or payload[:4] != RIFF_MAGIC or payload[8:12] != WEBP_MAGIC:
         raise ValueError("webp: not a RIFF/WEBP container")
     pos = 12
@@ -728,7 +732,11 @@ def decode_webp(payload: bytes) -> np.ndarray:
         if fourcc == b"VP8L":
             return decode_vp8l(body)
         if fourcc == b"VP8 ":
-            raise ValueError("webp: lossy VP8 not supported")
+            from imagededupx_ray.functions import webp_native
+
+            if webp_native.available():
+                return webp_native.decode_rgb(payload)
+            raise ValueError("webp: lossy VP8 not supported (libwebp absent)")
         pos += 8 + size + (size & 1)
     raise ValueError("webp: no VP8L chunk found")
 

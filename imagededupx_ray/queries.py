@@ -1407,11 +1407,15 @@ def _mixed_codec_dataset(n: int, n_blocks: int = 16):
     from imagededupx_ray.stages.multimodal import synthetic_mixed_images
     from imagededupx_ray.util import cached_corpus_ds
 
-    # v5: 5-codec rotation (PNG / JPEG baseline+progressive+multiscan /
-    # GIF / TIFF / lossless WebP); the key encodes the generation recipe so
-    # stale caches never serve
+    # v6: 5-codec rotation (PNG / JPEG baseline+progressive+multiscan /
+    # GIF / TIFF / WebP lossless+lossy-VP8-when-libwebp-present); the key
+    # encodes the generation recipe (incl. lossy availability) so stale
+    # caches never serve
+    from imagededupx_ray.stages.multimodal import _lossy_webp
+
+    tag = "v6l" if _lossy_webp() else "v6"
     return cached_corpus_ds(
-        f"mixed_images_n{n}_s42_d5_v5", lambda: synthetic_mixed_images(n), n_blocks
+        f"mixed_images_n{n}_s42_d5_{tag}", lambda: synthetic_mixed_images(n), n_blocks
     )
 
 

@@ -487,6 +487,12 @@ def synthetic_gif_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table
     return parallel_block_table(n, _corpus_block_size(n, dup_every), block)
 
 
+def _lossy_webp() -> bool:
+    from imagededupx_ray.functions.webp_native import available
+
+    return available()
+
+
 def synthetic_mixed_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table:
     """The synthetic_raw_images corpus with codec rotating by index (PNG /
     JPEG in baseline, non-interleaved multi-scan AND progressive layouts /
@@ -537,15 +543,21 @@ def synthetic_mixed_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Tab
                 )
                 fmts.append("tiff")
             else:
-                variant = i % 3
+                variant = i % (4 if _lossy_webp() else 3)
                 if variant == 0:
                     payloads.append(
                         encode_webp_lossless(im, subtract_green=True, cache_bits=6)
                     )
                 elif variant == 1:
                     payloads.append(encode_webp_lossless(im, predictor_mode=i % 14))
-                else:
+                elif variant == 2:
                     payloads.append(encode_webp_lossless(im))
+                else:
+                    # lossy VP8 rides the system libwebp (functions/
+                    # webp_native.py); rotation only when the lib is present
+                    from imagededupx_ray.functions.webp_native import encode_rgb
+
+                    payloads.append(encode_rgb(im, quality=(80, 90, 95)[i % 3]))
                 fmts.append("webp")
         t = _image_table(s, e, payloads, "mixed")
         return t.set_column(2, "format", pa.array(fmts, type=pa.string()))

@@ -162,3 +162,93 @@ def test_webp_planted_near_dup_survives_codec():
     b = to_grayscale(decode_webp(encode_webp_lossless(noised, predictor_mode=2)))
     ham = bin(int(phash(a)) ^ int(phash(b))).count("1")
     assert ham <= 10
+
+
+# ---------------------------------------------------------------------------
+# system-libwebp interop (functions/webp_native.py) — lossy VP8 path plus
+# bit-exact cross-validation of the from-scratch VP8L codec against the
+# format's reference implementation
+# ---------------------------------------------------------------------------
+
+webp_native = pytest.importorskip("imagededupx_ray.functions.webp_native")
+_needs_libwebp = pytest.mark.skipif(
+    not webp_native.available(), reason="system libwebp not present"
+)
+
+
+def _structured(h, w, seed=5):
+    rng = np.random.default_rng(seed)
+    x = (np.linspace(0, 255, w)[None, :] + np.linspace(0, 128, h)[:, None]) % 256
+    img = np.stack([x, x[::-1], (x / 2) + 7], axis=2).astype(np.uint8)
+    img[h // 4 : h // 2, w // 4 : w // 2] = rng.integers(0, 256, 3)
+    return img
+
+
+@_needs_libwebp
+def test_webp_lossy_vp8_decodes_through_dispatch():
+    """Lossy VP8 payloads (libwebp encode) decode via decode_webp with high
+    fidelity, including odd (non-multiple-of-16) dimensions and grayscale
+    input."""
+    for h, w in [(57, 83), (16, 16), (31, 47), (128, 96)]:
+        img = _structured(h, w)
+        payload = webp_native.encode_rgb(img, quality=92)
+        assert is_webp(payload)
+        out = decode_webp(payload)
+        assert out.shape == (h, w, 3)
+        mse = np.mean((out.astype(np.float64) - img) ** 2)
+        assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 20, (h, w, mse)
+    gray = _structured(40, 56)[:, :, 0]
+    out = decode_webp(webp_native.encode_rgb(gray, quality=95))
+    assert out.shape == (40, 56, 3)
+
+
+@_needs_libwebp
+def test_webp_vp8l_interop_ours_to_libwebp():
+    """Our from-scratch VP8L encoder's output decodes BIT-EXACTLY in the
+    reference libwebp decoder, across transform variants."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (21, 34, 3), dtype=np.uint8)
+    grad = _structured(24, 40)
+    variants = [
+        encode_webp_lossless(img),
+        encode_webp_lossless(img, subtract_green=True, cache_bits=5),
+        encode_webp_lossless(grad, predictor_mode=11),
+        encode_webp_lossless(grad, subtract_green=True),
+    ]
+    for i, (payload, want) in enumerate(
+        zip(variants, [img, img, grad, grad])
+    ):
+        got = webp_native.decode_rgb(payload)
+        assert np.array_equal(got, want), f"variant {i}"
+
+
+@_needs_libwebp
+def test_webp_vp8l_interop_libwebp_to_ours():
+    """The reference libwebp lossless encoder's output decodes BIT-EXACTLY
+    in our from-scratch VP8L decoder (real-world bitstreams: libwebp picks
+    its own transforms, meta prefix codes and cache sizes)."""
+    rng = np.random.default_rng(13)
+    for img in [
+        rng.integers(0, 256, (19, 27, 3), dtype=np.uint8),
+        _structured(64, 96),
+        np.tile(np.arange(8, dtype=np.uint8) * 31, (40, 5))[:, :, None].repeat(3, 2),
+    ]:
+        payload = webp_native.encode_lossless_rgb(img)
+        got = decode_webp(payload)
+        assert np.array_equal(got, img)
+
+
+@_needs_libwebp
+def test_webp_lossy_planted_near_dup_survives():
+    """A near-dup pair split across lossy VP8 and lossless encodes keeps a
+    small phash hamming distance (the dup-mining invariant for the mixed
+    corpus rotation)."""
+    from imagededupx_ray.functions.imagehash import phash
+
+    img = _structured(64, 64, seed=21)
+    dup = img.copy()
+    dup[5:9, 5:9] = 255  # small local edit, near-dup by construction
+    h_lossy = phash(decode_webp(webp_native.encode_rgb(img, quality=90)))
+    h_lossless = phash(decode_webp(encode_webp_lossless(dup)))
+    dist = bin(int(h_lossy) ^ int(h_lossless)).count("1")
+    assert dist <= 10, dist
