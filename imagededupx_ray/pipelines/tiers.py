@@ -1,0 +1,159 @@
+"""Tiered dedup cascade — the orchestration shape of a web-scale
+training-data pipeline (exact → near → template → semantic), each tier
+consuming the previous tier's survivors and reporting its own removals.
+
+The reference exposes each dedup capability separately (md5 exact scan,
+MinHash/simhash text dup mining, embedding-cosine dup detection,
+community clustering); production corpus builds chain them cheapest-first
+so every tier only pays for what the cheaper tiers could not catch. This
+module composes the repo's existing stages into that cascade:
+
+  tier 1  exact      sha256 collapse            (inside run_dedup)
+  tier 2  near       MinHash-LSH + verify       (inside run_dedup;
+                     est_jaccard >= t OR simhash hamming <= cfg tight max)
+  tier 3  template   loose SimHash hamming-band LSH over tier-2 survivors
+                     (catches boilerplate/template families whose shingle
+                     jaccard sits below the verify threshold)
+  tier 4  semantic   SemDeDup over the survivors' embeddings
+                     (different text, same meaning)
+
+Scale notes (what is bounded by what):
+- tiers 1+2 are the flagship pipeline — all exchanges documented in
+  pipelines/dedup.py;
+- tier attribution uses the verified-pair DSU, so every driver-side set in
+  tiers 2/3 is DUP-MEMBER-bounded (docs that appear in some dup pair),
+  never corpus-bounded;
+- tier 3 filters the already-materialized signatures by a broadcast drop
+  set and reuses the hamming-band bucket exchange (stages/simhash_lsh.py);
+- tier 4 joins embeddings against the canonical survivors with a hash
+  join (corpus-sized but narrow: two int64 columns + the vectors), then
+  runs the members-bounded SemDeDup verdict map.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from imagededupx_ray.config import DEFAULT_CONFIG, DedupConfig
+
+
+def _not_in_broadcast(ds, id_col: str, drop: np.ndarray):
+    """Streaming narrow filter: rows whose id_col is NOT in the (sorted,
+    dup-member-bounded) drop array."""
+    drop_ref = ray.put(np.sort(np.asarray(drop, dtype=np.int64)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(d):
+            return batch
+        pos = np.searchsorted(d, ids)
+        hit = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)] == ids)
+        return batch.filter(pa.array(~hit))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def dedup_tier_cascade(
+    pages_ds,
+    emb_ds=None,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    loose_hamming_max: int = 10,
+    semantic_eps: float = 0.4,
+    dedup_result=None,
+) -> pd.DataFrame:
+    """Run the 4-tier cascade; returns the per-tier report DataFrame
+    (tier, method, docs_in, dup_docs_removed, docs_out). Pass a
+    pre-computed ``dedup_result`` (pipelines.dedup.run_dedup output) to
+    share tiers 1+2 with other consumers. ``emb_ds`` rows are
+    (vec_id, embedding) aligned with doc_id; omit to skip tier 4."""
+    from imagededupx_ray.pipelines.dedup import run_dedup
+    from imagededupx_ray.stages.cluster import dsu_components
+    from imagededupx_ray.stages.semdedup import semdedup_verdicts
+    from imagededupx_ray.stages.simhash_lsh import hamming_band_pairs
+
+    res = dedup_result if dedup_result is not None else run_dedup(pages_ds, cfg)
+
+    n_total = res.clusters.count()
+    n_unique = res.docs_unique.count()
+    removed1 = n_total - n_unique
+
+    # tier 2 attribution: components over VERIFIED pairs only (the exact
+    # tier's dup_map edges excluded) — non-root members are the near-tier
+    # removals among exact-unique docs; dup-member-bounded driver set
+    root2 = dsu_components(res.verified_pairs)
+    drop2 = np.fromiter(root2.keys(), dtype=np.int64, count=len(root2))
+    removed2 = len(drop2)
+    survivors2 = n_unique - removed2
+
+    # tier 3: loose simhash hamming-band LSH over tier-2 survivors' codes
+    sigs3 = _not_in_broadcast(
+        res.signatures.select_columns(["doc_id", "simhash"]), "doc_id", drop2
+    )
+    pairs3 = hamming_band_pairs(
+        sigs3, id_col="doc_id", code_col="simhash", hamming_max=loose_hamming_max
+    )
+    root3 = dsu_components(pairs3)
+    drop3 = np.fromiter(root3.keys(), dtype=np.int64, count=len(root3))
+    removed3 = len(drop3)
+    survivors3 = survivors2 - removed3
+
+    rows = [
+        ("1_exact", "sha256 collapse", n_total, removed1, n_unique),
+        (
+            "2_near",
+            f"minhash-lsh verify (j>={cfg.jaccard_threshold} | "
+            f"ham<={cfg.simhash_hamming_max})",
+            n_unique,
+            removed2,
+            survivors2,
+        ),
+        (
+            "3_template",
+            f"simhash band lsh (ham<={loose_hamming_max})",
+            survivors2,
+            removed3,
+            survivors3,
+        ),
+    ]
+
+    if emb_ds is not None:
+        # survivors after tiers 1..3 = everything minus the dup members each
+        # tier removed; Arrow hash joins cannot carry a list<float> payload
+        # column, so the embedding restriction is an inverse broadcast filter
+        # over the DUP-MEMBER-bounded drop union (exact members + near/
+        # template non-roots) — the same bound as the pipeline's own exact
+        # dup_ref broadcast
+        dup_df = res.dup_map.to_pandas()
+        drop1 = (
+            dup_df["doc_id"].to_numpy().astype(np.int64)
+            if "doc_id" in dup_df.columns  # empty dup_map may carry no schema
+            else np.empty(0, dtype=np.int64)
+        )
+        # vec_id must share run_dedup's doc_id domain (hash64(url)); callers
+        # remap before passing (queries.dedup_tiers). Materialized because
+        # the SemDeDup stage consumes its input in several passes (centroid
+        # sample, member sims, verdict scan)
+        emb4 = _not_in_broadcast(
+            emb_ds.select_columns(["vec_id", "embedding"]),
+            "vec_id",
+            np.concatenate([drop1, drop2, drop3]),
+        ).materialize()
+        verdicts = semdedup_verdicts(emb4, eps=semantic_eps, seed=cfg.perm_seed)
+        removed4 = verdicts.filter(expr="keep == False").count()
+        rows.append(
+            (
+                "4_semantic",
+                f"semdedup (cos>={semantic_eps})",
+                survivors3,
+                removed4,
+                survivors3 - removed4,
+            )
+        )
+
+    return pd.DataFrame(
+        rows, columns=["tier", "method", "docs_in", "dup_docs_removed", "docs_out"]
+    )

@@ -1330,6 +1330,35 @@ def embedding_dup_pairs_ann(sf_dir: str, threshold: float = 0.4):
     return pairs.map_batches(roundc, batch_format="pyarrow")
 
 
+def dedup_tiers(sf_dir: str):
+    """Tiered dedup cascade report (exact → MinHash-LSH near → loose-SimHash
+    template → SemDeDup semantic), each tier over the previous tier's
+    survivors — the orchestration shape of a web-scale corpus build
+    (pipelines/tiers.py). Shares tiers 1+2 with dedup_clusters via the
+    process-local pipeline cache; embeddings align to the pipeline's
+    hash64(url) doc_id domain before entering tier 4. Rows-only (per-tier
+    invariants + planted-tier attribution gated in tests/test_tiers.py)."""
+    from imagededupx_ray.pipelines.tiers import dedup_tier_cascade
+    from imagededupx_ray.stages.extract import _hash64_column
+
+    def remap(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        urls = pa.array([f"doc://{i}" for i in ids], type=pa.string())
+        return pa.table(
+            {
+                "vec_id": pa.array(_hash64_column(urls), type=pa.int64()),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    emb = _read(sf_dir, "embeddings").map_batches(remap, batch_format="pyarrow")
+    return dedup_tier_cascade(
+        _documents_as_pages(sf_dir),
+        emb_ds=emb,
+        dedup_result=_run_dedup_cached(sf_dir, DEFAULT_CONFIG),
+    )
+
+
 def semdedup_prune(sf_dir: str, eps: float = 0.4):
     """SemDeDup semantic-dedup verdicts (arXiv:2303.09540): per-vector
     (vec_id, semdup_id, keep) where duplicate components come from the IVF
@@ -3390,6 +3419,7 @@ def similarity_suite(sf_dir: str) -> pd.DataFrame:
             "ann_hnsw": ann_hnsw(sf_dir),
             "embedding_dup_pairs_ann": embedding_dup_pairs_ann(sf_dir),
             "semdedup_prune": semdedup_prune(sf_dir),
+            "dedup_tiers": dedup_tiers(sf_dir),
             "substring_spans_docs": substring_spans_docs(sf_dir),
             "docs_distinct_bigrams_hll": docs_distinct_bigrams_hll(sf_dir),
             "docs_length_quantiles_sketch": docs_length_quantiles_sketch(sf_dir),
