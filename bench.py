@@ -229,6 +229,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("ann_hnsw", Q.ann_hnsw),
         ("simhash_dup_pairs", Q.simhash_dup_pairs),
         ("embedding_dup_pairs_ann", Q.embedding_dup_pairs_ann),
+        ("semdedup_prune", Q.semdedup_prune),
+        ("dedup_tiers", Q.dedup_tiers),
         ("image_phash_dup_pairs", Q.image_phash_dup_pairs),
         ("audio_dup_pairs", Q.audio_dup_pairs),
         ("video_dup_pairs", Q.video_dup_pairs),
