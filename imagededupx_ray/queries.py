@@ -1330,6 +1330,42 @@ def embedding_dup_pairs_ann(sf_dir: str, threshold: float = 0.4):
     return pairs.map_batches(roundc, batch_format="pyarrow")
 
 
+def docs_substring_cleanup(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG):
+    """ExactSubstr corpus cleanup (Lee et al. 2021, arXiv:2107.06499): every
+    duplicated exact span found by the suffix-array stage is EXCISED from
+    its higher-doc_id occurrence; the min-id occurrence stays. Returns one
+    row per doc (doc_id, n_spans_removed, bytes_removed, text_md5) — the
+    rewritten text rides as its md5 so the evidence row is narrow. Rows-only
+    (excision/UTF-8/idempotence gates in tests/test_spans.py)."""
+    import hashlib
+
+    from imagededupx_ray.stages.spans import substring_cleanup, substring_spans
+
+    res = _run_dedup_cached(sf_dir, cfg)
+    spans = substring_spans(
+        res.verified_pairs, res.docs_unique.select_columns(["doc_id", "text"]), cfg
+    )
+    cleaned = substring_cleanup(
+        res.docs_unique.select_columns(["doc_id", "text"]), spans
+    )
+
+    def digest(batch: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_spans_removed": batch["n_spans_removed"],
+                "bytes_removed": batch["bytes_removed"],
+                "text_md5": pa.array(md5s, type=pa.string()),
+            }
+        )
+
+    return cleaned.map_batches(digest, batch_format="pyarrow")
+
+
 def dedup_tiers(sf_dir: str):
     """Tiered dedup cascade report (exact → MinHash-LSH near → loose-SimHash
     template → SemDeDup semantic), each tier over the previous tier's
@@ -3421,6 +3457,7 @@ def similarity_suite(sf_dir: str) -> pd.DataFrame:
             "semdedup_prune": semdedup_prune(sf_dir),
             "dedup_tiers": dedup_tiers(sf_dir),
             "substring_spans_docs": substring_spans_docs(sf_dir),
+            "docs_substring_cleanup": docs_substring_cleanup(sf_dir),
             "docs_distinct_bigrams_hll": docs_distinct_bigrams_hll(sf_dir),
             "docs_length_quantiles_sketch": docs_length_quantiles_sketch(sf_dir),
             "docs_decontaminate_bloom": docs_decontaminate_bloom(sf_dir),

@@ -236,3 +236,101 @@ def substring_spans_join(
         )
 
     return joined.map_batches(emit, batch_format="pyarrow", batch_size=256)
+
+
+# ---------------------------------------------------------------------------
+# corpus cleanup: excise duplicated spans (Lee et al. 2021, arXiv:2107.06499,
+# "Deduplicating Training Data Makes Language Models Better" — ExactSubstr:
+# when two documents share a long exact substring, keep ONE occurrence and
+# remove the others from the corpus)
+# ---------------------------------------------------------------------------
+
+
+def _snap_utf8(data: bytes, start: int, end: int) -> tuple[int, int]:
+    """Snap a byte interval INWARD to UTF-8 codepoint boundaries so excision
+    never splits a multibyte character (shared byte runs can start/end on a
+    continuation byte). Removing slightly less than the span is safe; the
+    output must stay valid UTF-8."""
+    n = len(data)
+    start = max(0, min(start, n))
+    end = max(start, min(end, n))
+    while start < end and (data[start] & 0xC0) == 0x80:
+        start += 1
+    # data[:start] and data[end:] must both begin/end on codepoint
+    # boundaries: shrink end down to the lead byte of any char it splits
+    while start < end < n and (data[end] & 0xC0) == 0x80:
+        end -= 1
+    return start, end
+
+
+def _merge_intervals(starts: np.ndarray, ends: np.ndarray) -> list[tuple[int, int]]:
+    order = np.lexsort((ends, starts))
+    merged: list[list[int]] = []
+    for s, e in zip(starts[order].tolist(), ends[order].tolist()):
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    return [(s, e) for s, e in merged]
+
+
+def substring_cleanup(docs_ds, spans_ds):
+    """docs(doc_id, text, ...) × SUBSTRING_SPANS → docs with every
+    duplicated span EXCISED from its higher-doc_id occurrence (pairs emit
+    a < b, so the b side loses; the min-id occurrence stays canonical —
+    the same deterministic tie-break as the cluster stage).
+
+    Output keeps the input columns with ``text`` rewritten plus
+    ``n_spans_removed`` / ``bytes_removed`` per row. Intervals per doc are
+    SPAN-bounded (docs in verified pairs only), so the interval map is a
+    broadcast — the same bound as the spans stage's own pair-member text
+    map; untouched docs stream through unmodified."""
+    sp = spans_ds.select_columns(["b", "b_start", "length"]).to_pandas()
+    iv_map: dict[int, list[tuple[int, int]]] = {}
+    if len(sp):
+        b = sp["b"].to_numpy().astype(np.int64)
+        s = sp["b_start"].to_numpy().astype(np.int64)
+        e = s + sp["length"].to_numpy().astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        b, s, e = b[order], s[order], e[order]
+        cuts = np.flatnonzero(np.concatenate(([True], b[1:] != b[:-1])))
+        bounds = np.concatenate((cuts, [len(b)]))
+        for i, c in enumerate(cuts):
+            iv_map[int(b[c])] = _merge_intervals(
+                s[c : bounds[i + 1]], e[c : bounds[i + 1]]
+            )
+    iv_ref = ray.put(iv_map)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        iv = ray.get(iv_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_removed = np.zeros(len(ids), dtype=np.int64)
+        bytes_removed = np.zeros(len(ids), dtype=np.int64)
+        hit_rows = [i for i, d in enumerate(ids.tolist()) if d in iv]
+        if hit_rows:
+            texts = batch["text"].to_pylist()
+            for i in hit_rows:
+                data = texts[i].encode("utf-8")
+                kept, pos, nrm, brm = [], 0, 0, 0
+                for s0, e0 in iv[ids[i]]:
+                    s1, e1 = _snap_utf8(data, s0, e0)
+                    if e1 <= s1:
+                        continue
+                    kept.append(data[pos:s1])
+                    brm += e1 - s1
+                    nrm += 1
+                    pos = e1
+                kept.append(data[pos:])
+                texts[i] = b"".join(kept).decode("utf-8")
+                n_removed[i] = nrm
+                bytes_removed[i] = brm
+            batch = batch.set_column(
+                batch.column_names.index("text"),
+                "text",
+                pa.array(texts, type=pa.string()),
+            )
+        return batch.append_column(
+            "n_spans_removed", pa.array(n_removed, type=pa.int64())
+        ).append_column("bytes_removed", pa.array(bytes_removed, type=pa.int64()))
+
+    return docs_ds.map_batches(rewrite, batch_format="pyarrow")

@@ -144,3 +144,110 @@ def test_span_join_equals_broadcast(ray_session, fixture_corpus):
         .reset_index(drop=True)
     )
     assert via_bcast[cols].equals(via_join)
+
+
+def _docs_ds(texts):
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+
+
+def _spans_for(texts, pairs, min_len):
+    import pyarrow as pa
+    import ray.data as rd
+
+    rows = {"a": [], "b": [], "a_start": [], "b_start": [], "length": []}
+    for a, b in pairs:
+        for sa, sb, ln in pair_spans(texts[a], texts[b], min_len):
+            rows["a"].append(a)
+            rows["b"].append(b)
+            rows["a_start"].append(sa)
+            rows["b_start"].append(sb)
+            rows["length"].append(ln)
+    return rd.from_arrow(
+        pa.table({k: pa.array(v, type=pa.int64()) for k, v in rows.items()})
+    )
+
+
+def test_substring_cleanup_excises_higher_doc(ray_session):
+    """ExactSubstr cleanup: the shared span disappears from the higher doc,
+    stays in the lower doc, surrounding text survives, and a second pass
+    removes nothing (idempotence at the same min_len)."""
+    from imagededupx_ray.stages.spans import substring_cleanup
+
+    shared = "the quick brown fox jumps over the lazy dog " * 4
+    texts = [
+        "alpha bravo " + shared + "charlie delta",
+        "echo foxtrot " + shared + "golf hotel",
+        "unrelated document with no duplicated content at all",
+    ]
+    min_len = 50
+    spans = _spans_for(texts, [(0, 1)], min_len)
+    out = (
+        substring_cleanup(_docs_ds(texts), spans)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert shared in out.loc[0, "text"]  # canonical occurrence kept
+    assert shared not in out.loc[1, "text"]
+    assert out.loc[1, "text"].startswith("echo foxtrot")
+    assert out.loc[1, "text"].endswith("golf hotel")
+    assert out.loc[1, "n_spans_removed"] >= 1
+    assert out.loc[1, "bytes_removed"] >= min_len
+    assert out.loc[2, "text"] == texts[2]
+    assert (out.loc[[0, 2], "bytes_removed"] == 0).all()
+
+    # idempotence: re-mine spans on the cleaned corpus -> nothing long left
+    cleaned = out["text"].tolist()
+    again = _spans_for(cleaned, [(0, 1)], min_len).to_pandas()
+    assert len(again) == 0
+
+
+def test_substring_cleanup_merges_overlaps_and_keeps_utf8(ray_session):
+    """Overlapping spans merge before excision (bytes_removed counts each
+    byte once) and multibyte-unaligned span boundaries snap inward so the
+    rewritten text stays valid UTF-8."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from imagededupx_ray.stages.spans import substring_cleanup
+
+    body = "ä" * 30 + "shared-middle-content-" * 5 + "ö" * 30
+    texts = ["keeper " + body, "loser " + body]
+    # two hand-built overlapping intervals on doc 1, deliberately starting
+    # on a continuation byte of a 2-byte char
+    enc = texts[1].encode("utf-8")
+    start = texts[1].index("ä") * 1 + 7  # byte offset near the multibyte run
+    spans = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([0, 0], type=pa.int64()),
+                "b": pa.array([1, 1], type=pa.int64()),
+                "a_start": pa.array([0, 0], type=pa.int64()),
+                "b_start": pa.array([start + 1, start + 40], type=pa.int64()),
+                "length": pa.array([60, 60], type=pa.int64()),
+            }
+        )
+    )
+    out = (
+        substring_cleanup(_docs_ds(texts), spans)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    t1 = out.loc[1, "text"]
+    t1.encode("utf-8").decode("utf-8")  # valid round-trip
+    assert out.loc[1, "n_spans_removed"] == 1  # merged into one interval
+    # merged interval [start+1, start+100) snapped inward: <= 99 bytes
+    assert 0 < out.loc[1, "bytes_removed"] <= 99
+    assert len(t1.encode("utf-8")) == len(enc) - out.loc[1, "bytes_removed"]
+    assert out.loc[0, "text"] == texts[0]
