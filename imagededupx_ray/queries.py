@@ -1337,8 +1337,6 @@ def docs_substring_cleanup(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG):
     row per doc (doc_id, n_spans_removed, bytes_removed, text_md5) — the
     rewritten text rides as its md5 so the evidence row is narrow. Rows-only
     (excision/UTF-8/idempotence gates in tests/test_spans.py)."""
-    import hashlib
-
     from imagededupx_ray.stages.spans import substring_cleanup, substring_spans
 
     res = _run_dedup_cached(sf_dir, cfg)
@@ -1348,22 +1346,41 @@ def docs_substring_cleanup(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG):
     cleaned = substring_cleanup(
         res.docs_unique.select_columns(["doc_id", "text"]), spans
     )
+    return cleaned.map_batches(_cleanup_digest, batch_format="pyarrow")
 
-    def digest(batch: pa.Table) -> pa.Table:
-        md5s = [
-            hashlib.md5(t.encode("utf-8")).hexdigest()
-            for t in batch["text"].to_pylist()
-        ]
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_spans_removed": batch["n_spans_removed"],
-                "bytes_removed": batch["bytes_removed"],
-                "text_md5": pa.array(md5s, type=pa.string()),
-            }
-        )
 
-    return cleaned.map_batches(digest, batch_format="pyarrow")
+def _cleanup_digest(batch: pa.Table) -> pa.Table:
+    """Narrow evidence rows for a cleanup output: text rides as its md5."""
+    import hashlib
+
+    md5s = [
+        hashlib.md5(t.encode("utf-8")).hexdigest()
+        for t in batch["text"].to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_spans_removed": batch["n_spans_removed"],
+            "bytes_removed": batch["bytes_removed"],
+            "text_md5": pa.array(md5s, type=pa.string()),
+        }
+    )
+
+
+def docs_exactsubstr_cleanup(sf_dir: str):
+    """Corpus-level ExactSubstr cleanup (Lee et al. 2021): every repeated
+    byte run >= ~95 bytes ANYWHERE in the corpus (cross-doc boilerplate or
+    intra-doc repetition, near-dup pair or not) excised from all but its
+    first (doc_id, start) occurrence — winnowed-anchor exchange, no corpus
+    suffix array (stages/exactsubstr.py). Rows-only (kernel exactness,
+    anchor guarantee, planted-boilerplate/intra-doc/no-false-positive gates
+    in tests/test_exactsubstr.py)."""
+    from imagededupx_ray.stages.exactsubstr import corpus_substring_cleanup
+
+    cleaned = corpus_substring_cleanup(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    )
+    return cleaned.map_batches(_cleanup_digest, batch_format="pyarrow")
 
 
 def dedup_tiers(sf_dir: str):
@@ -3458,6 +3475,7 @@ def similarity_suite(sf_dir: str) -> pd.DataFrame:
             "dedup_tiers": dedup_tiers(sf_dir),
             "substring_spans_docs": substring_spans_docs(sf_dir),
             "docs_substring_cleanup": docs_substring_cleanup(sf_dir),
+            "docs_exactsubstr_cleanup": docs_exactsubstr_cleanup(sf_dir),
             "docs_distinct_bigrams_hll": docs_distinct_bigrams_hll(sf_dir),
             "docs_length_quantiles_sketch": docs_length_quantiles_sketch(sf_dir),
             "docs_decontaminate_bloom": docs_decontaminate_bloom(sf_dir),

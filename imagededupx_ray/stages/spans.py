@@ -274,31 +274,27 @@ def _merge_intervals(starts: np.ndarray, ends: np.ndarray) -> list[tuple[int, in
     return [(s, e) for s, e in merged]
 
 
-def substring_cleanup(docs_ds, spans_ds):
-    """docs(doc_id, text, ...) × SUBSTRING_SPANS → docs with every
-    duplicated span EXCISED from its higher-doc_id occurrence (pairs emit
-    a < b, so the b side loses; the min-id occurrence stays canonical —
-    the same deterministic tie-break as the cluster stage).
-
-    Output keeps the input columns with ``text`` rewritten plus
-    ``n_spans_removed`` / ``bytes_removed`` per row. Intervals per doc are
-    SPAN-bounded (docs in verified pairs only), so the interval map is a
-    broadcast — the same bound as the spans stage's own pair-member text
-    map; untouched docs stream through unmodified."""
-    sp = spans_ds.select_columns(["b", "b_start", "length"]).to_pandas()
+def _interval_map(
+    doc: np.ndarray, s: np.ndarray, e: np.ndarray
+) -> dict[int, list[tuple[int, int]]]:
+    """{doc_id -> merged removal intervals} from flat (doc, start, end)."""
     iv_map: dict[int, list[tuple[int, int]]] = {}
-    if len(sp):
-        b = sp["b"].to_numpy().astype(np.int64)
-        s = sp["b_start"].to_numpy().astype(np.int64)
-        e = s + sp["length"].to_numpy().astype(np.int64)
-        order = np.argsort(b, kind="stable")
-        b, s, e = b[order], s[order], e[order]
-        cuts = np.flatnonzero(np.concatenate(([True], b[1:] != b[:-1])))
-        bounds = np.concatenate((cuts, [len(b)]))
+    if len(doc):
+        order = np.argsort(doc, kind="stable")
+        doc, s, e = doc[order], s[order], e[order]
+        cuts = np.flatnonzero(np.concatenate(([True], doc[1:] != doc[:-1])))
+        bounds = np.concatenate((cuts, [len(doc)]))
         for i, c in enumerate(cuts):
-            iv_map[int(b[c])] = _merge_intervals(
+            iv_map[int(doc[c])] = _merge_intervals(
                 s[c : bounds[i + 1]], e[c : bounds[i + 1]]
             )
+    return iv_map
+
+
+def excise_intervals(docs_ds, iv_map: dict[int, list[tuple[int, int]]]):
+    """Rewrite docs by excising the given per-doc byte intervals (merged,
+    UTF-8-snapped). The interval map broadcasts once; untouched docs stream
+    through unmodified. Adds ``n_spans_removed`` / ``bytes_removed``."""
     iv_ref = ray.put(iv_map)
 
     def rewrite(batch: pa.Table) -> pa.Table:
@@ -334,3 +330,26 @@ def substring_cleanup(docs_ds, spans_ds):
         ).append_column("bytes_removed", pa.array(bytes_removed, type=pa.int64()))
 
     return docs_ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def substring_cleanup(docs_ds, spans_ds):
+    """docs(doc_id, text, ...) × SUBSTRING_SPANS → docs with every
+    duplicated span EXCISED from its higher-doc_id occurrence (pairs emit
+    a < b, so the b side loses; the min-id occurrence stays canonical —
+    the same deterministic tie-break as the cluster stage).
+
+    Output keeps the input columns with ``text`` rewritten plus
+    ``n_spans_removed`` / ``bytes_removed`` per row. Intervals per doc are
+    SPAN-bounded (docs in verified pairs only), so the interval map is a
+    broadcast — the same bound as the spans stage's own pair-member text
+    map; untouched docs stream through unmodified."""
+    sp = spans_ds.select_columns(["b", "b_start", "length"]).to_pandas()
+    if len(sp):
+        b = sp["b"].to_numpy().astype(np.int64)
+        s = sp["b_start"].to_numpy().astype(np.int64)
+        iv_map = _interval_map(
+            b, s, s + sp["length"].to_numpy().astype(np.int64)
+        )
+    else:
+        iv_map = {}
+    return excise_intervals(docs_ds, iv_map)
