@@ -92,6 +92,22 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--input", required=True, help="pages parquet directory")
     s.add_argument("--output", required=True)
 
+    tr = sub.add_parser(
+        "tiers",
+        help="tiered dedup cascade report: exact -> near -> template "
+        "[-> semantic when --embeddings given]",
+    )
+    tr.add_argument("--input", required=True, help="pages parquet directory")
+    tr.add_argument(
+        "--embeddings",
+        default=None,
+        help="parquet of (vec_id, embedding) with vec_id in the pipeline's "
+        "hash64(url) doc_id domain; enables the semantic tier",
+    )
+    tr.add_argument("--output", default=None, help="also write the report parquet here")
+    tr.add_argument("--loose-hamming", type=int, default=10)
+    tr.add_argument("--eps", type=float, default=0.4)
+
     ln = sub.add_parser(
         "lineage",
         help="print a snapshot's lineage chain + per-stage metrics from the manifests",
@@ -372,6 +388,24 @@ def main(argv: list[str] | None = None) -> int:
             )
             spans.write_parquet(args.output)
             print(json.dumps({"spans": args.output, "rows": spans.count()}))
+        elif args.cmd == "tiers":
+            from imagededupx_ray.pipelines.tiers import dedup_tier_cascade
+
+            emb = rd.read_parquet(args.embeddings) if args.embeddings else None
+            report = dedup_tier_cascade(
+                rd.read_parquet(args.input),
+                emb_ds=emb,
+                cfg=DEFAULT_CONFIG,
+                loose_hamming_max=args.loose_hamming,
+                semantic_eps=args.eps,
+            )
+            if args.output:
+                import pyarrow.parquet as pq
+
+                import pyarrow as pa
+
+                pq.write_table(pa.Table.from_pandas(report), args.output)
+            print(json.dumps({"tiers": report.to_dict(orient="records")}))
     finally:
         if _owns_ray:
             ray.shutdown()
