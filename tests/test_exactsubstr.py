@@ -136,3 +136,43 @@ def test_corpus_cleanup_no_false_positives(ray_session):
     out = corpus_substring_cleanup(_docs(texts)).to_pandas()
     assert (out["bytes_removed"] == 0).all()
     assert (out["n_spans_removed"] == 0).all()
+
+
+def test_corpus_cleanup_property_no_long_repeats_survive(ray_session):
+    """Property gate: after cleanup, no W+2w-byte run appears twice across
+    the corpus (interior coverage of the winnowing guarantee; the planted
+    repeats have random lengths and byte offsets)."""
+    from imagededupx_ray.stages.exactsubstr import corpus_substring_cleanup
+
+    rng = np.random.default_rng(17)
+    W, w = 64, 32
+    texts = [_rand_text(rng, rng.integers(40, 160)) for _ in range(15)]
+    # plant 4 repeated regions at random spots in random doc pairs
+    for r in range(4):
+        region = " ".join(f"rep{r}x{i}" for i in range(rng.integers(25, 60)))
+        i, j = rng.choice(15, size=2, replace=False)
+        pi = rng.integers(0, max(1, len(texts[i]) - 1))
+        pj = rng.integers(0, max(1, len(texts[j]) - 1))
+        texts[i] = texts[i][:pi] + " " + region + " " + texts[i][pi:]
+        texts[j] = texts[j][:pj] + " " + region + " " + texts[j][pj:]
+
+    out = (
+        corpus_substring_cleanup(_docs(texts), window_bytes=W, winnow_w=w)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    L = W + 2 * w
+    seen: dict[bytes, tuple[int, int]] = {}
+    dupes = []
+    for did, t in enumerate(out["text"].tolist()):
+        data = t.encode("utf-8")
+        for s in range(0, max(0, len(data) - L + 1)):
+            k = data[s : s + L]
+            prev = seen.get(k)
+            if prev is not None and prev[0] != did:
+                dupes.append((prev, (did, s)))
+            elif prev is None:
+                seen[k] = (did, s)
+    assert not dupes, dupes[:3]
+    assert (out["bytes_removed"] > 0).sum() >= 4  # every planted pair hit
