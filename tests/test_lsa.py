@@ -1,0 +1,127 @@
+"""Distributed LSA encoder (stages/lsa.py): Gram/eigen parity vs a dense
+single-process computation, topic separation, determinism, empty docs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs(texts):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+
+
+def _dense_reference(texts, V, dim):
+    """Single-process dense LSA with the same hashing/weighting."""
+    from imagededupx_ray.functions.hashing import token_hash_flat
+    from imagededupx_ray.functions.text import tokenize_batch
+
+    A = np.zeros((len(texts), V), dtype=np.float64)
+    flat, offsets = tokenize_batch(pa.array(texts))
+    th = token_hash_flat(flat)
+    bucket = (th & np.uint64(V - 1)).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(texts)), np.diff(offsets))
+    np.add.at(A, (doc_idx, bucket), 1.0)
+    A = np.log1p(A)
+    df = (A > 0).sum(axis=0)
+    idf = np.log((1.0 + len(texts)) / (1.0 + df)) + 1.0
+    A *= idf[None, :]
+    A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+    G = A.T @ A
+    evals, evecs = np.linalg.eigh(G)
+    W = evecs[:, ::-1][:, :dim]
+    am = np.argmax(np.abs(W), axis=0)
+    sign = np.sign(W[am, np.arange(dim)])
+    sign[sign == 0] = 1.0
+    W = W * sign[None, :]
+    E = A @ W
+    n = np.linalg.norm(E, axis=1, keepdims=True)
+    return idf, G, W, np.where(n > 1e-12, E / np.maximum(n, 1e-12), 0.0)
+
+
+def _topic_texts(rng, n_per=8):
+    topics = {
+        "cooking": "recipe oven butter flour sugar bake taste kitchen meal dish",
+        "space": "rocket orbit planet launch satellite astronaut gravity moon mars star",
+        "finance": "market stock bond yield inflation trade price bank asset fund",
+    }
+    texts, labels = [], []
+    for label, vocab in topics.items():
+        words = vocab.split()
+        for _ in range(n_per):
+            texts.append(" ".join(rng.choice(words, size=40, replace=True)))
+            labels.append(label)
+    return texts, labels
+
+
+def test_lsa_matches_dense_reference(ray_session):
+    from imagededupx_ray.stages.lsa import lsa_embed, lsa_fit
+
+    rng = np.random.default_rng(3)
+    texts, _ = _topic_texts(rng)
+    V, dim = 256, 8
+    model = lsa_fit(_docs(texts), dim=dim, vocab=V)
+    idf_ref, G_ref, W_ref, E_ref = _dense_reference(texts, V, dim)
+    assert np.allclose(model["idf"], idf_ref)
+    assert np.allclose(model["W"], W_ref, atol=1e-8)
+    out = (
+        lsa_embed(_docs(texts), model)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    E = np.stack(out["embedding"].to_numpy())
+    assert np.allclose(E, E_ref, atol=1e-8)
+
+
+def test_lsa_topic_separation(ray_session):
+    """Learned embeddings place same-topic docs closer than cross-topic —
+    the property a real encoder must have and a random projection lacks."""
+    from imagededupx_ray.stages.lsa import lsa_embed, lsa_fit
+
+    rng = np.random.default_rng(4)
+    texts, labels = _topic_texts(rng, n_per=10)
+    model = lsa_fit(_docs(texts), dim=16, vocab=512)
+    out = (
+        lsa_embed(_docs(texts), model)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    E = np.stack(out["embedding"].to_numpy())
+    S = E @ E.T
+    lab = np.array(labels)
+    same = lab[:, None] == lab[None, :]
+    off_diag = ~np.eye(len(lab), dtype=bool)
+    intra = S[same & off_diag].mean()
+    inter = S[~same].mean()
+    assert intra > inter + 0.3, (intra, inter)
+
+
+def test_lsa_deterministic_and_empty_docs(ray_session):
+    from imagededupx_ray.stages.lsa import lsa_embed, lsa_fit
+
+    rng = np.random.default_rng(5)
+    texts, _ = _topic_texts(rng, n_per=4)
+    texts.append("")  # empty doc embeds as zeros
+    m1 = lsa_fit(_docs(texts), dim=8, vocab=256)
+    m2 = lsa_fit(_docs(texts), dim=8, vocab=256)
+    assert np.array_equal(m1["W"], m2["W"])
+    out = (
+        lsa_embed(_docs(texts), m1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    E = np.stack(out["embedding"].to_numpy())
+    assert np.allclose(E[-1], 0.0)
+    norms = np.linalg.norm(E[:-1], axis=1)
+    assert np.allclose(norms, 1.0)
