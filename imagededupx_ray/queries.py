@@ -1423,6 +1423,30 @@ def semdedup_prune(sf_dir: str, eps: float = 0.4):
     return semdedup_verdicts(_read(sf_dir, "embeddings"), eps=eps)
 
 
+def lsa_semdedup(sf_dir: str, dim: int = 32, vocab: int = 1024, eps: float = 0.95):
+    """End-to-end LEARNED-encoder semantic text dedup: fit the distributed
+    LSA model over the documents table (stages/lsa.py — hashed-TF-IDF Gram
+    tree-reduce, fixed V x V global state), embed every doc through it, and
+    run SemDeDup verdicts over the learned embeddings. This is the
+    reference's deep-encoder dedup story (bert_similarity.py:50-58 ->
+    paraphrase mining) with a corpus-learned numpy encoder instead of a
+    torch checkpoint; all-integer output (doc_id, semdup_id, keep) so the
+    suite fingerprint is float-noise-free. Encoder/verdict gates live in
+    tests/test_lsa.py and tests/test_ops.py."""
+    from imagededupx_ray.stages.lsa import lsa_embed, lsa_fit
+    from imagededupx_ray.stages.semdedup import semdedup_verdicts
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    model = lsa_fit(docs, dim=dim, vocab=vocab)
+    emb = lsa_embed(docs, model).map_batches(
+        lambda t: t.rename_columns(["vec_id", "embedding"]),
+        batch_format="pyarrow",
+    )
+    out = semdedup_verdicts(emb, eps=eps)
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
 def ann_cosine(sf_dir: str, n_queries: int = 10, k: int = 10):
     """IVF approximate top-k (scale path of knn_cosine); rows-only — recall
     vs brute force is gated in tests/test_ann.py."""
@@ -3472,6 +3496,7 @@ def similarity_suite(sf_dir: str) -> pd.DataFrame:
             "ann_hnsw": ann_hnsw(sf_dir),
             "embedding_dup_pairs_ann": embedding_dup_pairs_ann(sf_dir),
             "semdedup_prune": semdedup_prune(sf_dir),
+            "lsa_semdedup": lsa_semdedup(sf_dir),
             "dedup_tiers": dedup_tiers(sf_dir),
             "substring_spans_docs": substring_spans_docs(sf_dir),
             "docs_substring_cleanup": docs_substring_cleanup(sf_dir),
@@ -3504,7 +3529,7 @@ def multimodal_suite(sf_dir: str) -> pd.DataFrame:
 def nonsql_suite(sf_dir: str) -> pd.DataFrame:
     """similarity_suite + multimodal_suite + the dedup cluster report as ONE
     driver-visible entry (the driver artifact records at most 50
-    ``queries()`` rows; merging the rows-only family keeps all 17 component
+    ``queries()`` rows; merging the rows-only family keeps all 23 component
     pipelines' evidence rows inside the cap while freeing slots for
     SQL-gated queries)."""
     return pd.concat(

@@ -125,3 +125,42 @@ def test_lsa_deterministic_and_empty_docs(ray_session):
     assert np.allclose(E[-1], 0.0)
     norms = np.linalg.norm(E[:-1], axis=1)
     assert np.allclose(norms, 1.0)
+
+
+def test_lsa_semdedup_groups_paraphrases(ray_session, tmp_path):
+    """LSA -> SemDeDup end-to-end: exact/near-duplicate docs land in one
+    semantic component with exactly one keeper; distinct-topic docs stay
+    singletons."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from imagededupx_ray.queries import lsa_semdedup
+
+    rng = np.random.default_rng(7)
+    texts, _ = _topic_texts(rng, n_per=6)
+    # plant a duplicate trio: one base doc + an exact copy + a one-word edit
+    # (measured LSA cosine ~0.979 at this config; the tail-append variant
+    # lands ~0.914, below the 0.97 verdict threshold)
+    base = texts[0]
+    texts.append(base)
+    texts.append(" ".join(base.split()[:-1] + ["changed"]))
+    doc_ids = list(range(len(texts)))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = lsa_semdedup(str(tmp_path), dim=8, vocab=256, eps=0.97)
+    assert isinstance(out, pd.DataFrame)
+    assert sorted(out["vec_id"]) == doc_ids
+    trio = out[out["vec_id"].isin([0, len(texts) - 2, len(texts) - 1])]
+    assert set(trio["semdup_id"]) == {0}, trio
+    comp = out[out["semdup_id"] == 0]
+    assert int(comp["keep"].sum()) == 1
+    # every component keeps exactly one representative
+    keeps = out.groupby("semdup_id")["keep"].sum()
+    assert (keeps == 1).all()
