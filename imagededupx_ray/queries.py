@@ -2788,6 +2788,80 @@ def parts_rollup(sf_dir: str):
     return out[["p_brand", "p_type", "n_parts", "avg_price"]]
 
 
+def docs_stratified_sample(sf_dir: str, k: int = 20, seed: int = 42):
+    """Seeded deterministic stratified (per-group quota) sample — the data
+    mixing / eval-subset op of corpus curation: the ``k`` docs per language
+    with the smallest md5("s{seed}:" + doc_id) rank keys, i.e. a uniform
+    seeded sample that is identical at any parallelism or cluster size
+    (reference O5's seeded sampling, benchmark_bm25.py:19, made
+    reproducible and distributed). The per-group k-smallest set is a
+    MERGEABLE bounded summary: every block emits at most n_groups*k rows,
+    partials combine through fanout-bounded repartition rounds (the
+    partial_groupby discipline), so neither the exchange nor driver traffic
+    grows with the corpus — only with n_groups*k. Exact DuckDB
+    ROW_NUMBER() twin gated in tests/test_queries_extra.py."""
+    import hashlib
+
+    FANOUT = 64
+
+    def k_smallest(batch: pa.Table, final: bool = False) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        rk = batch["rk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, rk, lang))
+        lang, ids, rk = lang[order], ids[order], rk[order]
+        starts = np.flatnonzero(np.r_[True, lang[1:] != lang[:-1]])
+        rank = np.arange(len(lang)) - np.repeat(starts, np.diff(np.r_[starts, len(lang)]))
+        keep = rank < k
+        cols = {
+            "lang": pa.array(lang[keep], type=pa.string()),
+            "doc_id": pa.array(ids[keep], type=pa.int64()),
+            "rk": pa.array(rk[keep], type=pa.string()),
+        }
+        if final:
+            cols["sample_rank"] = pa.array((rank[keep] + 1).astype(np.int64))
+        return pa.table(cols)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        rk = [hashlib.md5(f"s{seed}:{i}".encode()).hexdigest() for i in ids]
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "rk": pa.array(rk, type=pa.string()),
+            }
+        )
+        return k_smallest(t)
+
+    parts = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "lang"])
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()
+    )
+    nb = parts.num_blocks()
+    while nb > 1:
+        parts = (
+            parts.repartition(max(1, -(-nb // FANOUT)))
+            .map_batches(k_smallest, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+        new_nb = parts.num_blocks()
+        if new_nb >= nb:
+            break
+        nb = new_nb
+    tabs = [t for t in (ray.get(r) for r in parts.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.schema(
+            [("lang", pa.string()), ("doc_id", pa.int64()), ("sample_rank", pa.int64())]
+        ).empty_table()
+    out = k_smallest(pa.concat_tables(tabs), final=True)
+    return out.select(["lang", "doc_id", "sample_rank"])
+
+
 def docs_train_test_split(sf_dir: str, test_pct: int = 10):
     """Deterministic content-keyed train/test split — the assignment every
     training-data pipeline needs before anything downstream: split(doc) =
@@ -3573,6 +3647,7 @@ def similarity_suite(sf_dir: str) -> pd.DataFrame:
             "substring_spans_docs": substring_spans_docs(sf_dir),
             "docs_substring_cleanup": docs_substring_cleanup(sf_dir),
             "dedup_clusters": dedup_clusters(sf_dir),
+            "docs_stratified_sample": docs_stratified_sample(sf_dir),
             "docs_exactsubstr_cleanup": docs_exactsubstr_cleanup(sf_dir),
             "docs_distinct_bigrams_hll": docs_distinct_bigrams_hll(sf_dir),
             "docs_length_quantiles_sketch": docs_length_quantiles_sketch(sf_dir),
@@ -3602,7 +3677,7 @@ def multimodal_suite(sf_dir: str) -> pd.DataFrame:
 def nonsql_suite(sf_dir: str) -> pd.DataFrame:
     """similarity_suite + multimodal_suite + the dedup cluster report as ONE
     driver-visible entry (the driver artifact records at most 50
-    ``queries()`` rows; merging the rows-only family keeps all 24 component
+    ``queries()`` rows; merging the rows-only family keeps all 25 component
     pipelines' evidence rows inside the cap while freeing slots for
     SQL-gated queries)."""
     return pd.concat(
