@@ -230,6 +230,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("simhash_dup_pairs", Q.simhash_dup_pairs),
         ("embedding_dup_pairs_ann", Q.embedding_dup_pairs_ann),
         ("semdedup_prune", Q.semdedup_prune),
+        ("lsa_semdedup", Q.lsa_semdedup),
+        ("docs_quality_verdicts", Q.docs_quality_verdicts),
+        ("docs_stratified_sample", Q.docs_stratified_sample),
         ("dedup_tiers", Q.dedup_tiers),
         ("image_phash_dup_pairs", Q.image_phash_dup_pairs),
         ("audio_dup_pairs", Q.audio_dup_pairs),

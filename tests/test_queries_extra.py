@@ -51,3 +51,62 @@ def test_stratified_sample_quota_and_determinism(ray_session):
     # a different seed draws a different sample
     out3 = docs_stratified_sample(SF, k=5, seed=8).to_pandas()
     assert set(out3["doc_id"]) != set(out1["doc_id"])
+
+
+def test_pii_scrub_matches_duckdb_regex_oracle(ray_session, tmp_path):
+    """Planted emails/phones/IPs scrub identically in Arrow-RE2 and
+    DuckDB-RE2, including the sequential-rule no-double-count semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from imagededupx_ray.queries import PII_EMAIL, PII_IP, PII_PHONE, docs_pii_scrub
+
+    texts = [
+        "contact me at jane.doe+spam@example.co.uk or bob@x.io today",
+        "call 415-555-0123 or 415.555.9876 now",
+        "server at 192.168.0.1 and 10.0.0.255 ping 999.1.1.1",
+        "mixed: a@b.com then 212-555-1212 then 8.8.8.8",
+        "clean text with no pii at all",
+        "",
+        "edge a@b.c single-letter tld does not match",
+        "phone-in-email 123-456-7890@host.com is an email first",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = _normalize(docs_pii_scrub(str(tmp_path)).to_pandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = _normalize(
+        con.execute(
+            "WITH s1 AS (SELECT doc_id, "
+            f"len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails, "
+            f"regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1 "
+            "FROM documents), "
+            "s2 AS (SELECT doc_id, n_emails, "
+            f"len(regexp_extract_all(t1, '{PII_PHONE}')) AS n_phones, "
+            f"regexp_replace(t1, '{PII_PHONE}', '<PHONE>', 'g') AS t2 FROM s1), "
+            "s3 AS (SELECT doc_id, n_emails, n_phones, "
+            f"len(regexp_extract_all(t2, '{PII_IP}')) AS n_ips, "
+            f"regexp_replace(t2, '{PII_IP}', '<IP>', 'g') AS clean_text FROM s2) "
+            "SELECT doc_id, clean_text, CAST(n_emails AS BIGINT) AS n_emails, "
+            "CAST(n_phones AS BIGINT) AS n_phones, CAST(n_ips AS BIGINT) AS n_ips "
+            "FROM s3"
+        ).fetchdf()
+    )
+    con.close()
+    pd.testing.assert_frame_equal(out, oracle, check_dtype=False)
+    scrubbed = out.set_index("doc_id")["clean_text"]
+    assert "<EMAIL>" in scrubbed[0] and "@" not in scrubbed[0]
+    assert scrubbed[1].count("<PHONE>") == 2
+    assert "192.168.0.1" not in scrubbed[2]
+    assert scrubbed[4] == texts[4]
