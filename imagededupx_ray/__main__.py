@@ -107,6 +107,14 @@ def main(argv: list[str] | None = None) -> int:
     tr.add_argument("--output", default=None, help="also write the report parquet here")
     tr.add_argument("--loose-hamming", type=int, default=10)
     tr.add_argument("--eps", type=float, default=0.4)
+    tr.add_argument(
+        "--keep-policy",
+        choices=["min_id", "longest"],
+        default="min_id",
+        help="per-component survivor rule for the near/template tiers: "
+        "deterministic min doc_id, or the longest member by n_bytes "
+        "(SlimPajama/RefinedWeb rule)",
+    )
 
     ln = sub.add_parser(
         "lineage",
@@ -398,6 +406,7 @@ def main(argv: list[str] | None = None) -> int:
                 cfg=DEFAULT_CONFIG,
                 loose_hamming_max=args.loose_hamming,
                 semantic_eps=args.eps,
+                keep_policy=args.keep_policy,
             )
             if args.output:
                 import pyarrow.parquet as pq

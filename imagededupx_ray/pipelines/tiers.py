@@ -57,6 +57,50 @@ def _not_in_broadcast(ds, id_col: str, drop: np.ndarray):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _member_scores(docs_ds, members: np.ndarray) -> dict[int, int]:
+    """(doc_id -> n_bytes) for the given member ids: one narrow broadcast-
+    filtered scan; the collected rows are DUP-MEMBER-bounded, never
+    corpus-bounded."""
+    want_ref = ray.put(np.sort(members))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        w = ray.get(want_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(w, ids)
+        hit = (pos < len(w)) & (w[np.minimum(pos, len(w) - 1)] == ids)
+        return batch.filter(pa.array(hit))
+
+    rows = (
+        docs_ds.select_columns(["doc_id", "n_bytes"])
+        .map_batches(pick, batch_format="pyarrow")
+        .take_all()
+    )
+    return {int(r["doc_id"]): int(r["n_bytes"]) for r in rows}
+
+
+def drop_by_quality(root_map: dict[int, int], docs_ds) -> np.ndarray:
+    """Quality keep-policy for a dup-component map: instead of keeping the
+    min-id root (``drop = root_map.keys()``), each component keeps its
+    LONGEST member by extracted ``n_bytes`` (ties -> min doc_id) — the
+    SlimPajama/RefinedWeb-style "keep the longest" rule real corpus builds
+    use so boilerplate fragments don't displace the fullest page. Returns
+    the sorted drop array (same length as ``root_map``: every component
+    still removes size-1 docs; only WHICH ids survive changes)."""
+    if not root_map:
+        return np.empty(0, dtype=np.int64)
+    m = np.fromiter(root_map.keys(), dtype=np.int64, count=len(root_map))
+    r = np.fromiter(root_map.values(), dtype=np.int64, count=len(root_map))
+    roots = np.unique(r)
+    members = np.concatenate([m, roots])
+    comp = np.concatenate([r, roots])
+    scores_map = _member_scores(docs_ds, members)
+    scores = np.array([scores_map.get(int(i), -1) for i in members], dtype=np.int64)
+    order = np.lexsort((members, -scores, comp))
+    members, comp = members[order], comp[order]
+    first = np.r_[True, comp[1:] != comp[:-1]]  # keeper = best row per comp
+    return np.sort(members[~first])
+
+
 def dedup_tier_cascade(
     pages_ds,
     emb_ds=None,
@@ -64,12 +108,26 @@ def dedup_tier_cascade(
     loose_hamming_max: int = 10,
     semantic_eps: float = 0.4,
     dedup_result=None,
+    keep_policy: str = "min_id",
+    collect_drops: list | None = None,
 ) -> pd.DataFrame:
     """Run the 4-tier cascade; returns the per-tier report DataFrame
     (tier, method, docs_in, dup_docs_removed, docs_out). Pass a
     pre-computed ``dedup_result`` (pipelines.dedup.run_dedup output) to
     share tiers 1+2 with other consumers. ``emb_ds`` rows are
-    (vec_id, embedding) aligned with doc_id; omit to skip tier 4."""
+    (vec_id, embedding) aligned with doc_id; omit to skip tier 4.
+
+    ``keep_policy`` picks each near/template component's survivor:
+    "min_id" (deterministic canonical, the flagship pipeline's rule) or
+    "longest" (keep the member with the largest extracted ``n_bytes``,
+    ties -> min id — the SlimPajama/RefinedWeb rule; see
+    ``drop_by_quality``). Exact-tier members are byte-identical, so the
+    policy only affects tiers 2 and 3; per-tier removal COUNTS are
+    policy-invariant (each component still drops size-1 docs). Pass a
+    list as ``collect_drops`` to receive (tier_name, drop_id_array)
+    tuples for the ids each tier removed."""
+    if keep_policy not in ("min_id", "longest"):
+        raise ValueError(f"unknown keep_policy: {keep_policy!r}")
     from imagededupx_ray.pipelines.dedup import run_dedup
     from imagededupx_ray.stages.cluster import dsu_components
     from imagededupx_ray.stages.semdedup import semdedup_verdicts
@@ -85,7 +143,10 @@ def dedup_tier_cascade(
     # tier's dup_map edges excluded) — non-root members are the near-tier
     # removals among exact-unique docs; dup-member-bounded driver set
     root2 = dsu_components(res.verified_pairs)
-    drop2 = np.fromiter(root2.keys(), dtype=np.int64, count=len(root2))
+    if keep_policy == "longest":
+        drop2 = drop_by_quality(root2, res.docs_unique)
+    else:
+        drop2 = np.fromiter(root2.keys(), dtype=np.int64, count=len(root2))
     removed2 = len(drop2)
     survivors2 = n_unique - removed2
 
@@ -97,9 +158,15 @@ def dedup_tier_cascade(
         sigs3, id_col="doc_id", code_col="simhash", hamming_max=loose_hamming_max
     )
     root3 = dsu_components(pairs3)
-    drop3 = np.fromiter(root3.keys(), dtype=np.int64, count=len(root3))
+    if keep_policy == "longest":
+        drop3 = drop_by_quality(root3, res.docs_unique)
+    else:
+        drop3 = np.fromiter(root3.keys(), dtype=np.int64, count=len(root3))
     removed3 = len(drop3)
     survivors3 = survivors2 - removed3
+    if collect_drops is not None:
+        collect_drops.append(("2_near", drop2))
+        collect_drops.append(("3_template", drop3))
 
     rows = [
         ("1_exact", "sha256 collapse", n_total, removed1, n_unique),

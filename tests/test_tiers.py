@@ -155,3 +155,60 @@ def test_tier3_catches_below_jaccard_simhash_near(ray_session):
         rep.loc["3_template", "docs_out"]
         == len(texts) - rep[["dup_docs_removed"]].to_numpy().sum()
     )
+
+
+def test_keep_longest_policy_prefers_fuller_doc(ray_session):
+    """keep_policy="longest": a near-dup pair whose LONGER member has the
+    HIGHER doc hash survives under "longest" and is dropped under "min_id";
+    removal counts are policy-invariant."""
+    import ray.data as rd
+
+    from imagededupx_ray.config import DedupConfig
+    from imagededupx_ray.pipelines.tiers import dedup_tier_cascade
+    from imagededupx_ray.stages.extract import _hash64_column
+
+    rng = np.random.default_rng(41)
+    texts = _base_texts(rng, 30)
+
+    # near-dup pair: long doc = base + tail (one swapped token keeps
+    # jaccard >> threshold), short doc = base
+    base = texts[5]
+    toks = base.split()
+    toks[10] = "swapped"
+    long_doc = " ".join(toks + ["tail1", "tail2", "tail3"])
+    texts.append(long_doc)
+    n = len(texts)
+    pages = rd.from_arrow(_pages_table(texts))
+    ids = np.asarray(
+        _hash64_column(pa.array([f"doc://{i}" for i in range(n)], type=pa.string())),
+        dtype=np.int64,
+    )
+    short_id, long_id = int(ids[5]), int(ids[n - 1])
+
+    cfg = DedupConfig()
+    drops_min, drops_long = [], []
+    rep_min = dedup_tier_cascade(
+        pages, cfg=cfg, keep_policy="min_id", collect_drops=drops_min
+    ).set_index("tier")
+    rep_long = dedup_tier_cascade(
+        pages, cfg=cfg, keep_policy="longest", collect_drops=drops_long
+    ).set_index("tier")
+
+    # counts are policy-invariant
+    assert rep_min["dup_docs_removed"].tolist() == rep_long["dup_docs_removed"].tolist()
+    assert rep_min.loc["2_near", "dup_docs_removed"] == 1
+
+    d_min = {t: set(a.tolist()) for t, a in drops_min}
+    d_long = {t: set(a.tolist()) for t, a in drops_long}
+    dropped_min = d_min["2_near"] | d_min["3_template"]
+    dropped_long = d_long["2_near"] | d_long["3_template"]
+    # min_id keeps min(short_id, long_id); longest keeps long_doc regardless
+    assert long_id not in dropped_long
+    assert short_id in dropped_long
+    assert min(short_id, long_id) not in dropped_min
+    assert max(short_id, long_id) in dropped_min
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup_tier_cascade(pages, cfg=cfg, keep_policy="best")
