@@ -115,6 +115,12 @@ def main(argv: list[str] | None = None) -> int:
         "deterministic min doc_id, or the longest member by n_bytes "
         "(SlimPajama/RefinedWeb rule)",
     )
+    tr.add_argument(
+        "--survivors-output",
+        default=None,
+        help="also write the cleaned corpus (cascade text-tier survivors) "
+        "as parquet to this directory",
+    )
 
     ln = sub.add_parser(
         "lineage",
@@ -400,14 +406,25 @@ def main(argv: list[str] | None = None) -> int:
             from imagededupx_ray.pipelines.tiers import dedup_tier_cascade
 
             emb = rd.read_parquet(args.embeddings) if args.embeddings else None
-            report = dedup_tier_cascade(
-                rd.read_parquet(args.input),
-                emb_ds=emb,
-                cfg=DEFAULT_CONFIG,
-                loose_hamming_max=args.loose_hamming,
-                semantic_eps=args.eps,
-                keep_policy=args.keep_policy,
-            )
+            if args.survivors_output:
+                from imagededupx_ray.pipelines.tiers import cascade_survivors
+
+                survivors, report = cascade_survivors(
+                    rd.read_parquet(args.input),
+                    cfg=DEFAULT_CONFIG,
+                    loose_hamming_max=args.loose_hamming,
+                    keep_policy=args.keep_policy,
+                )
+                survivors.write_parquet(args.survivors_output)
+            else:
+                report = dedup_tier_cascade(
+                    rd.read_parquet(args.input),
+                    emb_ds=emb,
+                    cfg=DEFAULT_CONFIG,
+                    loose_hamming_max=args.loose_hamming,
+                    semantic_eps=args.eps,
+                    keep_policy=args.keep_policy,
+                )
             if args.output:
                 import pyarrow.parquet as pq
 

@@ -224,3 +224,37 @@ def dedup_tier_cascade(
     return pd.DataFrame(
         rows, columns=["tier", "method", "docs_in", "dup_docs_removed", "docs_out"]
     )
+
+
+def cascade_survivors(
+    pages_ds,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    loose_hamming_max: int = 10,
+    keep_policy: str = "min_id",
+):
+    """Materialize the CLEANED CORPUS the cascade's text tiers leave behind:
+    returns (survivor docs Dataset, report DataFrame). The survivor set is
+    docs_unique minus the near+template drop union — one streaming
+    broadcast anti-filter over the already-deduped docs (drop arrays are
+    dup-member-bounded), so the output write is the only corpus-sized
+    cost. This is the artifact a corpus build actually ships; the report
+    is the receipt."""
+    from imagededupx_ray.pipelines.dedup import run_dedup
+
+    res = run_dedup(pages_ds, cfg)
+    drops: list = []
+    report = dedup_tier_cascade(
+        pages_ds,
+        cfg=cfg,
+        loose_hamming_max=loose_hamming_max,
+        keep_policy=keep_policy,
+        collect_drops=drops,
+        dedup_result=res,
+    )
+    drop_all = (
+        np.concatenate([a for _, a in drops])
+        if drops
+        else np.empty(0, dtype=np.int64)
+    )
+    survivors = _not_in_broadcast(res.docs_unique, "doc_id", drop_all)
+    return survivors, report

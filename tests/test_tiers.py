@@ -212,3 +212,37 @@ def test_keep_longest_policy_prefers_fuller_doc(ray_session):
 
     with _pytest.raises(ValueError):
         dedup_tier_cascade(pages, cfg=cfg, keep_policy="best")
+
+
+def test_cascade_survivors_counts_and_policy(ray_session):
+    """cascade_survivors materializes exactly docs_out[last text tier] docs;
+    under keep_policy="longest" the planted long doc is among them."""
+    import ray.data as rd
+
+    from imagededupx_ray.config import DedupConfig
+    from imagededupx_ray.pipelines.tiers import cascade_survivors
+    from imagededupx_ray.stages.extract import _hash64_column
+
+    rng = np.random.default_rng(43)
+    texts = _base_texts(rng, 25)
+    base = texts[3]
+    toks = base.split()
+    toks[7] = "swapped"
+    long_doc = " ".join(toks + ["tail1", "tail2", "tail3"])
+    texts.append(long_doc)
+    texts.append(texts[0])  # exact dup too
+    n = len(texts)
+    pages = rd.from_arrow(_pages_table(texts))
+    ids = np.asarray(
+        _hash64_column(pa.array([f"doc://{i}" for i in range(n)], type=pa.string())),
+        dtype=np.int64,
+    )
+    long_id = int(ids[n - 2])
+
+    survivors, report = cascade_survivors(
+        pages, cfg=DedupConfig(), keep_policy="longest"
+    )
+    sdf = survivors.to_pandas()
+    assert len(sdf) == report.set_index("tier").loc["3_template", "docs_out"]
+    assert long_id in set(sdf["doc_id"].astype(np.int64))
+    assert int(ids[3]) not in set(sdf["doc_id"].astype(np.int64))
