@@ -110,3 +110,35 @@ def test_pii_scrub_matches_duckdb_regex_oracle(ray_session, tmp_path):
     assert scrubbed[1].count("<PHONE>") == 2
     assert "192.168.0.1" not in scrubbed[2]
     assert scrubbed[4] == texts[4]
+
+
+def test_pack_bins_matches_window_oracle(ray_session, ddb):
+    from imagededupx_ray.queries import docs_pack_bins
+
+    out = _normalize(docs_pack_bins(SF, budget=512).to_pandas())
+    oracle = _normalize(
+        ddb.execute(
+            "WITH c AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens "
+            "FROM documents), "
+            "w AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before FROM c) "
+            "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(cum_before // 512 AS BIGINT) AS bin_id FROM w"
+        ).fetchdf()
+    )
+    pd.testing.assert_frame_equal(out, oracle, check_dtype=False)
+    # bins fill in doc_id order: bin ids are nondecreasing and start at 0
+    srt = out.sort_values("doc_id")
+    b = srt["bin_id"].to_numpy()
+    assert b[0] == 0 and (b[1:] >= b[:-1]).all()
+
+
+def test_pack_bins_parallelism_invariant(ray_session):
+    import ray.data as rd
+
+    from imagededupx_ray.queries import docs_pack_bins
+
+    a = _normalize(docs_pack_bins(SF, budget=100).to_pandas())
+    b = _normalize(docs_pack_bins(SF, budget=100).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
