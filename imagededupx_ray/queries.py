@@ -1447,6 +1447,59 @@ def lsa_semdedup(sf_dir: str, dim: int = 32, vocab: int = 1024, eps: float = 0.9
     return df.sort_values("vec_id").reset_index(drop=True)
 
 
+def lsa_search(sf_dir: str, k: int = 10, dim: int = 32, vocab: int = 1024, model=None):
+    """Learned-encoder semantic STRING search — the reference's
+    ``most_similar`` with a deep encoder (bert_similarity.py:105-160) run
+    end-to-end on the corpus-learned LSA model: fit over the documents
+    table, embed the corpus (streaming scan), project the fixed query
+    strings through the same model, brute-force cosine top-k per query via
+    a broadcast query matrix (the exact baseline; IVF/HNSW are the
+    registered scale twins). Output (query_id, doc_id, rank) is
+    integer-only, so the suite fingerprint is float-noise-free; ranking
+    gates live in tests/test_lsa.py."""
+    from imagededupx_ray.stages.lsa import lsa_embed, lsa_fit, lsa_project_texts
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    if model is None:
+        model = lsa_fit(docs, dim=dim, vocab=vocab)
+    Q = lsa_project_texts(ENSEMBLE_QUERIES, model)
+    q_ref = ray.put(Q)
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        """Per-batch PARTIAL top-k per query (nq*k rows max per batch) —
+        the collected partials are block-count-bounded, never
+        corpus-bounded."""
+        q = ray.get(q_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        E = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+        S = E @ q.T  # (n, nq)
+        n, nq = S.shape
+        kk = min(k, n)
+        top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, nq)
+        qs = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        di = ids[top.T.reshape(-1)]
+        cs = S[top.T.reshape(-1), qs]
+        return pa.table(
+            {
+                "query_id": pa.array(qs),
+                "doc_id": pa.array(di, type=pa.int64()),
+                "cosine": pa.array(cs, type=pa.float64()),
+            }
+        )
+
+    df = (
+        lsa_embed(docs, model)
+        .map_batches(score_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["query_id", "cosine", "doc_id"], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df[["query_id", "doc_id", "rank"]]
+
+
 def ann_cosine(sf_dir: str, n_queries: int = 10, k: int = 10):
     """IVF approximate top-k (scale path of knn_cosine); rows-only — recall
     vs brute force is gated in tests/test_ann.py."""
@@ -3741,6 +3794,7 @@ def similarity_suite(sf_dir: str) -> pd.DataFrame:
             "embedding_dup_pairs_ann": embedding_dup_pairs_ann(sf_dir),
             "semdedup_prune": semdedup_prune(sf_dir),
             "lsa_semdedup": lsa_semdedup(sf_dir),
+            "lsa_search": lsa_search(sf_dir),
             "dedup_tiers": dedup_tiers(sf_dir),
             "substring_spans_docs": substring_spans_docs(sf_dir),
             "docs_substring_cleanup": docs_substring_cleanup(sf_dir),
@@ -3777,7 +3831,7 @@ def multimodal_suite(sf_dir: str) -> pd.DataFrame:
 def nonsql_suite(sf_dir: str) -> pd.DataFrame:
     """similarity_suite + multimodal_suite + the dedup cluster report as ONE
     driver-visible entry (the driver artifact records at most 50
-    ``queries()`` rows; merging the rows-only family keeps all 27 component
+    ``queries()`` rows; merging the rows-only family keeps all 28 component
     pipelines' evidence rows inside the cap while freeing slots for
     SQL-gated queries)."""
     return pd.concat(

@@ -147,6 +147,22 @@ def lsa_fit(docs_ds, dim: int = 64, vocab: int = 2048) -> dict:
     return {"idf": idf, "W": np.ascontiguousarray(W), "sv": sv, "vocab": V}
 
 
+def lsa_project_texts(texts: list[str], model: dict) -> np.ndarray:
+    """Project a small list of raw strings (query texts) through a fitted
+    model driver-side: (n, dim) L2-normalized rows, the same transform
+    ``lsa_embed`` applies per batch (empty strings project to zeros)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    _, A = _tfidf_rows(t, model["vocab"], model["idf"])
+    E = A @ model["W"]
+    norms = np.linalg.norm(E, axis=1, keepdims=True)
+    return np.where(norms > 1e-12, E / np.maximum(norms, 1e-12), 0.0)
+
+
 def lsa_embed(docs_ds, model: dict):
     """Project docs through a fitted LSA model: one streaming scan emitting
     (doc_id, embedding fixed_size_list<double>[dim]), rows L2-normalized

@@ -164,3 +164,63 @@ def test_lsa_semdedup_groups_paraphrases(ray_session, tmp_path):
     # every component keeps exactly one representative
     keeps = out.groupby("semdup_id")["keep"].sum()
     assert (keeps == 1).all()
+
+
+def test_lsa_search_matches_dense_ranking(ray_session, tmp_path):
+    """lsa_search's distributed partial-top-k ranking equals the dense
+    single-process ranking (same model, same tie-breaks), and planted
+    query-matching docs rank first."""
+    import pyarrow.parquet as pq
+
+    from imagededupx_ray.queries import ENSEMBLE_QUERIES, lsa_search
+    from imagededupx_ray.stages.lsa import lsa_fit, lsa_project_texts
+
+    rng = np.random.default_rng(11)
+    texts, _ = _topic_texts(rng, n_per=8)
+    # plant one doc per fixed query that repeats the query's tokens
+    for q in ENSEMBLE_QUERIES:
+        texts.append((q + " ") * 10)
+    ids = list(range(len(texts)))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    k, dim, vocab = 5, 16, 512
+    # the SAME fitted model drives both sides: near-degenerate trailing
+    # eigenvalues make independently-fitted bases rotate (summation-order
+    # float noise), so the gate pins the distributed top-k machinery, and
+    # a separate default-path check pins planted-rank-1 robustness
+    model = lsa_fit(_docs(texts), dim=dim, vocab=vocab)
+    out = lsa_search(str(tmp_path), k=k, dim=dim, vocab=vocab, model=model)
+
+    from imagededupx_ray.stages.lsa import lsa_embed
+
+    E = np.stack(
+        lsa_embed(_docs(texts), model)
+        .to_pandas()
+        .sort_values("doc_id")["embedding"]
+        .to_numpy()
+    )
+    Q = lsa_project_texts(list(ENSEMBLE_QUERIES), model)
+    for qi in range(len(ENSEMBLE_QUERIES)):
+        s = E @ Q[qi]
+        order = np.lexsort((np.arange(len(s)), -s))[:k]
+        got = out[out["query_id"] == qi].sort_values("rank")["doc_id"].tolist()
+        assert got == [int(i) for i in order], (qi, got, order)
+        # the planted repeat-the-query doc is rank 1
+        assert got[0] == len(texts) - len(ENSEMBLE_QUERIES) + qi
+
+    # default path (model fitted inside): planted docs still rank 1
+    out_default = lsa_search(str(tmp_path), k=k, dim=dim, vocab=vocab)
+    for qi in range(len(ENSEMBLE_QUERIES)):
+        top1 = (
+            out_default[out_default["query_id"] == qi]
+            .sort_values("rank")["doc_id"]
+            .iloc[0]
+        )
+        assert top1 == len(texts) - len(ENSEMBLE_QUERIES) + qi
