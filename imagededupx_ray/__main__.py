@@ -116,6 +116,13 @@ def main(argv: list[str] | None = None) -> int:
         "(SlimPajama/RefinedWeb rule)",
     )
     tr.add_argument(
+        "--semantic-encoder",
+        choices=["lsa"],
+        default=None,
+        help="enable the semantic tier WITHOUT --embeddings by learning an "
+        "LSA encoder from the corpus itself (numpy-only)",
+    )
+    tr.add_argument(
         "--survivors-output",
         default=None,
         help="also write the cleaned corpus (cascade text-tier survivors) "
@@ -424,6 +431,7 @@ def main(argv: list[str] | None = None) -> int:
                     loose_hamming_max=args.loose_hamming,
                     semantic_eps=args.eps,
                     keep_policy=args.keep_policy,
+                    semantic_encoder=args.semantic_encoder,
                 )
             if args.output:
                 import pyarrow.parquet as pq

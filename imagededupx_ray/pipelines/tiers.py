@@ -110,6 +110,9 @@ def dedup_tier_cascade(
     dedup_result=None,
     keep_policy: str = "min_id",
     collect_drops: list | None = None,
+    semantic_encoder: str | None = None,
+    lsa_dim: int = 32,
+    lsa_vocab: int = 1024,
 ) -> pd.DataFrame:
     """Run the 4-tier cascade; returns the per-tier report DataFrame
     (tier, method, docs_in, dup_docs_removed, docs_out). Pass a
@@ -125,7 +128,12 @@ def dedup_tier_cascade(
     policy only affects tiers 2 and 3; per-tier removal COUNTS are
     policy-invariant (each component still drops size-1 docs). Pass a
     list as ``collect_drops`` to receive (tier_name, drop_id_array)
-    tuples for the ids each tier removed."""
+    tuples for the ids each tier removed.
+
+    ``semantic_encoder="lsa"`` enables tier 4 WITHOUT an external
+    embedding table: the corpus-learned LSA encoder (stages/lsa.py,
+    numpy-only) embeds the survivors and SemDeDup runs over those — the
+    full cascade on a pure-text corpus with no model checkpoint."""
     if keep_policy not in ("min_id", "longest"):
         raise ValueError(f"unknown keep_policy: {keep_policy!r}")
     from imagededupx_ray.pipelines.dedup import run_dedup
@@ -187,6 +195,21 @@ def dedup_tier_cascade(
         ),
     ]
 
+    if emb_ds is None and semantic_encoder == "lsa":
+        # no external embedding table: learn the encoder from the corpus
+        # itself (stages/lsa.py — numpy-only, fixed V×V global state) and
+        # run tier 4 over the learned embeddings. Catches what tiers 1-3
+        # structurally cannot (e.g. token-order paraphrases: bag-of-words
+        # identical, shingles/simhash destroyed).
+        from imagededupx_ray.stages.lsa import lsa_embed, lsa_fit
+
+        docs_txt = res.docs_unique.select_columns(["doc_id", "text"])
+        model = lsa_fit(docs_txt, dim=lsa_dim, vocab=lsa_vocab)
+        emb_ds = lsa_embed(docs_txt, model).map_batches(
+            lambda t: t.rename_columns(["vec_id", "embedding"]),
+            batch_format="pyarrow",
+        )
+
     if emb_ds is not None:
         # survivors after tiers 1..3 = everything minus the dup members each
         # tier removed; Arrow hash joins cannot carry a list<float> payload
@@ -211,10 +234,11 @@ def dedup_tier_cascade(
         ).materialize()
         verdicts = semdedup_verdicts(emb4, eps=semantic_eps, seed=cfg.perm_seed)
         removed4 = verdicts.filter(expr="keep == False").count()
+        enc = "lsa " if semantic_encoder == "lsa" else ""
         rows.append(
             (
                 "4_semantic",
-                f"semdedup (cos>={semantic_eps})",
+                f"{enc}semdedup (cos>={semantic_eps})",
                 survivors3,
                 removed4,
                 survivors3 - removed4,

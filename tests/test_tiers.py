@@ -246,3 +246,35 @@ def test_cascade_survivors_counts_and_policy(ray_session):
     assert len(sdf) == report.set_index("tier").loc["3_template", "docs_out"]
     assert long_id in set(sdf["doc_id"].astype(np.int64))
     assert int(ids[3]) not in set(sdf["doc_id"].astype(np.int64))
+
+
+def test_lsa_semantic_tier_catches_token_shuffle(ray_session):
+    """semantic_encoder="lsa": a token-SHUFFLED copy (bag-of-words identical
+    -> LSA cosine ~1.0; 5-gram shingles and simhash destroyed -> invisible
+    to tiers 2/3) is caught by the corpus-learned semantic tier."""
+    import ray.data as rd
+
+    from imagededupx_ray.config import DedupConfig
+    from imagededupx_ray.pipelines.tiers import dedup_tier_cascade
+
+    rng = np.random.default_rng(53)
+    texts = _base_texts(rng, 30)
+    toks = texts[4].split()
+    rng.shuffle(toks)
+    shuffled = " ".join(toks)
+    assert shuffled != texts[4]
+    texts.append(shuffled)
+    pages = rd.from_arrow(_pages_table(texts))
+
+    rep = dedup_tier_cascade(
+        pages,
+        cfg=DedupConfig(),
+        semantic_encoder="lsa",
+        semantic_eps=0.98,
+    ).set_index("tier")
+    assert "4_semantic" in rep.index
+    assert rep.loc["1_exact", "dup_docs_removed"] == 0
+    assert rep.loc["2_near", "dup_docs_removed"] == 0
+    assert rep.loc["3_template", "dup_docs_removed"] == 0
+    assert rep.loc["4_semantic", "dup_docs_removed"] >= 1
+    assert rep.loc["4_semantic", "method"].startswith("lsa semdedup")
