@@ -125,8 +125,11 @@ def dedup_tier_cascade(
     "longest" (keep the member with the largest extracted ``n_bytes``,
     ties -> min id — the SlimPajama/RefinedWeb rule; see
     ``drop_by_quality``). Exact-tier members are byte-identical, so the
-    policy only affects tiers 2 and 3; per-tier removal COUNTS are
-    policy-invariant (each component still drops size-1 docs). Pass a
+    policy only affects tiers 2 and 3. A tier's removal count is
+    policy-invariant GIVEN its input (each component drops size-1 docs),
+    but the policy changes WHICH docs survive tier 2, so tier 3 sees a
+    different survivor set and its component structure (hence count) may
+    differ. Pass a
     list as ``collect_drops`` to receive (tier_name, drop_id_array)
     tuples for the ids each tier removed.
 
