@@ -14,12 +14,18 @@ self-describing RAW1 raster needs no codec at all — so the perceptual-hash
 and decode stages run on genuine encoded images in the dominant web
 formats. Remaining formats (WebP, arithmetic JPEG, tiled TIFF...):
 with ``allow_fake=True`` (default) a deterministic fake decoder derives
-(width, height, mean_luma) and a 64-d feature vector from the bytes'
-blake2b stream; with ``allow_fake=False`` the stage raises
-NotImplementedError at construction unless PIL is importable. The deep-feature kernel remains a deterministic fake (no torch
-in the container); the Ray side — schema, actor-pool shape, batch sizing,
-output layout — is real and tested, and swapping in a real model touches
-only ``_features_one``.
+(width, height, mean_luma) and a FEATURE_DIM-d feature vector from the
+bytes' blake2b stream; with ``allow_fake=False`` the stage raises
+NotImplementedError at construction unless PIL is importable.
+
+Features: every payload whose raster decodes gets REAL classical features
+(4³ RGB joint histogram + folded 8-neighbor LBP, functions/imagefeat.py —
+the color-hist/LBP block of the reference's combined extractor,
+improved_faiss_detector.py:208-229); the blake2b fake applies ONLY to
+undecodable payloads. The torch ResNet/ViT blocks stay behind this
+declared seam — swapping in a real model touches only ``_features_one``;
+the Ray side (schema, actor-pool shape, batch sizing, output layout) is
+real and tested.
 
 Batch sizing note (SURVEY.md §4): binary payloads are wide — callers should
 pass small ``batch_size`` (default 64) so batch x concurrency stays within
@@ -35,7 +41,7 @@ import pyarrow as pa
 
 from imagededupx_ray.functions.tiff import TIFF_SIGNATURES
 
-FEATURE_DIM = 64
+FEATURE_DIM = 128  # [64 color-joint-hist | 64 folded-LBP] (functions/imagefeat.py)
 
 IMAGES_SCHEMA = pa.schema(
     [
@@ -79,9 +85,9 @@ class ImageDecodeStage:
                 "install Pillow or pass allow_fake=True"
             )
 
-    # ---- kernels (PNG/baseline-JPEG decode for real via stdlib codecs;
-    # swap the rest for real decode when PIL/torch exist) -----------------
-    def _decode_one(self, payload: bytes) -> tuple[int, int, float]:
+    # ---- kernels (PNG/JPEG/GIF/BMP/TIFF/WebP decode for real via stdlib
+    # codecs; PIL fallback; None for undecodable payloads) -----------------
+    def _raster_one(self, payload: bytes):
         from imagededupx_ray.functions.jpeg import JPEG_SIGNATURE, decode_jpeg
         from imagededupx_ray.functions.png import PNG_SIGNATURE, decode_png
 
@@ -130,24 +136,44 @@ class ImageDecodeStage:
                 arr = decode_webp(payload)
             except _DECODE_ERRORS:
                 arr = None  # lossy VP8/corrupt: PIL/fake path
+        if arr is None and self._pil is not None:
+            import io
+
+            try:
+                with self._pil.open(io.BytesIO(payload)) as im:
+                    arr = np.asarray(im.convert("RGB"), dtype=np.uint8)
+            except Exception:
+                arr = None
+        return arr
+
+    def _decode_one(self, payload: bytes) -> tuple[int, int, float]:
+        """(width, height, mean luma) — from the raster when it decodes,
+        deterministic fake otherwise (undecodable payload, no PIL)."""
+        arr = self._raster_one(payload)
         if arr is not None:
             from imagededupx_ray.functions.imagehash import to_grayscale
 
-            g = to_grayscale(arr).astype(np.float32)
-            return arr.shape[1], arr.shape[0], float(g.mean())
-        if self._pil is not None:
-            import io
+            from imagededupx_ray.functions.imagefeat import _as_rgb
 
-            with self._pil.open(io.BytesIO(payload)) as im:
-                g = im.convert("L")
-                arr = np.asarray(g, dtype=np.float32)
-                return im.width, im.height, float(arr.mean())
+            g = to_grayscale(_as_rgb(arr)).astype(np.float32)
+            return arr.shape[1], arr.shape[0], float(g.mean())
         h = hashlib.blake2b(payload, digest_size=16).digest()
         w = 64 + h[0] % 192  # deterministic fake dimensions
         ht = 64 + h[1] % 192
         return w, ht, float(int.from_bytes(h[2:4], "big") % 25600) / 100.0
 
-    def _features_one(self, payload: bytes) -> np.ndarray:
+    def _features_one(self, payload: bytes, arr=None) -> np.ndarray:
+        """REAL classical features (4³ RGB joint histogram + folded LBP —
+        the color-hist/LBP block of the reference's combined extractor,
+        improved_faiss_detector.py:208-229) whenever the raster decodes;
+        the deterministic blake2b fake ONLY for undecodable payloads (the
+        torch ResNet/ViT blocks stay behind this declared seam)."""
+        if arr is None:
+            arr = self._raster_one(payload)
+        if arr is not None:
+            from imagededupx_ray.functions.imagefeat import classical_features
+
+            return classical_features(arr)
         # deterministic fake embedding: chained blake2b keystream (max digest
         # is 64 bytes, so derive FEATURE_DIM*4 bytes over counter blocks)
         raw = b"".join(
@@ -167,8 +193,17 @@ class ImageDecodeStage:
         feats = np.zeros((n, FEATURE_DIM), dtype=np.float32)
         for i, p in enumerate(payloads):
             p = p or b""
-            w[i], h[i], luma[i] = self._decode_one(p)
-            feats[i] = self._features_one(p)
+            arr = self._raster_one(p)
+            if arr is not None:
+                from imagededupx_ray.functions.imagehash import to_grayscale
+
+                from imagededupx_ray.functions.imagefeat import _as_rgb
+
+                g = to_grayscale(_as_rgb(arr)).astype(np.float32)
+                w[i], h[i], luma[i] = arr.shape[1], arr.shape[0], float(g.mean())
+            else:
+                w[i], h[i], luma[i] = self._decode_one(p)
+            feats[i] = self._features_one(p, arr=arr)
         feat_col = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.reshape(-1), type=pa.float32()), FEATURE_DIM
         ).cast(pa.list_(pa.float32()))
