@@ -1578,6 +1578,40 @@ def _mixed_codec_dataset(n: int, n_blocks: int = 16):
     )
 
 
+def image_feature_dup_pairs(sf_dir: str, threshold: float = 0.99, n: int = 150):
+    """Feature-cosine image dup mining over the REAL classical features
+    (4³ RGB joint hist + folded LBP, functions/imagefeat.py) — the
+    reference's FAISS IndexFlatIP image-dedup flow
+    (improved_faiss_detector.py:297-353) re-expressed as the IVF bucket
+    exchange. The corpus plants the reference's actual use case: the SAME
+    raster re-encoded under a different lossless codec (PNG→TIFF→VP8L
+    rotation), so every planted pair doubles as a cross-codec
+    decode-consistency gate (measured: dup cosine >= 0.9999 iff all three
+    codecs round-trip bit-identically; non-dup max 0.845). Planted-pair
+    recall is gated in tests/test_imagefeat.py; rows-only here."""
+    from imagededupx_ray.stages.ann import ivf_dup_pairs
+    from imagededupx_ray.stages.multimodal import decode_images, synthetic_recode_images
+    from imagededupx_ray.util import cached_corpus_ds
+
+    ds = cached_corpus_ds(
+        f"recode_images_n{n}_s42_d5_v1", lambda: synthetic_recode_images(n), 16
+    )
+    feats = decode_images(ds, concurrency=(2, 8), batch_size=8)
+    emb = feats.map_batches(
+        lambda t: pa.table({"vec_id": t["image_id"], "embedding": t["feature"]}),
+        batch_format="pyarrow",
+    )
+    out = ivf_dup_pairs(emb, threshold=threshold)
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("cosine"),
+            "cosine",
+            _round_col(t["cosine"].to_numpy(zero_copy_only=False), 6),
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def image_phash_dup_pairs(sf_dir: str, hamming_max: int = 10):
     """Image near-dup pairs: phash-band LSH (4x16-bit bands over the 64-bit
     code → bucket groupby → popcount verify) — the namesake image-dedup
@@ -3821,6 +3855,7 @@ def multimodal_suite(sf_dir: str) -> pd.DataFrame:
             "image_decode_features": image_decode_features(sf_dir),
             "image_perceptual_hashes": image_perceptual_hashes(sf_dir),
             "image_phash_dup_pairs": image_phash_dup_pairs(sf_dir),
+            "image_feature_dup_pairs": image_feature_dup_pairs(sf_dir),
             "audio_clip_features": audio_clip_features(sf_dir),
             "audio_dup_pairs": audio_dup_pairs(sf_dir),
             "video_dup_pairs": video_dup_pairs(sf_dir),
@@ -3831,7 +3866,7 @@ def multimodal_suite(sf_dir: str) -> pd.DataFrame:
 def nonsql_suite(sf_dir: str) -> pd.DataFrame:
     """similarity_suite + multimodal_suite + the dedup cluster report as ONE
     driver-visible entry (the driver artifact records at most 50
-    ``queries()`` rows; merging the rows-only family keeps all 28 component
+    ``queries()`` rows; merging the rows-only family keeps all 29 component
     pipelines' evidence rows inside the cap while freeing slots for
     SQL-gated queries)."""
     return pd.concat(

@@ -522,6 +522,60 @@ def synthetic_gif_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table
     return parallel_block_table(n, _corpus_block_size(n, dup_every), block)
 
 
+def synthetic_recode_images(n: int, seed: int = 42, dup_every: int = 5) -> pa.Table:
+    """Structured RGB images for FEATURE-cosine dup mining: each image is a
+    random two-color gradient × checker composition (distinct palette and
+    texture per image, so classical features separate), encoded in a
+    LOSSLESS truecolor codec rotating PNG → TIFF → WebP-VP8L by index.
+    Planted dups (every ``dup_every``-th image) are the SAME raster as the
+    previous image re-encoded under the NEXT codec — the reference's
+    same-image-different-file dedup case, and a cross-codec decode
+    consistency gate (features match only if all three codecs round-trip
+    bit-identically)."""
+    from imagededupx_ray.functions.png import encode_png
+    from imagededupx_ray.functions.tiff import encode_tiff
+    from imagededupx_ray.functions.webp import encode_webp_lossless
+
+    rng = np.random.default_rng(seed)
+    encoders = [
+        ("png", encode_png),
+        ("tiff", lambda a: encode_tiff(a, compression="packbits")),
+        ("webp", encode_webp_lossless),
+    ]
+    payloads: list[bytes] = []
+    fmts: list[str] = []
+    prev = None
+    for i in range(n):
+        if prev is not None and i % dup_every == dup_every - 1:
+            img = prev  # same raster, next codec
+        else:
+            h, w = int(rng.integers(48, 80)), int(rng.integers(48, 80))
+            c1 = rng.integers(0, 256, 3).astype(np.float64)
+            c2 = rng.integers(0, 256, 3).astype(np.float64)
+            gy = np.linspace(0.0, 1.0, h)[:, None]
+            gx = np.linspace(0.0, 1.0, w)[None, :]
+            grad = gy * gx if rng.integers(2) else gy * (1.0 - gx)
+            cell = int(rng.integers(4, 13))
+            checker = (
+                (np.arange(h)[:, None] // cell + np.arange(w)[None, :] // cell) % 2
+            ).astype(np.float64)
+            mix = (0.6 * grad + 0.4 * checker)[..., None]
+            img = (c1[None, None] * (1.0 - mix) + c2[None, None] * mix).astype(
+                np.uint8
+            )
+        name, enc = encoders[i % len(encoders)]
+        payloads.append(enc(img))
+        fmts.append(name)
+        prev = img
+    return pa.table(
+        {
+            "image_id": pa.array(range(n), type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "format": pa.array(fmts, type=pa.string()),
+        }
+    )
+
+
 def _lossy_webp() -> bool:
     from imagededupx_ray.functions.webp_native import available
 

@@ -71,3 +71,18 @@ def test_decode_stage_emits_real_features_for_decodable(ray_session):
     assert fake.shape == (FEATURE_DIM,)
     assert abs(float(np.linalg.norm(fake)) - 1.0) < 1e-5
     assert not np.allclose(fake, got)
+
+
+def test_image_feature_dup_pairs_recall_and_precision(ray_session):
+    """The feature-cosine miner recovers every planted same-raster
+    cross-codec pair (recall 1.0) and emits no cross-image pair at the
+    0.99 threshold (measured non-dup max 0.845)."""
+    from imagededupx_ray.queries import image_feature_dup_pairs
+
+    out = image_feature_dup_pairs(None, n=60).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+    expected = {(i - 1, i) for i in range(60) if i % 5 == 4}
+    assert expected <= got, expected - got
+    # every emitted pair is a planted pair or a chain through one raster
+    assert got == expected, got - expected
+    assert (out["cosine"] >= 0.99).all()
