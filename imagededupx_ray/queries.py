@@ -1437,6 +1437,12 @@ def lsa_semdedup(sf_dir: str, dim: int = 32, vocab: int = 1024, eps: float = 0.9
     from imagededupx_ray.stages.semdedup import semdedup_verdicts
 
     docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    if docs.count() == 0:  # centroid fit needs >= 1 vector
+        return pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"),
+             "semdup_id": pd.Series(dtype="int64"),
+             "keep": pd.Series(dtype="bool")}
+        )
     model = lsa_fit(docs, dim=dim, vocab=vocab)
     emb = lsa_embed(docs, model).map_batches(
         lambda t: t.rename_columns(["vec_id", "embedding"]),
@@ -2990,13 +2996,23 @@ def docs_stratified_sample(sf_dir: str, k: int = 20, seed: int = 42):
     return out.select(["lang", "doc_id", "sample_rank"])
 
 
+_PACK_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("bin_id", pa.int64())]
+)
+
+
 @ray.remote
 def _block_tok_sum(t: pa.Table) -> int:
-    return int(np.sum(t["n_tokens"].to_numpy(zero_copy_only=False))) if t.num_rows else 0
+    # Ray skips the count UDF on 0-row blocks, so empties may lack the column
+    if t.num_rows == 0 or "n_tokens" not in t.column_names:
+        return 0
+    return int(np.sum(t["n_tokens"].to_numpy(zero_copy_only=False)))
 
 
 @ray.remote
 def _pack_assign(t: pa.Table, offset: int, budget: int) -> pa.Table:
+    if t.num_rows == 0 or "n_tokens" not in t.column_names:
+        return _PACK_SCHEMA.empty_table()
     n_tok = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
     cum_before = offset + np.cumsum(n_tok) - n_tok
     return pa.table(
@@ -3038,6 +3054,8 @@ def docs_pack_bins(sf_dir: str, budget: int = 2048):
         .materialize()
     )
     refs = ds.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(_PACK_SCHEMA.empty_table())
     sums = ray.get([_block_tok_sum.remote(r) for r in refs])
     offsets = np.concatenate([[0], np.cumsum(sums[:-1])]) if sums else np.array([0])
     out = [

@@ -142,3 +142,31 @@ def test_pack_bins_parallelism_invariant(ray_session):
     a = _normalize(docs_pack_bins(SF, budget=100).to_pandas())
     b = _normalize(docs_pack_bins(SF, budget=100).to_pandas())
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_new_queries_on_empty_corpus(ray_session, tmp_path):
+    """0-row documents table: the fourth-session queries return empty
+    results with their declared schemas instead of raising."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from imagededupx_ray.queries import (
+        docs_pack_bins,
+        docs_pii_scrub,
+        docs_quality_verdicts,
+        docs_stratified_sample,
+        lsa_semdedup,
+    )
+
+    pq.write_table(
+        pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string())]
+        ).empty_table(),
+        str(tmp_path / "documents.parquet"),
+    )
+    d = str(tmp_path)
+    assert docs_pack_bins(d).count() == 0
+    assert docs_stratified_sample(d).num_rows == 0
+    assert docs_pii_scrub(d).count() == 0
+    assert docs_quality_verdicts(d).count() == 0
+    assert len(lsa_semdedup(d)) == 0
