@@ -170,3 +170,34 @@ def test_new_queries_on_empty_corpus(ray_session, tmp_path):
     assert docs_pii_scrub(d).count() == 0
     assert docs_quality_verdicts(d).count() == 0
     assert len(lsa_semdedup(d)) == 0
+
+
+def test_chunking_matches_generate_series_oracle(ray_session, ddb):
+    from imagededupx_ray.queries import docs_chunk
+
+    C, O = 24, 4
+    S = C - O
+    out = _normalize(docs_chunk(SF, chunk=C, overlap=O).to_pandas())
+    oracle = _normalize(
+        ddb.execute(
+            "WITH t AS (SELECT doc_id, "
+            "string_split_regex(lower(trim(text)), '\\s+') AS toks "
+            "FROM documents WHERE trim(text) <> ''), "
+            "s AS (SELECT doc_id, toks, len(toks) AS n FROM t), "
+            "e AS (SELECT doc_id, toks, n, unnest(range(0, "
+            f"CAST(ceil(n / {S}.0) AS BIGINT))) AS chunk_idx FROM s), "
+            "c AS (SELECT doc_id, chunk_idx, "
+            f"list_slice(toks, chunk_idx * {S} + 1, "
+            f"least(chunk_idx * {S} + {C}, n)) AS ctoks FROM e) "
+            "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, "
+            "CAST(len(ctoks) AS BIGINT) AS n_tokens, "
+            "array_to_string(ctoks, ' ') AS chunk_text FROM c"
+        ).fetchdf()
+    )
+    pd.testing.assert_frame_equal(out, oracle, check_dtype=False)
+    # overlap property: consecutive chunks share O tokens
+    one = out[out["doc_id"] == out["doc_id"].iloc[0]].sort_values("chunk_idx")
+    if len(one) >= 2:
+        a = one.iloc[0]["chunk_text"].split()
+        b = one.iloc[1]["chunk_text"].split()
+        assert a[S:] == b[: len(a) - S]
