@@ -201,3 +201,34 @@ def test_chunking_matches_generate_series_oracle(ray_session, ddb):
         a = one.iloc[0]["chunk_text"].split()
         b = one.iloc[1]["chunk_text"].split()
         assert a[S:] == b[: len(a) - S]
+
+
+def test_corpus_datasheet_matches_oracle(ray_session, ddb):
+    from imagededupx_ray.queries import corpus_datasheet
+
+    out = corpus_datasheet(SF).set_index("metric")["value"]
+    o = ddb.execute(
+        "WITH t AS (SELECT doc_id, "
+        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok "
+        "FROM documents WHERE trim(text) <> '') "
+        "SELECT (SELECT COUNT(*) FROM documents) AS n_docs, "
+        "(SELECT COUNT(DISTINCT lang) FROM documents) AS n_langs, "
+        "(SELECT COUNT(*) FROM t) AS total_tokens, "
+        "(SELECT SUM(length(text)) FROM documents) AS total_chars, "
+        "(SELECT COUNT(DISTINCT md5(text)) FROM documents) AS n_distinct"
+    ).fetchdf().iloc[0]
+    assert out["n_docs"] == float(o["n_docs"])
+    assert out["n_langs"] == float(o["n_langs"])
+    assert out["total_tokens"] == float(o["total_tokens"])
+    assert out["total_chars"] == float(o["total_chars"])
+    assert out["n_distinct_texts"] == float(o["n_distinct"])
+    assert abs(out["exact_dup_rate"] - (1 - o["n_distinct"] / o["n_docs"])) < 1e-6
+    # keep-rate consistent with the verdicts query itself
+    from imagededupx_ray.queries import docs_quality_verdicts
+
+    v = docs_quality_verdicts(SF).to_pandas()
+    assert abs(out["quality_keep_rate"] - v["keep"].mean()) < 1e-6
+    top = ddb.execute(
+        "SELECT MAX(n) FROM (SELECT COUNT(*) AS n FROM documents GROUP BY lang)"
+    ).fetchone()[0]
+    assert abs(out["top_lang_share"] - top / o["n_docs"]) < 1e-6
