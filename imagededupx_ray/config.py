@@ -65,3 +65,54 @@ class DedupConfig:
 
 
 DEFAULT_CONFIG = DedupConfig()
+
+
+def lsh_candidate_probability(jaccard: float, bands: int, rows: int) -> float:
+    """P(some band collides) = 1 - (1 - j^r)^b — the MinHash-LSH S-curve
+    (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3)."""
+    return 1.0 - (1.0 - jaccard**rows) ** bands
+
+
+def lsh_plan(
+    threshold: float,
+    target_recall: float = 0.99,
+    num_perms: int = 128,
+    max_fp_jaccard: float | None = None,
+) -> tuple[DedupConfig, dict]:
+    """Choose (bands, rows) for ``num_perms`` so that a pair at
+    ``threshold`` jaccard becomes an LSH candidate with probability >=
+    ``target_recall``, preferring the LARGEST rows (fewest false-positive
+    candidates — candidate mass drives the verify stage's cost) that still
+    meets the recall bar. ``max_fp_jaccard`` optionally reports-only: no
+    (b, r) can make the S-curve sharp past what num_perms allows, so the
+    chosen plan is returned with its measured recall/fp rates in
+    the returned stats dict for callers to log. Returns (config, stats).
+    Raises when even rows=1 cannot reach the target (never happens for
+    target < 1 since b >= 1 and j > 0)."""
+    best = None
+    for rows in range(num_perms, 0, -1):
+        if num_perms % rows:
+            continue
+        bands = num_perms // rows
+        p = lsh_candidate_probability(threshold, bands, rows)
+        if p >= target_recall:
+            best = (bands, rows, p)
+            break
+    if best is None:
+        raise ValueError(
+            f"no (bands, rows) split of {num_perms} perms reaches "
+            f"recall {target_recall} at jaccard {threshold}"
+        )
+    bands, rows, p = best
+    cfg = DedupConfig(
+        num_perms=num_perms,
+        lsh_bands=bands,
+        lsh_rows=rows,
+        jaccard_threshold=threshold,
+    )
+    stats = {"candidate_recall_at_threshold": p}
+    if max_fp_jaccard is not None:
+        stats["candidate_rate_at_fp_jaccard"] = lsh_candidate_probability(
+            max_fp_jaccard, bands, rows
+        )
+    return cfg, stats

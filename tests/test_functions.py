@@ -221,3 +221,31 @@ def test_normalize_fast_path_equals_regex_path():
     for s in cases:
         one = normalize_batch(pa.array([s], type=pa.string()))
         assert one.to_pylist() == want.slice(cases.index(s), 1).to_pylist()
+
+
+def test_lsh_plan_meets_recall_and_prefers_sharp_curves():
+    """lsh_plan picks the largest rows meeting the recall bar; the S-curve
+    probability it reports matches a Monte-Carlo simulation of banded
+    minhash collisions."""
+    import numpy as np
+
+    from imagededupx_ray.config import lsh_candidate_probability, lsh_plan
+
+    cfg, stats = lsh_plan(0.7, target_recall=0.99, num_perms=128)
+    assert cfg.lsh_bands * cfg.lsh_rows == 128
+    p = lsh_candidate_probability(0.7, cfg.lsh_bands, cfg.lsh_rows)
+    assert p >= 0.99
+    # any sharper split (larger rows) would miss the bar
+    for rows in range(cfg.lsh_rows + 1, 129):
+        if 128 % rows:
+            continue
+        assert lsh_candidate_probability(0.7, 128 // rows, rows) < 0.99
+    # Monte-Carlo: per-perm agreement is Bernoulli(j) at jaccard j
+    rng = np.random.default_rng(9)
+    agree = rng.random((20000, 128)) < 0.7
+    bands = agree.reshape(-1, cfg.lsh_bands, cfg.lsh_rows).all(axis=2)
+    simulated = bands.any(axis=1).mean()
+    assert abs(simulated - p) < 0.01
+    # fp-rate report at a clearly-below-threshold jaccard
+    _, stats2 = lsh_plan(0.7, num_perms=128, max_fp_jaccard=0.3)
+    assert stats2["candidate_rate_at_fp_jaccard"] < 0.25
