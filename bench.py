@@ -235,6 +235,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("docs_stratified_sample", Q.docs_stratified_sample),
         ("dedup_tiers", Q.dedup_tiers),
         ("image_phash_dup_pairs", Q.image_phash_dup_pairs),
+        ("image_feature_dup_pairs", Q.image_feature_dup_pairs),
         ("audio_dup_pairs", Q.audio_dup_pairs),
         ("video_dup_pairs", Q.video_dup_pairs),
     ]:
