@@ -129,6 +129,17 @@ def main(argv: list[str] | None = None) -> int:
         "as parquet to this directory",
     )
 
+    cx = sub.add_parser(
+        "cross",
+        help="cross-corpus decontamination: drop from A every doc whose dup "
+        "cluster touches B (exact/near/transitive at pipeline thresholds)",
+    )
+    cx.add_argument("--input-a", required=True, help="corpus-A pages parquet dir")
+    cx.add_argument("--input-b", required=True, help="corpus-B pages parquet dir")
+    cx.add_argument(
+        "--output", default=None, help="write clean-A (doc_id, cluster_id) parquet here"
+    )
+
     ln = sub.add_parser(
         "lineage",
         help="print a snapshot's lineage chain + per-stage metrics from the manifests",
@@ -440,6 +451,20 @@ def main(argv: list[str] | None = None) -> int:
 
                 pq.write_table(pa.Table.from_pandas(report), args.output)
             print(json.dumps({"tiers": report.to_dict(orient="records")}))
+        elif args.cmd == "cross":
+            from imagededupx_ray.pipelines.cross import cross_dedup
+
+            clean, report = cross_dedup(
+                rd.read_parquet(args.input_a),
+                rd.read_parquet(args.input_b),
+                DEFAULT_CONFIG,
+            )
+            if args.output:
+                clean.write_parquet(args.output)
+            else:
+                report = {**report, "_note": "pass --output to write clean-A rows"}
+                clean.count()
+            print(json.dumps({"cross": report}))
     finally:
         if _owns_ray:
             ray.shutdown()
