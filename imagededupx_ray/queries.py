@@ -2996,6 +2996,38 @@ def docs_stratified_sample(sf_dir: str, k: int = 20, seed: int = 42):
     return out.select(["lang", "doc_id", "sample_rank"])
 
 
+def docs_dsir_weights(sf_dir: str, target_lang: str | None = None, vocab: int = 4096):
+    """DSIR importance-resampling weights (Xie et al. 2023,
+    arXiv:2302.03169) — score every doc by hashed-ngram target-vs-raw
+    log-likelihood ratio, the data-SELECTION op of pre-training pipelines.
+    Target domain = the corpus' most frequent language (or
+    ``target_lang``); raw = everything. Two integer count tree-reduces +
+    one broadcast scan (stages/dsir.py); per-doc sums are flat-order
+    deterministic, so the suite md5 is stable. Pure-python model/weight
+    oracle gated in tests/test_dsir.py."""
+    from imagededupx_ray.stages.dsir import dsir_counts, dsir_weights
+
+    docs = _read(sf_dir, "documents")
+    if target_lang is None:
+        langs = _partial_groupby(
+            docs.select_columns(["lang"]), ["lang"], [("count", "lang", "n")]
+        ).to_pandas()
+        if len(langs) == 0:
+            return docs.select_columns(["doc_id"]).map_batches(
+                lambda t: pa.table(
+                    {"doc_id": t["doc_id"], "logw": pa.nulls(0, pa.float64())}
+                ),
+                batch_format="pyarrow",
+            )
+        target_lang = langs.sort_values(["n", "lang"], ascending=[False, True])[
+            "lang"
+        ].iloc[0]
+    target = docs.filter(expr=f"lang == '{target_lang}'")
+    t_counts = dsir_counts(target, V=vocab)
+    r_counts = dsir_counts(docs, V=vocab)
+    return dsir_weights(docs, t_counts, r_counts)
+
+
 def corpus_datasheet(sf_dir: str):
     """Corpus DATASHEET — the summary-statistics table a released corpus
     publishes (Datasheets for Datasets, Gebru et al. 2021): doc/lang/token/
@@ -3996,6 +4028,7 @@ def similarity_suite(sf_dir: str) -> pd.DataFrame:
             "docs_pack_bins": docs_pack_bins(sf_dir),
             "docs_chunk": docs_chunk(sf_dir),
             "corpus_datasheet": corpus_datasheet(sf_dir),
+            "docs_dsir_weights": docs_dsir_weights(sf_dir),
             "docs_exactsubstr_cleanup": docs_exactsubstr_cleanup(sf_dir),
             "docs_distinct_bigrams_hll": docs_distinct_bigrams_hll(sf_dir),
             "docs_length_quantiles_sketch": docs_length_quantiles_sketch(sf_dir),
@@ -4026,7 +4059,7 @@ def multimodal_suite(sf_dir: str) -> pd.DataFrame:
 def nonsql_suite(sf_dir: str) -> pd.DataFrame:
     """similarity_suite + multimodal_suite + the dedup cluster report as ONE
     driver-visible entry (the driver artifact records at most 50
-    ``queries()`` rows; merging the rows-only family keeps all 31 component
+    ``queries()`` rows; merging the rows-only family keeps all 32 component
     pipelines' evidence rows inside the cap while freeing slots for
     SQL-gated queries)."""
     return pd.concat(
