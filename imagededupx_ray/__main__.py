@@ -58,6 +58,13 @@ def main(argv: list[str] | None = None) -> int:
         help="write output partitioned into shard=<doc_id %% N> directories "
         "(resumable: a re-run can skip finished shard dirs); 0 = flat",
     )
+    d.add_argument(
+        "--url-dedup",
+        action="store_true",
+        help="pre-step: canonicalize urls (lowercase host, strip default "
+        "ports/fragments/tracking params/trailing slash) and keep one page "
+        "per canonical url (earliest warc_ts) before content dedup",
+    )
 
     b = sub.add_parser("build", help="checkpointed full build into a snapshot store")
     b.add_argument("--input", required=True)
@@ -338,7 +345,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "dedup":
             from imagededupx_ray.pipelines.dedup import run_dedup
 
-            res = run_dedup(rd.read_parquet(args.input), DEFAULT_CONFIG)
+            pages = rd.read_parquet(args.input)
+            if args.url_dedup:
+                from imagededupx_ray.stages.urlfilter import url_dedup
+
+                pages = url_dedup(pages).drop_columns(["canonical_url"])
+            res = run_dedup(pages, DEFAULT_CONFIG)
             clusters = res.clusters
             if args.partition_shards > 0:
                 import pyarrow as pa

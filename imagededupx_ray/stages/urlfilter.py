@@ -1,0 +1,94 @@
+"""URL canonicalization + URL-keyed dedup over the pages table — the
+step upstream of content dedup in Common-Crawl-style corpus builds
+(C4/RefinedWeb filter and dedup by URL before touching page bytes; the
+reference keys image identity on file path the same way,
+improved_faiss_detector.py:259-295).
+
+Canonical form (applied in order, all vectorized Arrow RE2 kernels):
+  1. scheme and host lowercased
+  2. default ports stripped (:80 for http, :443 for https)
+  3. fragment (#...) stripped
+  4. tracking query params stripped (utm_*, gclid, fbclid), '?' dropped
+     if no params remain
+  5. trailing '/' stripped from non-root paths
+
+URL dedup keeps ONE page per canonical url: the earliest ``warc_ts``
+(recrawls are re-fetches of the same resource; ties break on raw url).
+One coarse-partition exchange on hash(canonical url) — the same
+_part discipline as every keyed exchange in this repo.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TRACKING = r"(utm_[a-z]+|gclid|fbclid)=[^&#]*"
+
+
+def canonicalize_urls(urls: pa.Array) -> pa.Array:
+    """Vectorized canonical form of a url string column."""
+    u = pc.cast(urls, pa.string())
+    # 1. lowercase scheme+host (authority has no path chars); RE2 has no
+    #    case conversion, so extract (prefix, rest), lower the prefix,
+    #    re-join — rows without a scheme pass through unchanged
+    ex = pc.extract_regex(
+        u, r"^(?P<p>[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(?P<r>.*)$"
+    )
+    pref = pc.struct_field(ex, "p")
+    rest = pc.struct_field(ex, "r")
+    joined = pc.binary_join_element_wise(pc.utf8_lower(pref), rest, "")
+    u = pc.if_else(pc.is_valid(pref), joined, u)
+    # 2. default ports (RE2 has no lookahead: capture the suffix instead)
+    u = pc.replace_substring_regex(u, r"^(http://[^/:?#]*):80([/?#].*)?$", r"\1\2")
+    u = pc.replace_substring_regex(u, r"^(https://[^/:?#]*):443([/?#].*)?$", r"\1\2")
+    # 3. fragment
+    u = pc.replace_substring_regex(u, r"#.*$", "")
+    # 4. tracking params (with following '&' or preceding separator cleanup)
+    u = pc.replace_substring_regex(u, _TRACKING + r"&", "")
+    u = pc.replace_substring_regex(u, r"[?&]" + _TRACKING + r"$", "")
+    u = pc.replace_substring_regex(u, r"\?&", "?")
+    # 5. trailing slash on non-root paths
+    u = pc.replace_substring_regex(u, r"^([a-z][a-z0-9+.-]*://[^/?#]+/.+?)/$", r"\1")
+    return u
+
+
+def url_dedup(pages_ds, num_partitions: int = 64):
+    """pages → pages with one row per canonical url (earliest warc_ts wins,
+    raw-url tie-break), plus a ``canonical_url`` column. One exchange on
+    ``hash64(canonical) & (P-1)``; each partition resolves ALL its urls
+    with one lexsort + segment-first pass (never per-url Python)."""
+    from imagededupx_ray.functions.hashing import token_hash_flat
+    from imagededupx_ray.stages.lsh import _pow2
+
+    p = _pow2(num_partitions)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        canon = canonicalize_urls(batch["url"])
+        # stable (seed-free) per-string hash — python hash() is
+        # process-randomized and would break cross-worker partitioning
+        h = token_hash_flat(canon)
+        part = (h & np.uint64(p - 1)).astype(np.int32)
+        return batch.append_column("canonical_url", canon).append_column(
+            "_part", pa.array(part, type=pa.int32())
+        )
+
+    def first_per_url(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.drop_columns(["_part"])
+        canon = group["canonical_url"].to_numpy(zero_copy_only=False)
+        ts64 = group["warc_ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        tsv = ts64.astype(np.int64)
+        tsv[np.isnat(ts64)] = np.iinfo(np.int64).max  # missing ts sorts last
+        raw = group["url"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((raw, tsv, canon))
+        canon_s = canon[order]
+        first = np.r_[True, canon_s[1:] != canon_s[:-1]]
+        return group.take(pa.array(order[first])).drop_columns(["_part"])
+
+    return (
+        pages_ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(first_per_url, batch_format="pyarrow")
+    )

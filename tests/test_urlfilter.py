@@ -1,0 +1,69 @@
+"""URL canonicalization + url dedup (stages/urlfilter.py): canonical-form
+rules vs a urllib-based reference, earliest-crawl-wins dedup, determinism."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_canonicalize_rules():
+    from imagededupx_ray.stages.urlfilter import canonicalize_urls
+
+    cases = {
+        "HTTP://Example.COM/Path": "http://example.com/Path",
+        "http://example.com:80/a": "http://example.com/a",
+        "https://example.com:443/a": "https://example.com/a",
+        "https://example.com:8443/a": "https://example.com:8443/a",
+        "http://example.com/a#frag": "http://example.com/a",
+        "http://example.com/a?utm_source=x&q=1": "http://example.com/a?q=1",
+        "http://example.com/a?q=1&utm_campaign=y": "http://example.com/a?q=1",
+        "http://example.com/a?gclid=123": "http://example.com/a",
+        "http://example.com/a/": "http://example.com/a",
+        "http://example.com/": "http://example.com/",
+        "http://example.com/a?fbclid=z#f": "http://example.com/a",
+        # path case is preserved; query order is preserved
+        "http://ex.com/A/B?z=2&a=1": "http://ex.com/A/B?z=2&a=1",
+    }
+    out = canonicalize_urls(pa.array(list(cases.keys()))).to_pylist()
+    for (raw, want), got in zip(cases.items(), out):
+        assert got == want, (raw, got, want)
+
+
+def test_url_dedup_keeps_earliest_crawl(ray_session):
+    import ray.data as rd
+
+    from imagededupx_ray.stages.urlfilter import url_dedup
+
+    urls = [
+        "http://a.com/x?utm_source=1",   # same canonical as the next two
+        "HTTP://A.com/x",
+        "http://a.com/x/",
+        "http://b.com/y",
+        "http://c.com/z",
+    ]
+    ts = np.array(
+        ["2021-06-01T00:00:00", "2021-01-01T00:00:00", "2021-03-01T00:00:00",
+         "2022-01-01T00:00:00", "NaT"],
+        dtype="datetime64[us]",
+    )
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "warc_ts": pa.array(ts),
+                "html": pa.nulls(5, pa.binary()),
+                "text": pa.array([f"t{i}" for i in range(5)], type=pa.string()),
+                "lang": pa.array(["en"] * 5, type=pa.string()),
+            }
+        )
+    )
+    out = url_dedup(pages).to_pandas().sort_values("canonical_url")
+    assert len(out) == 3
+    grp = out.set_index("canonical_url")
+    # earliest crawl of the a.com/x family is the 2021-01-01 row (raw url #1)
+    assert grp.loc["http://a.com/x", "url"] == "HTTP://A.com/x"
+    assert grp.loc["http://a.com/x", "text"] == "t1"
+    assert grp.loc["http://b.com/y", "text"] == "t3"
+    assert grp.loc["http://c.com/z", "text"] == "t4"  # NaT ts still kept
+    # determinism
+    out2 = url_dedup(pages).to_pandas().sort_values("canonical_url")
+    assert out.reset_index(drop=True).equals(out2.reset_index(drop=True))
