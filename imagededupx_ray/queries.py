@@ -3028,6 +3028,74 @@ def docs_dsir_weights(sf_dir: str, target_lang: str | None = None, vocab: int = 
     return dsir_weights(docs, t_counts, r_counts)
 
 
+def _synth_pages_ds(n: int, seed: int, n_blocks: int = 16):
+    """/tmp-cached synthetic pages corpus as a pinned-block Dataset (same
+    caching discipline as the media corpora)."""
+    from imagededupx_ray.util import cached_corpus_ds
+
+    def build():
+        import glob
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from imagededupx_ray.sources.synthetic import write_pages_corpus
+
+        d = tempfile.mkdtemp()
+        write_pages_corpus(d, n_pages=n, seed=seed)
+        return pa.concat_tables(
+            pq.read_table(f) for f in sorted(glob.glob(f"{d}/pages/*.parquet"))
+        )
+
+    return cached_corpus_ds(f"pages_n{n}_s{seed}_v1", build, n_blocks)
+
+
+def pages_url_dedup(sf_dir: str, n: int = 800, seed: int = 42, n_recrawls: int = 50):
+    """URL-canonicalization dedup over a synthetic pages corpus with
+    ``n_recrawls`` planted tracked-url recrawls (same pages re-fetched
+    under `?utm_source=...` urls — the canonical-form collapse case):
+    output must hold exactly ``n`` rows with every recrawl url absent.
+    Evidence row for the CC-pipeline pre-step; rule gates live in
+    tests/test_urlfilter.py."""
+    from imagededupx_ray.stages.urlfilter import url_dedup
+
+    pages = _synth_pages_ds(n, seed)
+
+    def recrawl(batch: pa.Table) -> pa.Table:
+        k = min(n_recrawls, batch.num_rows)
+        head = batch.slice(0, k)
+        urls = pc.binary_join_element_wise(
+            head["url"], pa.array(["?utm_source=recrawl"] * k), ""
+        )
+        return head.set_column(head.column_names.index("url"), "url", urls)
+
+    dups = pages.map_batches(recrawl, batch_format="pyarrow").limit(n_recrawls)
+    out = url_dedup(pages.union(dups))
+    df = (
+        out.select_columns(["url", "canonical_url"])
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert not df["url"].str.contains("utm_source=recrawl").any()
+    return df
+
+
+def cross_dedup_report(sf_dir: str, n_a: int = 600, n_b: int = 200):
+    """Cross-corpus decontamination report (pipelines/cross.py) over two
+    synthetic pages corpora with different seeds — one (metric, value)
+    evidence row per bounded count; semantics gates live in
+    tests/test_cross.py."""
+    from imagededupx_ray.pipelines.cross import cross_dedup
+
+    _, report = cross_dedup(
+        _synth_pages_ds(n_a, 42), _synth_pages_ds(n_b, 9, n_blocks=8)
+    )
+    return pd.DataFrame(
+        sorted(report.items()), columns=["metric", "value"]
+    ).astype({"value": "int64"})
+
+
 def corpus_datasheet(sf_dir: str):
     """Corpus DATASHEET — the summary-statistics table a released corpus
     publishes (Datasheets for Datasets, Gebru et al. 2021): doc/lang/token/
@@ -4029,6 +4097,8 @@ def similarity_suite(sf_dir: str) -> pd.DataFrame:
             "docs_chunk": docs_chunk(sf_dir),
             "corpus_datasheet": corpus_datasheet(sf_dir),
             "docs_dsir_weights": docs_dsir_weights(sf_dir),
+            "pages_url_dedup": pages_url_dedup(sf_dir),
+            "cross_dedup_report": cross_dedup_report(sf_dir),
             "docs_exactsubstr_cleanup": docs_exactsubstr_cleanup(sf_dir),
             "docs_distinct_bigrams_hll": docs_distinct_bigrams_hll(sf_dir),
             "docs_length_quantiles_sketch": docs_length_quantiles_sketch(sf_dir),
@@ -4059,7 +4129,7 @@ def multimodal_suite(sf_dir: str) -> pd.DataFrame:
 def nonsql_suite(sf_dir: str) -> pd.DataFrame:
     """similarity_suite + multimodal_suite + the dedup cluster report as ONE
     driver-visible entry (the driver artifact records at most 50
-    ``queries()`` rows; merging the rows-only family keeps all 32 component
+    ``queries()`` rows; merging the rows-only family keeps all 34 component
     pipelines' evidence rows inside the cap while freeing slots for
     SQL-gated queries)."""
     return pd.concat(
