@@ -65,6 +65,19 @@ def main(argv: list[str] | None = None) -> int:
         "ports/fragments/tracking params/trailing slash) and keep one page "
         "per canonical url (earliest warc_ts) before content dedup",
     )
+    d.add_argument(
+        "--jaccard",
+        type=float,
+        default=None,
+        help="near-dup jaccard threshold (default: config default)",
+    )
+    d.add_argument(
+        "--auto-plan",
+        action="store_true",
+        help="derive (lsh_bands, lsh_rows) from --jaccard via the S-curve "
+        "planner (config.lsh_plan, recall target 0.99) instead of the "
+        "config defaults",
+    )
 
     b = sub.add_parser("build", help="checkpointed full build into a snapshot store")
     b.add_argument("--input", required=True)
@@ -350,7 +363,20 @@ def main(argv: list[str] | None = None) -> int:
                 from imagededupx_ray.stages.urlfilter import url_dedup
 
                 pages = url_dedup(pages).drop_columns(["canonical_url"])
-            res = run_dedup(pages, DEFAULT_CONFIG)
+            cfg = DEFAULT_CONFIG
+            if args.auto_plan:
+                from imagededupx_ray.config import lsh_plan
+
+                t = args.jaccard if args.jaccard is not None else cfg.jaccard_threshold
+                cfg, plan_stats = lsh_plan(t, target_recall=0.99)
+                print(json.dumps({"lsh_plan": {
+                    "bands": cfg.lsh_bands, "rows": cfg.lsh_rows, **plan_stats
+                }}))
+            elif args.jaccard is not None:
+                from dataclasses import replace
+
+                cfg = replace(cfg, jaccard_threshold=args.jaccard)
+            res = run_dedup(pages, cfg)
             clusters = res.clusters
             if args.partition_shards > 0:
                 import pyarrow as pa
