@@ -233,6 +233,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("lsa_semdedup", Q.lsa_semdedup),
         ("docs_quality_verdicts", Q.docs_quality_verdicts),
         ("docs_stratified_sample", Q.docs_stratified_sample),
+        ("docs_chunk", Q.docs_chunk),
+        ("docs_dsir_weights", Q.docs_dsir_weights),
         ("dedup_tiers", Q.dedup_tiers),
         ("image_phash_dup_pairs", Q.image_phash_dup_pairs),
         ("image_feature_dup_pairs", Q.image_feature_dup_pairs),
