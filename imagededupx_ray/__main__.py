@@ -500,8 +500,10 @@ def main(argv: list[str] | None = None) -> int:
             if args.output:
                 clean.write_parquet(args.output)
             else:
+                # cross_dedup already executed the pipeline to compute
+                # n_a_clean — re-counting `clean` would re-run the whole
+                # union dedup + broadcast filter just to discard it
                 report = {**report, "_note": "pass --output to write clean-A rows"}
-                clean.count()
             print(json.dumps({"cross": report}))
     finally:
         if _owns_ray:

@@ -3015,7 +3015,11 @@ def docs_dsir_weights(sf_dir: str, target_lang: str | None = None, vocab: int = 
         if len(langs) == 0:
             return docs.select_columns(["doc_id"]).map_batches(
                 lambda t: pa.table(
-                    {"doc_id": t["doc_id"], "logw": pa.nulls(0, pa.float64())}
+                    {
+                        "doc_id": t["doc_id"],
+                        "logw": pa.nulls(0, pa.float64()),
+                        "logw_sum": pa.nulls(0, pa.float64()),
+                    }
                 ),
                 batch_format="pyarrow",
             )
@@ -3181,16 +3185,22 @@ def docs_chunk(sf_dir: str, chunk: int = 64, overlap: int = 8):
     token indices are built with repeat/cumsum arithmetic and gathered from
     the flat token array into a ListArray joined per chunk — no per-doc or
     per-chunk Python loop. Emits (doc_id, chunk_idx, n_tokens, chunk_text)
-    over normalized tokens; chunk count for n tokens = ceil(n / stride)
-    (every start < n). Exact DuckDB generate_series + list_slice twin gated
-    in tests/test_queries_extra.py."""
+    over normalized tokens; chunk count for n tokens =
+    1 + ceil(max(0, n - chunk) / stride) for non-empty docs (ADVICE r4: the
+    old ceil(n / stride) emitted a final window fully contained in its
+    predecessor whenever the tail length <= overlap, duplicating tail
+    tokens as a standalone training chunk). Exact DuckDB generate_series +
+    list_slice twin gated in tests/test_queries_extra.py."""
     assert 0 <= overlap < chunk
     stride = chunk - overlap
 
     def fn(batch: pa.Table) -> pa.Table:
         flat, offsets = tokenize_batch(batch["text"])
         n_tok = np.diff(offsets).astype(np.int64)
-        counts = -(-n_tok // stride)  # ceil; 0 chunks for empty docs
+        # 0 chunks for empty docs; else no window may be a subset of the
+        # previous one: last start must be < n - overlap (i.e. the final
+        # window contributes at least one token beyond the shared overlap)
+        counts = np.where(n_tok == 0, 0, 1 + -(-np.maximum(n_tok - chunk, 0) // stride))
         total = int(counts.sum())
         if total == 0:
             return pa.schema(

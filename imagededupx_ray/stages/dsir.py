@@ -106,9 +106,17 @@ def dsir_counts(docs_ds, V: int = 4096) -> np.ndarray:
 
 
 def dsir_weights(docs_ds, target_counts: np.ndarray, raw_counts: np.ndarray):
-    """(doc_id, logw) Dataset: logw = mean over the doc's features of
-    log p_target − log p_raw (+1 Laplace smoothing both sides; mean rather
-    than sum so weights are length-comparable), rounded to 6 decimals."""
+    """(doc_id, logw, logw_sum) Dataset over the doc's hashed features:
+
+    - ``logw_sum`` = Σ_f c_f(x)·(log p_target[f] − log p_raw[f]) — the
+      paper's DSIR log-importance weight (log of a product over features,
+      Xie et al. 2023 §2); feed THIS to an importance resampler.
+    - ``logw`` = the per-feature MEAN of the same ratio — a
+      length-normalized domain-likeness score (comparable across doc
+      lengths; NOT the paper's weight — resampling with it removes the
+      preference for longer target-like docs).
+
+    +1 Laplace smoothing both sides; both columns rounded to 6 decimals."""
     V = len(target_counts)
     lt = np.log(target_counts + 1.0) - np.log(target_counts.sum() + V)
     lr = np.log(raw_counts + 1.0) - np.log(raw_counts.sum() + V)
@@ -126,6 +134,7 @@ def dsir_weights(docs_ds, target_counts: np.ndarray, raw_counts: np.ndarray):
             {
                 "doc_id": batch["doc_id"],
                 "logw": pa.array(np.round(logw, 6), type=pa.float64()),
+                "logw_sum": pa.array(np.round(sums, 6), type=pa.float64()),
             }
         )
 

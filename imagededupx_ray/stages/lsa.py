@@ -74,6 +74,20 @@ def _df_partial(V: int, *tables: pa.Table):
     return df, n_docs
 
 
+# Fit-pass row quantum (ADVICE r4 determinism fix): tf-idf rows are
+# L2-normalized (entries in [0,1]), so rounding them to multiples of
+# 2^-16 makes every per-doc Gram contribution an exact multiple of 2^-32
+# bounded by 1 — float64 sums of such terms are EXACT (no rounding) while
+# n_docs·2^32 ≤ 2^53, i.e. up to ~2.1M docs. Exact sums are
+# order-independent, so the fitted model is bit-identical across block
+# groupings, cluster sizes and BLAS scheduling up to that bound; beyond
+# it determinism degrades gracefully to per-blocking only (documented in
+# lsa_fit). The ≤2^-17 per-entry perturbation is noise next to the
+# hashed-vocab collisions LSA already absorbs (gated: topic separation
+# and planted-margin tests unchanged).
+_GRAM_QUANTUM = float(2**16)
+
+
 @ray.remote
 def _gram_partial(V: int, idf_ref, *tables: pa.Table):
     import numpy as _np
@@ -84,6 +98,8 @@ def _gram_partial(V: int, idf_ref, *tables: pa.Table):
         if t.num_rows == 0 or "text" not in t.column_names:
             continue
         _, A = _tfidf_rows(t, V, idf)
+        _np.round(A * _GRAM_QUANTUM, out=A)
+        A /= _GRAM_QUANTUM
         G += A.T @ A
     return G
 
@@ -108,8 +124,12 @@ def _tree_sum(refs: list, fanout: int = 8):
 def lsa_fit(docs_ds, dim: int = 64, vocab: int = 2048) -> dict:
     """Learn the LSA model over docs(doc_id, text): returns
     {"idf": (V,), "W": (V, dim), "sv": (dim,)} — fixed-size, broadcastable.
-    Deterministic: partial sums run over deterministic block groups and the
-    eigenvector sign convention pins each column."""
+    Deterministic ACROSS cluster sizes and block groupings (ADVICE r4): the
+    df pass sums integers, the Gram pass sums 2^-16-quantized rows whose
+    float64 partial sums are exact up to ~2.1M docs (see _GRAM_QUANTUM),
+    and the eigenvector sign convention pins each column — so the fitted
+    model is bit-identical regardless of parallelism below that bound;
+    above it, bit-identity holds per input blocking only."""
     from imagededupx_ray.util import block_group_size
 
     V = int(vocab)

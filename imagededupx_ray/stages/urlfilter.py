@@ -45,8 +45,12 @@ def canonicalize_urls(urls: pa.Array) -> pa.Array:
     u = pc.replace_substring_regex(u, r"^(https://[^/:?#]*):443([/?#].*)?$", r"\1\2")
     # 3. fragment
     u = pc.replace_substring_regex(u, r"#.*$", "")
-    # 4. tracking params (with following '&' or preceding separator cleanup)
-    u = pc.replace_substring_regex(u, _TRACKING + r"&", "")
+    # 4. tracking params — anchored to a preceding [?&] so param names that
+    #    merely END in a tracking name (e.g. ?xgclid=5) are left alone; the
+    #    (...&)+ repetition strips runs of consecutive tracking params in
+    #    one pass (a lone replacement would consume the separator the next
+    #    match needs)
+    u = pc.replace_substring_regex(u, r"([?&])(?:" + _TRACKING + r"&)+", r"\1")
     u = pc.replace_substring_regex(u, r"[?&]" + _TRACKING + r"$", "")
     u = pc.replace_substring_regex(u, r"\?&", "?")
     # 5. trailing slash on non-root paths

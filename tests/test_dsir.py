@@ -50,9 +50,14 @@ def _py_reference(texts, target_idx, V):
     lt = np.log(t_counts + 1.0) - np.log(t_counts.sum() + V)
     lr = np.log(r_counts + 1.0) - np.log(r_counts.sum() + V)
     llr = lt - lr
-    return [
+    mean = [
         round(float(np.mean([llr[b] for b in f])) if f else 0.0, 6) for f in per_doc
     ]
+    # paper-faithful weight: SUM over features (log of product, DSIR §2)
+    total = [
+        round(float(np.sum([llr[b] for b in f])) if f else 0.0, 6) for f in per_doc
+    ]
+    return mean, total
 
 
 def test_dsir_matches_python_reference(ray_session):
@@ -92,10 +97,16 @@ def test_dsir_matches_python_reference(ray_session):
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
-    ref = _py_reference(texts, set(range(12)), V)
+    ref, ref_sum = _py_reference(texts, set(range(12)), V)
     assert np.allclose(out["logw"].to_numpy(), ref, atol=1e-6), (
         out["logw"].tolist(),
         ref,
+    )
+    # ADVICE r4: logw_sum is the paper's DSIR log-importance weight (sum
+    # over features = log of the product), not the length-normalized mean
+    assert np.allclose(out["logw_sum"].to_numpy(), ref_sum, atol=1e-4), (
+        out["logw_sum"].tolist(),
+        ref_sum,
     )
     # target-like docs outscore raw-domain docs; empty doc is 0
     tgt_w = out["logw"][:12].to_numpy()

@@ -35,7 +35,10 @@ def _dense_reference(texts, V, dim):
     idf = np.log((1.0 + len(texts)) / (1.0 + df)) + 1.0
     A *= idf[None, :]
     A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
-    G = A.T @ A
+    # fit-pass quantization (the spec's determinism device, stages/lsa.py
+    # _GRAM_QUANTUM): Gram over 2^-16-grid rows; projection uses raw rows
+    Aq = np.round(A * 2**16) / 2**16
+    G = Aq.T @ Aq
     evals, evecs = np.linalg.eigh(G)
     W = evecs[:, ::-1][:, :dim]
     am = np.argmax(np.abs(W), axis=0)
@@ -115,6 +118,14 @@ def test_lsa_deterministic_and_empty_docs(ray_session):
     m1 = lsa_fit(_docs(texts), dim=8, vocab=256)
     m2 = lsa_fit(_docs(texts), dim=8, vocab=256)
     assert np.array_equal(m1["W"], m2["W"])
+    # ADVICE r4: bit-identical across BLOCKINGS too (different block
+    # boundaries/groupings change the fp summation order; the quantized
+    # Gram pass makes every partial sum exact, hence order-independent)
+    m3 = lsa_fit(_docs(texts).repartition(2), dim=8, vocab=256)
+    m4 = lsa_fit(_docs(texts).repartition(7), dim=8, vocab=256)
+    assert np.array_equal(m1["W"], m3["W"])
+    assert np.array_equal(m1["W"], m4["W"])
+    assert np.array_equal(m1["idf"], m3["idf"])
     out = (
         lsa_embed(_docs(texts), m1)
         .to_pandas()

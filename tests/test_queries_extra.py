@@ -185,7 +185,7 @@ def test_chunking_matches_generate_series_oracle(ray_session, ddb):
             "FROM documents WHERE trim(text) <> ''), "
             "s AS (SELECT doc_id, toks, len(toks) AS n FROM t), "
             "e AS (SELECT doc_id, toks, n, unnest(range(0, "
-            f"CAST(ceil(n / {S}.0) AS BIGINT))) AS chunk_idx FROM s), "
+            f"1 + CAST(ceil(greatest(n - {C}, 0) / {S}.0) AS BIGINT))) AS chunk_idx FROM s), "
             "c AS (SELECT doc_id, chunk_idx, "
             f"list_slice(toks, chunk_idx * {S} + 1, "
             f"least(chunk_idx * {S} + {C}, n)) AS ctoks FROM e) "
@@ -201,6 +201,41 @@ def test_chunking_matches_generate_series_oracle(ray_session, ddb):
         a = one.iloc[0]["chunk_text"].split()
         b = one.iloc[1]["chunk_text"].split()
         assert a[S:] == b[: len(a) - S]
+    # ADVICE r4: no window may be a SUBSET of its predecessor (the old
+    # ceil(n/stride) count emitted a contained tail when tail <= overlap)
+    for _, g in out.groupby("doc_id"):
+        g = g.sort_values("chunk_idx")
+        lens = g["n_tokens"].to_numpy()
+        if len(g) >= 2:
+            assert lens[-1] > O, (g["doc_id"].iloc[0], lens)
+
+
+def test_chunking_no_contained_tail_window(ray_session, tmp_path):
+    """Regression (ADVICE r4): n=57, chunk=64, overlap=8 used to emit a
+    second window [56,57) fully contained in [0,57)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from imagededupx_ray.queries import docs_chunk
+
+    text = " ".join(f"w{i}" for i in range(57))
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array([text]),
+                  "lang": pa.array(["en"])}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = docs_chunk(str(tmp_path), chunk=64, overlap=8).to_pandas()
+    assert len(out) == 1 and out["n_tokens"].iloc[0] == 57
+    # and a doc one token past the window still gets exactly 2 chunks
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array([" ".join(f"w{i}" for i in range(65))]),
+                  "lang": pa.array(["en"])}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out2 = docs_chunk(str(tmp_path), chunk=64, overlap=8).to_pandas()
+    assert sorted(out2["n_tokens"]) == [9, 64]
 
 
 def test_corpus_datasheet_matches_oracle(ray_session, ddb):

@@ -22,6 +22,15 @@ def test_canonicalize_rules():
         "http://example.com/a?fbclid=z#f": "http://example.com/a",
         # path case is preserved; query order is preserved
         "http://ex.com/A/B?z=2&a=1": "http://ex.com/A/B?z=2&a=1",
+        # ADVICE r4: params whose names merely END in a tracking name must
+        # survive — the strip is anchored to a preceding [?&]
+        "http://h/?xgclid=5&a=1": "http://h/?xgclid=5&a=1",
+        "http://h/?myutm_source=1&a=2": "http://h/?myutm_source=1&a=2",
+        "http://h/?xfbclid=9": "http://h/?xfbclid=9",
+        # runs of consecutive tracking params strip in one pass
+        "http://h/?utm_a=1&utm_b=2&a=3": "http://h/?a=3",
+        "http://h/?utm_a=1&gclid=2": "http://h/",
+        "http://h/?a=1&utm_x=2&b=3": "http://h/?a=1&b=3",
     }
     out = canonicalize_urls(pa.array(list(cases.keys()))).to_pylist()
     for (raw, want), got in zip(cases.items(), out):
