@@ -49,6 +49,10 @@ from imagededupx_ray.util import seg_searchsorted_right
 
 _EPS = 1e-9
 
+# fanout for the verify-side task trees (member-id unique + picked-set
+# assembly) — same discipline as pipelines/dedup._UNIQ_TREE_FANOUT
+_TREE_FANOUT = 16
+
 
 def _empty_pairs() -> pa.Table:
     return pa.table(
@@ -304,67 +308,110 @@ def candidate_pairs_stage(prefix_ds, threshold: float, p: int, q: int = 1):
     )
 
 
+@ray.remote
+def _pack_picked(mem_ref, *tables):
+    """Filter a GROUP of sets blocks to candidate members and pack them as
+    one sorted-by-id (ids, offsets, flat) triple — worker-side, so the
+    driver never concatenates token sets."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    want = mem_ref
+    ids_parts, off_parts, flat_parts = [], [], []
+    for b in tables:
+        if b.num_rows == 0 or "doc_id" not in b.column_names:
+            continue
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        pos = _np.minimum(_np.searchsorted(want, ids), len(want) - 1)
+        sel = want[pos] == ids if len(want) else _np.zeros(len(ids), bool)
+        if not sel.any():
+            continue
+        b = b.filter(_pa.array(sel))
+        col = b["toks"]
+        if isinstance(col, _pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids_parts.append(b["doc_id"].to_numpy(zero_copy_only=False).astype(_np.int64))
+        off_parts.append(col.offsets.to_numpy(zero_copy_only=False).astype(_np.int64))
+        flat_parts.append(col.flatten().to_numpy(zero_copy_only=False).astype(_np.int64))
+    return _merge_packed_impl(ids_parts, off_parts, flat_parts)
+
+
+def _merge_packed_impl(ids_parts, off_parts, flat_parts):
+    """Merge packed (ids, off, flat) triples into one sorted-by-id triple."""
+    import numpy as _np
+
+    if not ids_parts:
+        return (_np.empty(0, _np.int64), _np.zeros(1, _np.int64), _np.empty(0, _np.int64))
+    ids = _np.concatenate(ids_parts)
+    lens = _np.concatenate([_np.diff(o) for o in off_parts])
+    flat = _np.concatenate(flat_parts) if flat_parts else _np.empty(0, _np.int64)
+    # rebase per-part offsets into the concatenated flat array
+    off = _np.concatenate(([0], _np.cumsum(lens))).astype(_np.int64)
+    o = _np.argsort(ids, kind="stable")
+    g_flat, _ = _gather_segments(flat, off, o)
+    g_off = _np.concatenate(([0], _np.cumsum(lens[o]))).astype(_np.int64)
+    return (ids[o], g_off, g_flat)
+
+
+@ray.remote
+def _merge_packed(*triples):
+    triples = [t for t in triples if len(t[0])]
+    if len(triples) == 1:
+        return triples[0]
+    return _merge_packed_impl(
+        [t[0] for t in triples],
+        [t[1] for t in triples],
+        [t[2] for t in triples],
+    )
+
+
 def verify_pairs_exact(cand_ds, sets_ds, threshold: float):
     """Step 5: exact Jaccard over candidates. Candidate-member token sets
     broadcast once (members bounded by candidate volume, the dedup-verify
     discipline); per batch ONE lexsort over (pair, token) counts
-    intersections — no per-pair Python work."""
-    # member ids via distinct over the (small) candidate pair columns
+    intersections — no per-pair Python work.
+
+    Both collection steps run as fanout-bounded task TREES (the
+    pipelines/dedup.py pair-id-tree discipline, VERDICT r4 #2): member ids
+    merge through _block_uniq/_merge_uniq groups and the picked token sets
+    pack + merge worker-side through _pack_picked/_merge_packed — the
+    driver holds one ObjectRef, never an all-blocks concat."""
+    from imagededupx_ray.pipelines.dedup import _block_uniq, _merge_uniq
+    from imagededupx_ray.util import block_group_size
+
     cand_mat = cand_ds.materialize()
 
-    member_parts = []
-    for blk in cand_mat.to_arrow_refs():
-        t = ray.get(blk)
-        if t.num_rows:
-            member_parts.append(
-                np.unique(
-                    np.concatenate(
-                        [
-                            t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
-                            t["b"].to_numpy(zero_copy_only=False).astype(np.int64),
-                        ]
-                    )
-                )
-            )
-    if not member_parts:
+    cand_refs = cand_mat.to_arrow_refs()
+    _g = max(block_group_size(len(cand_refs)), 2)
+    refs = [
+        _block_uniq.remote(*cand_refs[i : i + _g])
+        for i in range(0, len(cand_refs), _g)
+    ]
+    while len(refs) > 1:
+        refs = [
+            _merge_uniq.remote(*refs[i : i + _TREE_FANOUT])
+            for i in range(0, len(refs), _TREE_FANOUT)
+        ]
+    members = ray.get(refs[0]) if refs else np.empty(0, np.int64)
+    if len(members) == 0:
         import ray.data as rd
 
         return rd.from_arrow(_empty_pairs())
-    members = np.unique(np.concatenate(member_parts))
     mem_ref = ray.put(members)
 
-    def pick_sets(b: pa.Table) -> pa.Table:
-        want = ray.get(mem_ref)
-        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(want, ids)
-        pos_c = np.minimum(pos, len(want) - 1)
-        sel = want[pos_c] == ids
-        if not sel.any():
-            return pa.schema(
-                [("doc_id", pa.int64()), ("toks", pa.list_(pa.int64()))]
-            ).empty_table()
-        return b.filter(pa.array(sel))
-
-    picked = sets_ds.map_batches(pick_sets, batch_format="pyarrow").to_arrow_refs()
-    tabs = [t for t in (ray.get(r) for r in picked) if t.num_rows]
-    if tabs:
-        allsets = pa.concat_tables(tabs).combine_chunks()
-        ids = allsets["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        col = allsets["toks"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        o = np.argsort(ids, kind="stable")
-        # re-pack in sorted-id order
-        lens = np.diff(offs)[o]
-        g_flat, _ = _gather_segments(flat, offs, o)
-        g_off = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
-        state = ray.put((ids[o], g_off, g_flat))
-    else:
-        state = ray.put(
-            (np.empty(0, np.int64), np.zeros(1, np.int64), np.empty(0, np.int64))
-        )
+    set_refs = sets_ds.to_arrow_refs()
+    _gs = max(block_group_size(len(set_refs)), 2)
+    prefs = [
+        _pack_picked.remote(mem_ref, *set_refs[i : i + _gs])
+        for i in range(0, len(set_refs), _gs)
+    ]
+    while len(prefs) > 1:
+        prefs = [
+            _merge_packed.remote(*prefs[i : i + _TREE_FANOUT])
+            for i in range(0, len(prefs), _TREE_FANOUT)
+        ]
+    # the packed broadcast stays in the object store; workers ray.get the ref
+    state = prefs[0]
 
     thr = float(threshold)
 
