@@ -4052,12 +4052,40 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA"):
 # --------------------------------------------------------------------------
 
 
+def _component_ok(name: str, df: pd.DataFrame) -> bool:
+    """Cheap structural invariants so a suite row distinguishes "changed"
+    (different md5) from "broken" (VERDICT r4 #9): nonzero rows (every
+    component produces rows at any sf — verified at sf0.01), finite floats,
+    a < b ordering on pair miners, similarity scores within [-1, 1], and
+    exactly one canonical per dedup cluster. Deeper gates (planted-pair
+    recall, signature bit-parity) stay in pytest — these checks only need
+    the component's own output frame."""
+    if len(df) == 0:
+        return False
+    cols = set(df.columns)
+    for c in df.columns:
+        if df[c].dtype.kind == "f" and not np.isfinite(df[c].to_numpy()).all():
+            return False
+    if {"a", "b"} <= cols and not bool((df["a"] < df["b"]).all()):
+        return False
+    for c in ("jaccard", "cosine"):
+        if c in cols and len(df):
+            v = df[c].to_numpy()
+            if v.min() < -1.000001 or v.max() > 1.000001:
+                return False
+    if name == "dedup_clusters" and {"cluster_id", "is_canonical"} <= cols:
+        if not bool((df.groupby("cluster_id")["is_canonical"].sum() == 1).all()):
+            return False
+    return True
+
+
 def _suite_summary(components: dict) -> pd.DataFrame:
     """One evidence row per component result: (component, n_rows, n_cols,
-    result_md5). The md5 normalizes exactly like the driver's hash gate
+    result_md5, ok). The md5 normalizes exactly like the driver's hash gate
     (sorted columns, sorted rows) so a changed component result changes the
     recorded suite values; floats print at 6 significant digits (every
-    component rounds its score columns upstream)."""
+    component rounds its score columns upstream). ``ok`` carries the cheap
+    structural invariants from _component_ok."""
     import hashlib
 
     rows = []
@@ -4071,9 +4099,9 @@ def _suite_summary(components: dict) -> pd.DataFrame:
         h = hashlib.md5(
             df.to_csv(index=False, float_format="%.6g").encode()
         ).hexdigest()
-        rows.append((name, len(df), df.shape[1], h))
+        rows.append((name, len(df), df.shape[1], h, _component_ok(name, df)))
     return pd.DataFrame(
-        rows, columns=["component", "n_rows", "n_cols", "result_md5"]
+        rows, columns=["component", "n_rows", "n_cols", "result_md5", "ok"]
     )
 
 

@@ -267,3 +267,31 @@ def test_corpus_datasheet_matches_oracle(ray_session, ddb):
         "SELECT MAX(n) FROM (SELECT COUNT(*) AS n FROM documents GROUP BY lang)"
     ).fetchone()[0]
     assert abs(out["top_lang_share"] - top / o["n_docs"]) < 1e-6
+
+
+def test_suite_ok_invariants(ray_session):
+    """VERDICT r4 #9: every suite evidence row carries an ok boolean so the
+    driver artifact distinguishes "changed md5" from "broken component".
+    The similarity suite at sf0.001 must report ok=True throughout, and
+    _component_ok must actually reject broken shapes."""
+    from imagededupx_ray.queries import _component_ok, similarity_suite
+
+    df = similarity_suite("/root/testdata/sf0.001")
+    assert set(df.columns) == {"component", "n_rows", "n_cols", "result_md5", "ok"}
+    bad = df[~df["ok"]]
+    assert bad.empty, bad.to_string()
+
+    # the checks have teeth: empty frame, unordered pairs, out-of-range
+    # cosine, NaN floats, multi-canonical clusters all fail
+    assert not _component_ok("x", pd.DataFrame({"a": []}))
+    assert not _component_ok("x", pd.DataFrame({"a": [2], "b": [1]}))
+    assert not _component_ok("x", pd.DataFrame({"cosine": [1.5]}))
+    assert not _component_ok("x", pd.DataFrame({"v": [float("nan")]}))
+    assert not _component_ok(
+        "dedup_clusters",
+        pd.DataFrame({"cluster_id": [1, 1], "is_canonical": [True, True]}),
+    )
+    assert _component_ok(
+        "dedup_clusters",
+        pd.DataFrame({"cluster_id": [1, 1], "is_canonical": [True, False]}),
+    )
