@@ -185,6 +185,26 @@ def main(argv: list[str] | None = None) -> int:
         default=0,
         help="generate a synthetic corpus of this size instead of --input",
     )
+    md.add_argument(
+        "--encoder",
+        default=None,
+        help="plugin:<module>:<Class> heavy-encoder spec (stages/plugin.py "
+        "contract): swaps the built-in image feature block for YOUR model "
+        "(one load per actor) and mines embedding-cosine dup pairs on its "
+        "output; image modality only",
+    )
+    md.add_argument(
+        "--encoder-gpus",
+        type=float,
+        default=0.0,
+        help="GPU share per encoder actor (forwarded to map_batches num_gpus)",
+    )
+    md.add_argument(
+        "--encoder-threshold",
+        type=float,
+        default=0.99,
+        help="embedding-cosine dup threshold for the --encoder path",
+    )
 
     ex = sub.add_parser(
         "export",
@@ -254,13 +274,40 @@ def main(argv: list[str] | None = None) -> int:
                     if args.synth
                     else rd.read_parquet(args.input)
                 )
-                hashes = perceptual_hashes(ds)
-                pairs = hamming_band_pairs(
-                    hashes.select_columns(["image_id", "phash"]),
-                    id_col="image_id",
-                    code_col="phash",
-                    hamming_max=10,
-                )
+                if args.encoder:
+                    # plugin heavy-encoder path: the user's model class runs
+                    # as the actor-pool stage (one load per actor, GPU share
+                    # per --encoder-gpus); its `embedding` output feeds the
+                    # IVF cosine dup miner unchanged
+                    from imagededupx_ray.stages.ann import ivf_dup_pairs
+                    from imagededupx_ray.stages.plugin import encoder_stage
+
+                    emb = encoder_stage(
+                        ds,
+                        args.encoder,
+                        concurrency=(2, 8),
+                        batch_size=8,
+                        num_gpus=args.encoder_gpus,
+                    )
+                    # miner wants (vec_id, embedding); accept image_id too
+                    emb = emb.map_batches(
+                        lambda t: t.rename_columns(
+                            [
+                                "vec_id" if c == "image_id" else c
+                                for c in t.column_names
+                            ]
+                        ),
+                        batch_format="pyarrow",
+                    )
+                    pairs = ivf_dup_pairs(emb, threshold=args.encoder_threshold)
+                else:
+                    hashes = perceptual_hashes(ds)
+                    pairs = hamming_band_pairs(
+                        hashes.select_columns(["image_id", "phash"]),
+                        id_col="image_id",
+                        code_col="phash",
+                        hamming_max=10,
+                    )
             elif args.modality == "audio":
                 from imagededupx_ray.stages.audio import (
                     audio_features,
