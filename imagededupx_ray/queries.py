@@ -55,6 +55,165 @@ def _coarse_parts() -> int:
     return _pow2(suggest_num_partitions(per_cpu=2))
 
 
+# above this many dimension rows the worker-assembled broadcast stops being
+# "small side" territory (the packed (keys, vals) object is shipped to every
+# map task) and _attach_dim flips to the Q5-style coarse-partition union
+# exchange, where no single process ever holds the whole dimension
+DIM_BROADCAST_MAX_ROWS = 2_000_000
+
+_KV_TREE_FANOUT = 16
+
+
+@ray.remote
+def _pack_kv_blocks(key_name: str, val_name: str, *tables):
+    """Pack a GROUP of dimension blocks into one (sorted keys, vals) pair —
+    worker-side, so the driver never collects the dimension rows."""
+    import numpy as _np
+
+    ks, vs = [], []
+    for t in tables:
+        if t.num_rows == 0 or key_name not in t.column_names:
+            continue
+        ks.append(t[key_name].to_numpy(zero_copy_only=False).astype(_np.int64))
+        vs.append(t[val_name].to_numpy(zero_copy_only=False))
+    if not ks:
+        return (_np.empty(0, _np.int64), _np.empty(0, object))
+    k = _np.concatenate(ks)
+    v = _np.concatenate(vs)
+    o = _np.argsort(k, kind="stable")
+    return (k[o], v[o])
+
+
+@ray.remote
+def _merge_kv(*pairs):
+    import numpy as _np
+
+    pairs = [p_ for p_ in pairs if len(p_[0])]
+    if not pairs:
+        return (_np.empty(0, _np.int64), _np.empty(0, object))
+    if len(pairs) == 1:
+        return pairs[0]
+    k = _np.concatenate([p_[0] for p_ in pairs])
+    v = _np.concatenate([p_[1] for p_ in pairs])
+    o = _np.argsort(k, kind="stable")
+    return (k[o], v[o])
+
+
+def _attach_dim(
+    fact_ds,
+    dim_ds,
+    fact_key: str,
+    dim_key: str,
+    dim_val: str,
+    out_val: str,
+    max_broadcast_rows: int | None = None,
+):
+    """Inner-join ONE dimension column onto a fact Dataset by int64 key
+    (unique dimension keys assumed — TPC-H primary keys).
+
+    Small dimension (≤ ``max_broadcast_rows``, default
+    ``DIM_BROADCAST_MAX_ROWS``): the dimension packs worker-side into one
+    sorted (keys, vals) broadcast through a fanout-bounded task tree — the
+    driver holds only an ObjectRef, never the rows (VERDICT r4 #6 replaced
+    the full ``.to_pandas()`` driver collect). Large dimension: both sides
+    run the Q5 coarse-partition union exchange, so no single process ever
+    materializes the dimension."""
+    if max_broadcast_rows is None:
+        max_broadcast_rows = DIM_BROADCAST_MAX_ROWS
+    dim_narrow = dim_ds.select_columns([dim_key, dim_val])
+    dsch = dim_narrow.schema()  # ray Schema: .names / .types (arrow types)
+    val_type = dict(zip(dsch.names, dsch.types))[dim_val]
+    n_dim = dim_narrow.count()
+
+    if n_dim <= max_broadcast_rows:
+        from imagededupx_ray.util import block_group_size
+
+        refs = dim_narrow.to_arrow_refs()
+        g = max(block_group_size(len(refs)), 2)
+        packed = [
+            _pack_kv_blocks.remote(dim_key, dim_val, *refs[i : i + g])
+            for i in range(0, len(refs), g)
+        ]
+        while len(packed) > 1:
+            packed = [
+                _merge_kv.remote(*packed[i : i + _KV_TREE_FANOUT])
+                for i in range(0, len(packed), _KV_TREE_FANOUT)
+            ]
+        state = packed[0]
+
+        def attach(t: pa.Table) -> pa.Table:
+            keys, vals = ray.get(state)
+            fk = t[fact_key].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(keys, fk)
+            pos[pos >= len(keys)] = 0
+            hit = keys[pos] == fk if len(keys) else np.zeros(len(fk), bool)
+            out = t.filter(pa.array(hit))
+            return out.append_column(
+                out_val, pa.array(list(vals[pos[hit]]), type=val_type)
+            )
+
+        return fact_ds.map_batches(attach, batch_format="pyarrow")
+
+    # exchange path: union fact and dim rows under one schema keyed by
+    # hash(key) & (p-1); each partition sorts its dim rows once and
+    # searchsorted-attaches the value to its fact rows
+    p = _coarse_parts()
+    fact_schema = fact_ds.schema()
+    fact_cols = list(fact_schema.names)
+    fact_types = dict(zip(fact_schema.names, fact_schema.types))
+
+    def fact_rows(t: pa.Table) -> pa.Table:
+        fk = t[fact_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"_part": _coarse_part_col(fk, p), "_k": pa.array(fk, type=pa.int64()),
+                "_side": pa.array(np.ones(t.num_rows, dtype=np.int8))}
+        for c in fact_cols:
+            cols[c] = t[c]
+        cols[out_val] = pa.nulls(t.num_rows, val_type)
+        return pa.table(cols)
+
+    def dim_rows(t: pa.Table) -> pa.Table:
+        dk = t[dim_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"_part": _coarse_part_col(dk, p), "_k": pa.array(dk, type=pa.int64()),
+                "_side": pa.array(np.zeros(t.num_rows, dtype=np.int8))}
+        for c in fact_cols:
+            cols[c] = pa.nulls(t.num_rows, fact_types[c])
+        cols[out_val] = t[dim_val]
+        return pa.table(cols)
+
+    out_schema = pa.schema(
+        [(c, fact_types[c]) for c in fact_cols] + [(out_val, val_type)]
+    )
+
+    def join_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        k = t["_k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dm = side == 0
+        dk = k[dm]
+        dv = t[out_val].to_numpy(zero_copy_only=False)[dm]
+        o = np.argsort(dk, kind="stable")
+        dk, dv = dk[o], dv[o]
+        fm = np.flatnonzero(~dm)
+        fk = k[fm]
+        if len(dk) == 0 or len(fk) == 0:
+            return out_schema.empty_table()
+        pos = np.searchsorted(dk, fk)
+        pos[pos >= len(dk)] = 0
+        hit = dk[pos] == fk
+        sel = t.take(pa.array(fm[hit]))
+        cols = {c: sel[c] for c in fact_cols}
+        cols[out_val] = pa.array(list(dv[pos[hit]]), type=val_type)
+        return pa.table(cols, schema=out_schema)
+
+    union = fact_ds.map_batches(fact_rows, batch_format="pyarrow").union(
+        dim_ds.select_columns([dim_key, dim_val]).map_batches(
+            dim_rows, batch_format="pyarrow"
+        )
+    )
+    return union.groupby("_part").map_groups(join_part, batch_format="pyarrow")
+
+
 def _coarse_part_col(key: np.ndarray, p: int) -> pa.Array:
     """int32 shuffle key ``splitmix64(key) & (p-1)`` for a coarse groupby."""
     part = (H.splitmix64(key.astype(np.uint64)).astype(np.int64) & np.int64(p - 1)).astype(
@@ -574,31 +733,28 @@ def orders_per_customer(sf_dir: str):
         .groupby("_part")
         .map_groups(agg_part, batch_format="pyarrow")
     )
-    cust_df = (
-        _read(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"]).to_pandas()
+    joined = _attach_dim(
+        orders_agg,
+        _read(sf_dir, "customer"),
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        dim_val="c_mktsegment",
+        out_val="c_mktsegment",
     )
-    ck = cust_df["c_custkey"].to_numpy().astype(np.int64)
-    order = np.argsort(ck)
-    cust_ref = ray.put((ck[order], cust_df["c_mktsegment"].to_numpy()[order]))
 
-    def attach(t: pa.Table) -> pa.Table:
-        keys, segs = ray.get(cust_ref)
-        ok_ids = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(keys, ok_ids)
-        pos[pos >= len(keys)] = 0
-        hit = keys[pos] == ok_ids  # inner-join semantics: drop unmatched
+    def finalize(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "c_custkey": pa.array(ok_ids[hit], type=pa.int64()),
-                "c_mktsegment": pa.array(segs[pos[hit]], type=pa.string()),
-                "n_orders": t["n_orders"].filter(pa.array(hit)),
+                "c_custkey": t["o_custkey"].cast(pa.int64()),
+                "c_mktsegment": t["c_mktsegment"],
+                "n_orders": t["n_orders"],
                 "total_spent": _round_col(
-                    t["total_spent"].to_numpy(zero_copy_only=False)[hit], 2
+                    t["total_spent"].to_numpy(zero_copy_only=False), 2
                 ),
             }
         )
 
-    return orders_agg.map_batches(attach, batch_format="pyarrow")
+    return joined.map_batches(finalize, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -893,30 +1049,27 @@ def q3_shipping_priority(sf_dir: str, topk: int = 10):
         orders, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",)
     )
 
-    cust_df = (
-        _read(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"]).to_pandas()
+    with_seg = _attach_dim(
+        joined,
+        _read(sf_dir, "customer"),
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        dim_val="c_mktsegment",
+        out_val="c_mktsegment",
     )
-    ck = cust_df["c_custkey"].to_numpy().astype(np.int64)
-    order = np.argsort(ck)
-    cust_ref = ray.put((ck[order], cust_df["c_mktsegment"].to_numpy()[order]))
 
-    def attach(t: pa.Table) -> pa.Table:
-        keys, segs = ray.get(cust_ref)
-        cks = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(keys, cks)
-        pos[pos >= len(keys)] = 0
-        hit = keys[pos] == cks
+    def finalize(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "l_orderkey": t["l_orderkey"].filter(pa.array(hit)),
+                "l_orderkey": t["l_orderkey"],
                 "revenue": _round_col(
-                    t["revenue"].to_numpy(zero_copy_only=False)[hit], 2
+                    t["revenue"].to_numpy(zero_copy_only=False), 2
                 ),
-                "c_mktsegment": pa.array(segs[pos[hit]], type=pa.string()),
+                "c_mktsegment": t["c_mktsegment"],
             }
         )
 
-    out = joined.map_batches(attach, batch_format="pyarrow")
+    out = with_seg.map_batches(finalize, batch_format="pyarrow")
     return (
         out.sort(["revenue", "l_orderkey"], descending=[True, False])
         .limit(topk)

@@ -295,3 +295,35 @@ def test_suite_ok_invariants(ray_session):
         "dedup_clusters",
         pd.DataFrame({"cluster_id": [1, 1], "is_canonical": [True, False]}),
     )
+
+
+def test_attach_dim_paths_match_oracle(ray_session):
+    """VERDICT r4 #6: the TPC-H dimension attach must hash-match its oracle
+    on BOTH paths — the worker-assembled broadcast (no driver .to_pandas()
+    of the dimension) and the coarse-partition union exchange (forced via
+    DIM_BROADCAST_MAX_ROWS=0)."""
+    import duckdb
+
+    import imagededupx_ray.queries as Q
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    osql = E.oracle_sql()
+    saved = Q.DIM_BROADCAST_MAX_ROWS
+    try:
+        for cap in (saved, 0):
+            Q.DIM_BROADCAST_MAX_ROWS = cap
+            for name in ["orders_per_customer", "q3_shipping_priority"]:
+                out = getattr(Q, name)(SF)
+                df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+                ora = con.execute(osql[name]).fetchdf()
+                pd.testing.assert_frame_equal(
+                    _normalize(df), _normalize(ora), check_dtype=False
+                )
+    finally:
+        Q.DIM_BROADCAST_MAX_ROWS = saved
+    con.close()
