@@ -1695,7 +1695,7 @@ def image_decode_features(sf_dir: str):
     deterministic fake (no torch in the container)."""
     from imagededupx_ray.stages.multimodal import decode_images
 
-    return decode_images(_mixed_codec_dataset(200), concurrency=(2, 8), batch_size=8).map_batches(
+    return decode_images(_mixed_codec_dataset(200), concurrency=None, batch_size=8).map_batches(
         lambda t: t.drop_columns(["feature"]), batch_format="pyarrow"
     )
 
@@ -1711,7 +1711,7 @@ def image_perceptual_hashes(sf_dir: str):
     codec correctness in tests/test_png.py and tests/test_jpeg.py."""
     from imagededupx_ray.stages.multimodal import perceptual_hashes
 
-    return perceptual_hashes(_mixed_codec_dataset(200), concurrency=(2, 8), batch_size=8)
+    return perceptual_hashes(_mixed_codec_dataset(200), concurrency=None, batch_size=8)
 
 
 def _mixed_codec_dataset(n: int, n_blocks: int = 16):
@@ -1755,7 +1755,7 @@ def image_feature_dup_pairs(sf_dir: str, threshold: float = 0.99, n: int = 150):
     ds = cached_corpus_ds(
         f"recode_images_n{n}_s42_d5_v1", lambda: synthetic_recode_images(n), 16
     )
-    feats = decode_images(ds, concurrency=(2, 8), batch_size=8)
+    feats = decode_images(ds, concurrency=None, batch_size=8)
     emb = feats.map_batches(
         lambda t: pa.table({"vec_id": t["image_id"], "embedding": t["feature"]}),
         batch_format="pyarrow",
@@ -1780,7 +1780,10 @@ def image_phash_dup_pairs(sf_dir: str, hamming_max: int = 10):
     from imagededupx_ray.stages.multimodal import perceptual_hashes
     from imagededupx_ray.stages.simhash_lsh import hamming_band_pairs
 
-    hashes = perceptual_hashes(_mixed_codec_dataset(200), concurrency=(2, 8), batch_size=8)
+    # task mode (per-process cached stage): the stdlib decode wall is
+    # sub-second across workers; the (2,8) actor pool's cold start was the
+    # dominant cost in the driver bench (VERDICT r4 #7)
+    hashes = perceptual_hashes(_mixed_codec_dataset(200), concurrency=None, batch_size=8)
     return hamming_band_pairs(
         hashes.select_columns(["image_id", "phash"]),
         id_col="image_id",
@@ -1799,7 +1802,7 @@ def audio_clip_features(sf_dir: str):
     tests/test_audio.py."""
     from imagededupx_ray.stages.audio import audio_features
 
-    return audio_features(_wav_corpus(120), concurrency=(2, 8), batch_size=8).drop_columns(
+    return audio_features(_wav_corpus(120), concurrency=None, batch_size=8).drop_columns(
         ["fingerprints"]
     )
 
@@ -1834,7 +1837,7 @@ def audio_dup_pairs(sf_dir: str):
     tests/test_audio.py)."""
     from imagededupx_ray.stages.audio import audio_features, fingerprint_dup_pairs
 
-    feats = audio_features(_wav_corpus(120), concurrency=(2, 8), batch_size=8)
+    feats = audio_features(_wav_corpus(120), concurrency=None, batch_size=8)
     return fingerprint_dup_pairs(feats)
 
 
@@ -1850,7 +1853,7 @@ def video_dup_pairs(sf_dir: str):
         video_frame_hashes,
     )
 
-    fh = video_frame_hashes(_video_corpus(60), every_k=2, concurrency=(2, 8))
+    fh = video_frame_hashes(_video_corpus(60), every_k=2, concurrency=None)
     return _vdp(fh)
 
 

@@ -78,13 +78,35 @@ class AudioFeatureStage:
         return pa.table(cols)
 
 
+_AUDIO_PROC_CACHE: dict = {}
+
+
+def _audio_task():
+    """Task-mode twin with per-worker-process stage cache (the
+    signature_stage discipline — skips actor-pool cold start; stage state
+    is stdlib-codec cheap)."""
+
+    def fn(batch):
+        stage = _AUDIO_PROC_CACHE.get("audio")
+        if stage is None:
+            stage = _AUDIO_PROC_CACHE["audio"] = AudioFeatureStage()
+        return stage(batch)
+
+    return fn
+
+
 def audio_features(
     clips_ds,
-    concurrency: int | tuple[int, int] = 2,
+    concurrency: int | tuple[int, int] | None = 2,
     batch_size: int = 32,
 ):
-    """clips (clip_id, payload, format) → features + fingerprints via an
-    actor pool."""
+    """clips (clip_id, payload, format) → features + fingerprints.
+    ``concurrency=None`` = task mode with a per-process cached stage;
+    pass ``concurrency`` for a genuine actor pool (heavy-model shape)."""
+    if concurrency is None:
+        return clips_ds.map_batches(
+            _audio_task(), batch_format="pyarrow", batch_size=batch_size
+        )
     return clips_ds.map_batches(
         AudioFeatureStage,
         batch_format="pyarrow",

@@ -218,14 +218,37 @@ class ImageDecodeStage:
         )
 
 
+def _decode_task(allow_fake: bool = True):
+    """Task-mode twin of the decode actor pool (see _perceptual_hash_task)."""
+    key = ("decode", allow_fake)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        stage = _HASH_PROC_CACHE.get(key)
+        if stage is None:
+            stage = _HASH_PROC_CACHE[key] = ImageDecodeStage(allow_fake=allow_fake)
+        return stage(batch)
+
+    return fn
+
+
 def decode_images(
     images_ds,
-    concurrency: int | tuple[int, int] = 2,
+    concurrency: int | tuple[int, int] | None = 2,
     batch_size: int = 64,
     allow_fake: bool = True,
 ):
-    """images (image_id, payload, format) → decoded features via an actor
-    pool (the genuinely-stateful-stage case: decoder/model loaded per actor)."""
+    """images (image_id, payload, format) → decoded features.
+
+    ``concurrency=None`` runs task mode with the stage cached per worker
+    process (cheap stdlib-codec state — skips actor cold start); pass
+    ``concurrency`` for a genuine actor pool (the heavy-model shape —
+    a torch encoder goes through stages/plugin.py instead)."""
+    if concurrency is None:
+        return images_ds.map_batches(
+            _decode_task(allow_fake),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     from imagededupx_ray.util import clamp_actor_pool
 
     return images_ds.map_batches(
@@ -372,13 +395,43 @@ class PerceptualHashStage:
         return pa.table(cols)
 
 
+_HASH_PROC_CACHE: dict = {}
+
+
+def _perceptual_hash_task(allow_fake: bool = True):
+    """Task-mode batch fn with the constructed PerceptualHashStage cached
+    once per worker process (the signature_stage discipline): the stage's
+    state is one PIL import probe, so task mode trades nothing away while
+    skipping the actor-pool cold start that dominated the sub-second decode
+    wall in the driver bench (VERDICT r4 #7)."""
+    key = ("phash", allow_fake)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        stage = _HASH_PROC_CACHE.get(key)
+        if stage is None:
+            stage = _HASH_PROC_CACHE[key] = PerceptualHashStage(allow_fake=allow_fake)
+        return stage(batch)
+
+    return fn
+
+
 def perceptual_hashes(
     images_ds,
-    concurrency: int | tuple[int, int] = 2,
+    concurrency: int | tuple[int, int] | None = 2,
     batch_size: int = 64,
 ):
-    """images (image_id, payload, format) → perceptual hash table via an
-    actor pool (decoder state held per actor)."""
+    """images (image_id, payload, format) → perceptual hash table.
+
+    ``concurrency=None`` runs task-mode ``map_batches`` with the stage
+    cached per worker process — the fast path when the per-worker state is
+    cheap (stdlib codecs). Pass ``concurrency`` for a genuine actor pool
+    (the shape a heavy decoder/model wants; see stages/plugin.py)."""
+    if concurrency is None:
+        return images_ds.map_batches(
+            _perceptual_hash_task(),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     from imagededupx_ray.util import clamp_actor_pool
 
     return images_ds.map_batches(

@@ -106,14 +106,35 @@ class VideoFrameHashStage:
         )
 
 
+_VIDEO_PROC_CACHE: dict = {}
+
+
+def _video_task(every_k: int):
+    """Task-mode twin with per-worker-process stage cache (the
+    signature_stage discipline — skips actor-pool cold start)."""
+
+    def fn(batch):
+        stage = _VIDEO_PROC_CACHE.get(every_k)
+        if stage is None:
+            stage = _VIDEO_PROC_CACHE[every_k] = VideoFrameHashStage(every_k=every_k)
+        return stage(batch)
+
+    return fn
+
+
 def video_frame_hashes(
     videos_ds,
     every_k: int = 2,
-    concurrency: int | tuple[int, int] = 2,
+    concurrency: int | tuple[int, int] | None = 2,
     batch_size: int = 8,
 ):
-    """videos (video_id, payload, format) → sampled frame-hash rows via an
-    actor pool."""
+    """videos (video_id, payload, format) → sampled frame-hash rows.
+    ``concurrency=None`` = task mode with a per-process cached stage;
+    pass ``concurrency`` for a genuine actor pool (heavy-model shape)."""
+    if concurrency is None:
+        return videos_ds.map_batches(
+            _video_task(every_k), batch_format="pyarrow", batch_size=batch_size
+        )
     return videos_ds.map_batches(
         VideoFrameHashStage,
         fn_constructor_kwargs={"every_k": every_k},
