@@ -23,6 +23,12 @@ headline retries (bounded) while its own post-window probe reads degraded —
 so a fresh replay of this file reproduces the recorded number instead of
 inheriting whatever state the box idled into.
 
+Canonical rule (round-5, VERDICT r4 #1): the recorded headline wall is the
+MEDIAN of the window's runs (``best_sec`` keeps the minimum as evidence),
+and any line whose own post-run probe reads below CANONICAL_MIN_POST_GBPS
+is stamped ``canonical: false`` — degraded-window numbers are visible but
+must not be promoted to BASELINE.md's leading table.
+
 ``--scaling`` runs the headline pipeline in two FRESH processes
 (num_cpus=8 and num_cpus=32 by default, same input) and reports both
 throughputs plus scaling efficiency = (t_8 / t_32) / 4 — the sandbox
@@ -185,14 +191,28 @@ def run_headline(sf: float, pages_per_sf: int = PAGES_PER_SF) -> dict:
     }
 
 
+# the round-5 canonical rule (VERDICT r4 #1): the recorded headline is the
+# MEDIAN of the window's runs (not best-of), and a window whose post-run
+# bandwidth probe reads below this floor is stamped canonical=false — its
+# number must not be promoted to BASELINE.md's leading table. The floor
+# separates the measured degraded band (0.3-1.5 GB/s post-run, walls
+# inflated 2-3x) from healthy windows (2.5-7.4 GB/s post-run — the probe
+# reads the DECAYED state a few seconds after the run, so it sits well
+# below the in-run 40+ GB/s warm level even in clean windows).
+CANONICAL_MIN_POST_GBPS = float(os.environ.get("GRAFT_CANONICAL_MIN_GBPS", "2"))
+
+
 def _headline_best(
     sf: float, pages_per_sf: int = PAGES_PER_SF, max_runs: int = 4
 ) -> dict:
     """Warm the box, run the headline up to ``max_runs`` times re-warming
     between attempts, stop once >=2 runs exist and the post-window bandwidth
-    probe reads healthy. Returns the best run + all walls and markers — the
-    recorded number is the box's reproducible warm-state capability, not
-    whichever decay window a single run hit."""
+    probe reads healthy. The recorded wall (``sec``) is the MEDIAN run of
+    the window — the replay-expected number, not the best decay window
+    (VERDICT r4 #1); ``best_sec`` keeps the window minimum as evidence.
+    ``canonical`` is False when the window's own final probe reads below
+    CANONICAL_MIN_POST_GBPS — such a line must not be promoted to the
+    BASELINE.md leading table."""
     warm_trace = warm_box()
     runs: list[dict] = []
     probes: list[float] = []
@@ -203,11 +223,21 @@ def _headline_best(
             break
         if i + 1 < max_runs:
             warm_trace += warm_box()
-    best = dict(min(runs, key=lambda h: h["sec"]))
-    best["walls_sec"] = [round(h["sec"], 3) for h in runs]
-    best["warm_sweeps_gbps"] = warm_trace
-    best["stream_gbps_post_run"] = probes
-    return best
+    by_wall = sorted(runs, key=lambda h: h["sec"])
+    median_run = by_wall[(len(by_wall) - 1) // 2]  # lower median on even n
+    out = dict(median_run)
+    out["best_sec"] = round(by_wall[0]["sec"], 3)
+    out["walls_sec"] = [round(h["sec"], 3) for h in runs]
+    out["warm_sweeps_gbps"] = warm_trace
+    out["stream_gbps_post_run"] = probes
+    out["canonical"] = bool(probes and probes[-1] >= CANONICAL_MIN_POST_GBPS)
+    if not out["canonical"]:
+        out["canonical_refused"] = (
+            f"post-run probe {probes[-1] if probes else None} GB/s below the "
+            f"{CANONICAL_MIN_POST_GBPS} GB/s floor of the recorded band - "
+            "degraded-window number, do not promote to BASELINE.md"
+        )
+    return out
 
 
 def run_queries(sf_dir: str) -> dict[str, float]:
@@ -318,6 +348,13 @@ def main() -> None:
                 "dedup_n_pages": head["n_pages"],
                 "dedup_docs_per_sec": round(head["docs_per_sec"], 1),
                 "dedup_walls_sec": head["walls_sec"],
+                "dedup_best_sec": head.get("best_sec"),
+                "canonical": head.get("canonical"),
+                **(
+                    {"canonical_refused": head["canonical_refused"]}
+                    if head.get("canonical_refused")
+                    else {}
+                ),
                 "dedup_stages": {k: round(v, 3) for k, v in head["stages"].items()},
                 "spin_1proc_sec": round(spin_1p, 3),
                 "warm_sweeps_gbps": head["warm_sweeps_gbps"],

@@ -285,6 +285,202 @@ def _min_per_key(ds, key_fn, val_fn, want: np.ndarray) -> dict[int, int]:
     return dict(zip(k[first].tolist(), m[first].tolist()))
 
 
+@ray.remote
+def _sigmin_block(*tables):
+    """Per-block (sorted unique sig, min doc_id) partial over meta rows."""
+    ks, vs = [], []
+    for t in tables:
+        if t.num_rows == 0 or "text_sha256" not in t.column_names:
+            continue
+        s = _sig_of(t)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((d, s))
+        s, d = s[o], d[o]
+        first = np.ones(len(s), dtype=bool)
+        first[1:] = s[1:] != s[:-1]
+        ks.append(s[first])
+        vs.append(d[first])
+    return _sigmin_merge_arrays(ks, vs)
+
+
+def _sigmin_merge_arrays(ks: list, vs: list):
+    if not ks:
+        return (_EMPTY, _EMPTY)
+    k = np.concatenate(ks)
+    v = np.concatenate(vs)
+    o = np.lexsort((v, k))
+    k, v = k[o], v[o]
+    first = np.ones(len(k), dtype=bool)
+    first[1:] = k[1:] != k[:-1]
+    return (k[first], v[first])
+
+
+@ray.remote
+def _sigmin_merge(*pairs):
+    return _sigmin_merge_arrays([p[0] for p in pairs], [p[1] for p in pairs])
+
+
+def _sigmin_of_ds(meta_ds) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted sigs, min doc per sig) over a meta Dataset — per-block ray
+    tasks + fanout-bounded tree merge (output is distinct-text-bounded)."""
+    refs = meta_ds.to_arrow_refs()
+    if not refs:
+        return (_EMPTY, _EMPTY)
+    g = max(block_group_size(len(refs)), 2)
+    parts = [_sigmin_block.remote(*refs[i : i + g]) for i in range(0, len(refs), g)]
+    while len(parts) > 1:
+        parts = [_sigmin_merge.remote(*parts[i : i + 16]) for i in range(0, len(parts), 16)]
+    return ray.get(parts[0])
+
+
+def _incremental_labels(
+    store,
+    snapshot: str,
+    parent: str,
+    docs_new_meta,
+) -> "tuple | None":
+    """Mutation-free merge: maintain the (sig → component label) map
+    INCREMENTALLY instead of re-running the DSU over every stored pair and
+    the canonical scan over every meta row (VERDICT r4 #8). Components are
+    append-monotone without tombstones — parent components can only merge
+    or gain lower canonicals — so a DSU over (delta pairs + one virtual
+    node per touched parent component label) reproduces the full result:
+
+    - every delta-pair endpoint already in the parent map unions with its
+      component's label node; so do labeled sigs that gained delta docs
+      (their component minimum may drop);
+    - per-component new label = min(member label values, updated per-sig
+      min docs) — per-sig minima ride the ``sig_min_doc`` sidecar, merged
+      with the delta's minima (delta-bounded work; the sidecar write is
+      distinct-text-bounded);
+    - parent map entries remap vectorized where their label changed; new
+      paired sigs append.
+
+    Returns (new_keys, new_labels, changed_sigs, n_pairs_total, usk, usv,
+    delta_sigmin) or None when a precondition (sidecars present) fails —
+    caller falls back to the full DSU path."""
+    if not (
+        store.has_sidecar(parent, "cluster_sig_labels")
+        and store.has_sidecar(parent, "sig_min_doc")
+    ):
+        return None
+    pl = store.read_sidecar_cols(parent, "cluster_sig_labels")
+    pk = pl.get("sig", _EMPTY)
+    plab = pl.get("label", _EMPTY)
+    sm = store.read_sidecar_cols(parent, "sig_min_doc")
+    sk = sm.get("sig", _EMPTY)
+    sv = sm.get("min_doc", _EMPTY)
+
+    dsig, dmin = _sigmin_of_ds(docs_new_meta)
+    usk, usv = _sigmin_merge_arrays([sk, dsig], [sv, dmin])
+
+    pairs_own = store.read_stage_own(snapshot, "verified_pairs")
+    a_parts, b_parts = [], []
+    n_own = 0
+    for b in pairs_own.select_columns(["a", "b"]).iter_batches(
+        batch_size=1 << 18, batch_format="pyarrow"
+    ):
+        n_own += b.num_rows
+        a_parts.append(b["a"].to_numpy(zero_copy_only=False).astype(np.int64))
+        b_parts.append(b["b"].to_numpy(zero_copy_only=False).astype(np.int64))
+    pa_arr = np.concatenate(a_parts) if a_parts else _EMPTY
+    pb_arr = np.concatenate(b_parts) if b_parts else _EMPTY
+
+    # DSU over python ints (unbounded): sig node = s*2, label node = L*2+1
+    dsu = DictDSU()
+    for x, y in zip(pa_arr.tolist(), pb_arr.tolist()):
+        dsu.union(x * 2, y * 2)
+    endpoints = (
+        np.unique(np.concatenate([pa_arr, pb_arr])) if len(pa_arr) else _EMPTY
+    )
+    attach = np.union1d(endpoints, dsig)  # sigs whose component min may drop
+    if len(pk) and len(attach):
+        pos = np.searchsorted(pk, attach)
+        pos_c = np.minimum(pos, len(pk) - 1)
+        hit = pk[pos_c] == attach
+        for s, L in zip(attach[hit].tolist(), plab[pos_c[hit]].tolist()):
+            dsu.union(s * 2, L * 2 + 1)
+
+    # component minima over all touched nodes
+    rootmin: dict[int, int] = {}
+    node_root: dict[int, int] = {}
+    for n in list(dsu.p.keys()):
+        r = dsu.find(n)
+        node_root[n] = r
+        if n & 1:
+            val = n >> 1  # label value = parent component canonical
+        else:
+            s = n >> 1
+            p_ = np.searchsorted(usk, s)
+            val = int(usv[min(p_, len(usv) - 1)]) if len(usk) and usk[min(p_, len(usk) - 1)] == s else None
+        if val is not None:
+            rootmin[r] = min(rootmin.get(r, val), val)
+
+    # label remap: old parent label L -> component minimum
+    remap_old, remap_new = [], []
+    for n, r in node_root.items():
+        if n & 1:
+            L = n >> 1
+            nl = rootmin.get(r, L)
+            if nl != L:
+                remap_old.append(L)
+                remap_new.append(nl)
+    new_plab = plab
+    changed_parent_sigs = _EMPTY
+    if remap_old:
+        ro = np.array(remap_old, dtype=np.int64)
+        rn = np.array(remap_new, dtype=np.int64)
+        o = np.argsort(ro)
+        ro, rn = ro[o], rn[o]
+        pos = np.searchsorted(ro, plab)
+        pos_c = np.minimum(pos, len(ro) - 1)
+        hit = ro[pos_c] == plab
+        new_plab = plab.copy()
+        new_plab[hit] = rn[pos_c[hit]]
+        changed_parent_sigs = pk[hit]
+
+    # new map entries: paired sigs not in the parent map
+    new_sigs_l, new_labs_l = [], []
+    for n, r in node_root.items():
+        if n & 1:
+            continue
+        s = n >> 1
+        if len(pk):
+            p_ = np.searchsorted(pk, s)
+            if p_ < len(pk) and pk[p_] == s:
+                continue
+        if r in rootmin:
+            new_sigs_l.append(s)
+            new_labs_l.append(rootmin[r])
+    add_k = np.array(new_sigs_l, dtype=np.int64)
+    add_v = np.array(new_labs_l, dtype=np.int64)
+    all_k = np.concatenate([pk, add_k])
+    all_v = np.concatenate([new_plab, add_v])
+    o = np.argsort(all_k, kind="stable")
+    new_keys, new_labels = all_k[o], all_v[o]
+    changed_sigs = np.union1d(changed_parent_sigs, add_k)
+
+    parent_rows = store.manifest(parent)["stages"]["verified_pairs"]["rows"]
+    n_pairs_total = int(parent_rows) + n_own
+
+    # disjoint-crawl short-circuit evidence: the delta shares no text with
+    # the parent (no sig collision) and every new pair stays inside the
+    # delta — then no parent doc's cluster row can change and the caller
+    # may assign over docs_new_meta ALONE (fully delta-bounded clusters)
+    shares_text = bool(len(sk)) and bool(_in_sorted(sk, dsig).any())
+    crosses = bool(len(endpoints)) and not bool(_in_sorted(dsig, endpoints).all())
+    delta_disjoint = not shares_text and not crosses
+    return (
+        new_keys,
+        new_labels,
+        changed_sigs,
+        n_pairs_total,
+        usk,
+        usv,
+        delta_disjoint,
+    )
+
+
 def _meta_of(docs_ds):
     return docs_ds.select_columns(["doc_id", "url", "text_sha256"])
 
@@ -809,9 +1005,15 @@ def build_snapshot(
         # sorted verify-payload index over the OWN part (see lsh_index above)
         write_part_sig_index(sig_own_dir)
 
-    _tm = time.monotonic()
-    meta_all = store.read_stage(snapshot, "docs_meta").materialize()
-    MERGE_PAIR_WALLS["meta_all_sec"] = round(time.monotonic() - _tm, 3)
+    meta_all = None  # materialized lazily — the disjoint merge path never needs it
+
+    def _meta_all():
+        nonlocal meta_all
+        if meta_all is None:
+            _tm = time.monotonic()
+            meta_all = store.read_stage(snapshot, "docs_meta").materialize()
+            MERGE_PAIR_WALLS["meta_all_sec"] = round(time.monotonic() - _tm, 3)
+        return meta_all
 
     # ---- verified_pairs: re-emit only delta-touched buckets --------------
     if not store.has_stage(snapshot, "verified_pairs"):
@@ -933,11 +1135,96 @@ def build_snapshot(
             # logical rows counted below inside the DSU stream (no extra scan)
             rows=-1,
         )
-    verified_all = store.read_stage(snapshot, "verified_pairs")
-
     # ---- union-find + clusters (sig-space roots → min-doc labels) --------
+    # Mutation-free merges (no tombstones / revivals / supersedes /
+    # resurrections — the append-only common case) maintain the label map
+    # INCREMENTALLY: DSU over delta pairs + touched parent component label
+    # nodes, per-sig minima via the sig_min_doc sidecar (VERDICT r4 #8) —
+    # no full-pair DSU, no corpus canonical scan. When additionally the
+    # delta shares no text with the parent and no pair crosses, the whole
+    # clusters stage is delta-bounded (assign over docs_new_meta alone).
     t0 = time.monotonic()
-    dup_ref = _dup_groups_broadcast(meta_all, p)
+    no_mutations = (
+        parent is not None
+        and cluster_patch_aux_ok
+        and len(dead_new) == 0
+        and len(resurrected) == 0
+        and len(cluster_patch_docs_aux) == 0
+        and np.array_equal(dead_all, parent_dead)
+    )
+    inc = None
+    if no_mutations:
+        _tc = time.monotonic()
+        inc = _incremental_labels(store, snapshot, parent, docs_new_meta)
+        if inc is not None:
+            MERGE_PAIR_WALLS["cl_inc_labels_sec"] = round(time.monotonic() - _tc, 3)
+    if inc is not None:
+        (new_keys, new_labels, changed_sigs, n_pairs_total, usk, usv,
+         delta_disjoint) = inc
+        pm_ent = store.manifest(snapshot)["stages"]["verified_pairs"]
+        if pm_ent.get("rows") != n_pairs_total:
+            pm_ent["rows"] = int(n_pairs_total)
+            store._update_manifest(snapshot, stage_update={"verified_pairs": pm_ent})
+        _tc = time.monotonic()
+        parent_excl = store.read_sidecar(parent, "patched_cluster_docs")
+        delta_doc_ids = (
+            _collect_unique_i64(docs_new_meta, _col_i64("doc_id"))
+            if n_new > 0
+            else _EMPTY
+        )
+        if delta_disjoint and len(parent_excl) == 0:
+            # fully delta-bounded clusters: no parent row can change and no
+            # prior patch rows need carrying forward — assign over the
+            # delta meta alone (dup groups are delta-internal: no shared
+            # text with the parent by the disjoint check)
+            MERGE_PAIR_WALLS["cl_path"] = "disjoint"
+            dup_ref = _dup_groups_broadcast(docs_new_meta, p)
+            clusters_patch = _assign_clusters_sigspace(
+                docs_new_meta, dup_ref, new_keys, new_labels
+            ).materialize()
+            patch_docs_emitted = delta_doc_ids
+        else:
+            MERGE_PAIR_WALLS["cl_path"] = "incremental"
+            dup_ref = _dup_groups_broadcast(_meta_all(), p)
+            patch_sigs = np.union1d(changed_sigs, cluster_patch_sigs_aux)
+            patch_docs = np.union1d(delta_doc_ids, parent_excl)
+            clusters_patch = _assign_clusters_sigspace(
+                _meta_all(),
+                dup_ref,
+                new_keys,
+                new_labels,
+                only_docs=patch_docs,
+                only_sigs=patch_sigs,
+            ).materialize()
+            patch_docs_emitted = _collect_unique_i64(
+                clusters_patch, _col_i64("doc_id")
+            )
+        excl_new = np.union1d(parent_excl, patch_docs_emitted)
+        store.write_sidecar_cols(
+            snapshot, "cluster_sig_labels", {"sig": new_keys, "label": new_labels}
+        )
+        store.write_sidecar_cols(
+            snapshot, "sig_min_doc", {"sig": usk, "min_doc": usv}
+        )
+        store.write_sidecar(snapshot, "patched_cluster_docs", excl_new)
+        MERGE_PAIR_WALLS["cl_assign_sec"] = round(time.monotonic() - _tc, 3)
+        store.write_stage(
+            snapshot,
+            "clusters",
+            _nonempty(clusters_patch, _CLUSTERS_SCHEMA),
+            t0=t0,
+            parent_dirs=store.stage_dirs(parent, "clusters"),
+            exclude={
+                "sidecar": "patched_cluster_docs",
+                "columns": ["doc_id"],
+                "scope": "parents",
+            },
+            rows=store.manifest(snapshot)["stages"]["docs_meta"]["rows"],
+        )
+        return store.read_stage(snapshot, "clusters")
+
+    verified_all = store.read_stage(snapshot, "verified_pairs")
+    dup_ref = _dup_groups_broadcast(_meta_all(), p)
     MERGE_PAIR_WALLS["cl_dupgroups_sec"] = round(time.monotonic() - t0, 3)
     _tc = time.monotonic()
     dsu = DictDSU()
@@ -960,7 +1247,7 @@ def build_snapshot(
     # min member doc per paired sig (pair-bounded), then min over each root's
     # sigs = the component's canonical doc id
     _tc = time.monotonic()
-    canon_per_sig = _min_per_key(meta_all, _sig_of, _col_i64("doc_id"), nodes)
+    canon_per_sig = _min_per_key(_meta_all(), _sig_of, _col_i64("doc_id"), nodes)
     MERGE_PAIR_WALLS["cl_canon_sec"] = round(time.monotonic() - _tc, 3)
     _tc = time.monotonic()
     rootmin: dict[int, int] = {}
@@ -981,6 +1268,14 @@ def build_snapshot(
     cl_arr = np.array(cl_l, dtype=np.int64)
     order = np.argsort(sig_arr)
     new_keys, new_labels = sig_arr[order], cl_arr[order]
+
+    # maintain the per-sig minimum sidecar for future incremental merges
+    # (distinct-text-bounded write; computed from the already-materialized
+    # meta view)
+    _ts = time.monotonic()
+    smk, smv = _sigmin_of_ds(_meta_all())
+    store.write_sidecar_cols(snapshot, "sig_min_doc", {"sig": smk, "min_doc": smv})
+    MERGE_PAIR_WALLS["cl_sigmin_sec"] = round(time.monotonic() - _ts, 3)
 
     use_patch = (
         parent is not None
@@ -1013,7 +1308,7 @@ def build_snapshot(
             np.union1d(delta_doc_ids, cluster_patch_docs_aux), parent_excl
         )
         clusters_patch = _assign_clusters_sigspace(
-            meta_all,
+            _meta_all(),
             dup_ref,
             new_keys,
             new_labels,
@@ -1043,7 +1338,7 @@ def build_snapshot(
         return store.read_stage(snapshot, "clusters")
 
     clusters = _assign_clusters_sigspace(
-        meta_all, dup_ref, new_keys, new_labels
+        _meta_all(), dup_ref, new_keys, new_labels
     ).materialize()
     MERGE_PAIR_WALLS["cl_assign_sec"] = round(time.monotonic() - _tc, 3)
     store.write_sidecar_cols(

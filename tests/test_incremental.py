@@ -495,3 +495,83 @@ def test_lineage_cli_walks_parent_chain(snapshots, capsys):
         # the merged child composes parent parts + its own delta part
     assert chain[0]["stages"]["signatures"]["n_parts"] == 2
     assert chain[1]["stages"]["signatures"]["n_parts"] == 1
+
+
+def test_incremental_label_path_fires(ray_session, fixture_corpus, tmp_path):
+    """VERDICT r4 #8: a mutation-free merge must take the incremental label
+    path (no full-pair DSU, no corpus canonical scan) and still equal the
+    full rebuild partition."""
+    import ray.data as rd
+
+    from imagededupx_ray.pipelines import incremental as inc
+    from imagededupx_ray.pipelines.incremental import build_snapshot
+    from imagededupx_ray.state.checkpoint import SnapshotStore
+
+    pages = rd.read_parquet(f"{fixture_corpus}/pages")
+    snap0 = pages.filter(expr="snapshot == 0")
+    snap1 = pages.filter(expr="snapshot == 1")
+    store = SnapshotStore(str(tmp_path / "inc"), CFG)
+    build_snapshot(store, snap0, "a", cfg=CFG)
+    merged = build_snapshot(store, snap1, "b", parent="a", cfg=CFG).to_pandas()
+    walls = dict(inc.MERGE_PAIR_WALLS)
+    # the fixture corpus plants cross-snapshot dups, so the delta crosses —
+    # the incremental (not disjoint) path must have fired, and neither the
+    # full-pair DSU nor the corpus canonical scan ran
+    assert walls.get("cl_path") == "incremental", walls
+    assert "cl_inc_labels_sec" in walls
+    assert "cl_dsu_sec" not in walls and "cl_canon_sec" not in walls, walls
+
+    store2 = SnapshotStore(str(tmp_path / "full"), CFG)
+    full = build_snapshot(store2, pages, "ab", cfg=CFG).to_pandas()
+    assert len(merged) == len(full)
+    assert _partition_of(merged) == _partition_of(full)
+
+
+def test_disjoint_merge_is_delta_bounded(ray_session, tmp_path):
+    """A merge whose delta shares no text and no pair with the parent must
+    take the fully delta-bounded clusters path (assign over the delta meta
+    alone) and equal the full rebuild of the union."""
+    import ray.data as rd
+
+    from imagededupx_ray.pipelines import incremental as inc
+    from imagededupx_ray.pipelines.incremental import build_snapshot
+    from imagededupx_ray.sources.synthetic import write_pages_corpus
+    from imagededupx_ray.state.checkpoint import SnapshotStore
+
+    a_dir = str(tmp_path / "corpA")
+    b_dir = str(tmp_path / "corpB")
+    write_pages_corpus(a_dir, n_pages=300, seed=3)
+    write_pages_corpus(b_dir, n_pages=200, seed=900017)
+    pa_ds = rd.read_parquet(f"{a_dir}/pages")
+
+    def _other_site(t):
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.column_names.index("url"),
+            "url",
+            pc.replace_substring(t["url"], "https://", "https://crawlb."),
+        )
+
+    # disjoint URL space too — the generator reuses /p/{i} paths across
+    # seeds, which would otherwise look like supersedes (same url, new text)
+    pb_ds = rd.read_parquet(f"{b_dir}/pages").map_batches(
+        _other_site, batch_format="pyarrow"
+    )
+
+    store = SnapshotStore(str(tmp_path / "inc"), CFG)
+    build_snapshot(store, pa_ds, "a", cfg=CFG)
+    merged = build_snapshot(store, pb_ds, "b", parent="a", cfg=CFG).to_pandas()
+    walls = dict(inc.MERGE_PAIR_WALLS)
+    if walls.get("cl_path") == "disjoint":
+        # the delta-bounded path must not have touched the full meta view
+        assert "meta_all_sec" not in walls, walls
+    else:
+        # different seeds can still near-dup by chance; the incremental
+        # path is then the correct choice — but it must be one of the two
+        assert walls.get("cl_path") == "incremental", walls
+
+    store2 = SnapshotStore(str(tmp_path / "full"), CFG)
+    full = build_snapshot(store2, pa_ds.union(pb_ds), "ab", cfg=CFG).to_pandas()
+    assert len(merged) == len(full)
+    assert _partition_of(merged) == _partition_of(full)
