@@ -29,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from imagededupx_ray.config import DedupConfig, DEFAULT_CONFIG
 from imagededupx_ray.functions import hashing as H
@@ -379,3 +380,158 @@ def lsh_candidate_pairs(
     the distinct into the verify exchange (verify_pairs_broadcast_fused)."""
     raw = lsh_raw_pairs(signatures_ds, cfg, num_partitions)
     return lsh_candidate_pairs_from_raw(raw, cfg, num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# manual two-stage LSH pair exchange (VERDICT r4 #3): the Dataset
+# groupby("_part") sort shuffle over the ~bands×docs band rows carries
+# parallelism-independent sort/planning machinery that capped LSH stage
+# scaling at ~2.4x of 4 while compute stages tracked the spin ceiling.
+# This is the stages/dedup.py discipline instead: fanout-grouped map tasks
+# explode bands and hash-slice rows into P partition returns; one reduce
+# task per partition runs the identical emit_pairs_vectorized kernel.
+# Pairs land as arrow refs (from_arrow_refs) — no extra materialize pass.
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _lsh_hot_block(local_thr: int, bands: int, rows: int, nperm: int, *tables):
+    """Map-side hot-bucket candidates over a GROUP of signature blocks —
+    the _find_hot_buckets pigeonhole without Dataset machinery (no _part
+    column, no block building): (candidate buckets, local counts)."""
+    bs = []
+    for t in tables:
+        if t.num_rows == 0 or "minhash" not in t.column_names:
+            continue
+        ids, mh, _, nsh = signatures_to_numpy(t, nperm)
+        mh = mh[nsh > 0]
+        if len(mh):
+            bs.append(H.band_buckets(mh, bands, rows).reshape(-1))
+    if not bs:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    uniq, counts = np.unique(np.concatenate(bs), return_counts=True)
+    big = counts >= local_thr
+    return (uniq[big], counts[big])
+
+
+@ray.remote
+def _lsh_map_block(P: int, bands: int, rows: int, nperm: int, *tables):
+    """Explode a GROUP of signature blocks into (bucket, doc) rows and split
+    them into P hash slices (one return value per partition)."""
+    bs, ds_ = [], []
+    for t in tables:
+        if t.num_rows == 0 or "minhash" not in t.column_names:
+            continue
+        ids, mh, _, nsh = signatures_to_numpy(t, nperm)
+        keep = nsh > 0
+        ids, mh = ids[keep], mh[keep]
+        if len(ids) == 0:
+            continue
+        bs.append(H.band_buckets(mh, bands, rows).reshape(-1))
+        ds_.append(np.repeat(ids, bands))
+    if not bs:
+        e = np.empty(0, np.int64)
+        out = tuple((e, e) for _ in range(P))
+        return out if P > 1 else out[0]
+    b = np.concatenate(bs)
+    d = np.concatenate(ds_).astype(np.int64)
+    part = (b & np.int64(P - 1)).astype(np.int32)
+    po = np.argsort(part, kind="stable")
+    b, d, part = b[po], d[po], part[po]
+    offs = np.searchsorted(part, np.arange(P + 1))
+    out = tuple(
+        (b[offs[i] : offs[i + 1]], d[offs[i] : offs[i + 1]]) for i in range(P)
+    )
+    return out if P > 1 else out[0]
+
+
+@ray.remote
+def _lsh_pair_part(max_bucket_size: int, window: int, *slices):
+    """Reduce one hash partition: all (a < b) candidate pairs via the same
+    emit_pairs_vectorized kernel the Dataset path uses."""
+    bs = [s[0] for s in slices if len(s[0])]
+    if not bs:
+        return pa.table(
+            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+        )
+    b = np.concatenate(bs)
+    d = np.concatenate([s[1] for s in slices if len(s[0])])
+    a_arr, b_arr = emit_pairs_vectorized(b, d, max_bucket_size, window)
+    if len(a_arr):
+        # partition-local distinct (the _emit_group discipline): near-dup
+        # docs share most bands, so the same pair re-emits per band landing
+        # in this partition — one lexsort here shrinks the verify exchange
+        o = np.lexsort((b_arr, a_arr))
+        a_arr, b_arr = a_arr[o], b_arr[o]
+        keep = np.empty(len(a_arr), dtype=bool)
+        keep[0] = True
+        keep[1:] = (a_arr[1:] != a_arr[:-1]) | (b_arr[1:] != b_arr[:-1])
+        a_arr, b_arr = a_arr[keep], b_arr[keep]
+    return pa.table(
+        {
+            "a": pa.array(a_arr, type=pa.int64()),
+            "b": pa.array(b_arr, type=pa.int64()),
+        }
+    )
+
+
+def lsh_raw_pairs_manual(
+    signatures_ds, cfg: DedupConfig = DEFAULT_CONFIG, num_partitions: int | None = None
+):
+    """Manual-exchange twin of ``lsh_raw_pairs`` (identical DISTINCT pair
+    set — equality-gated in tests/test_lsh_manual.py). Falls back to the
+    Dataset path when hot buckets need salting (rare mega-bucket case — the
+    salting + chain-link machinery stays on the proven path) or when the
+    input's block count makes B×P slice bookkeeping the bottleneck."""
+    from imagededupx_ray.stages.dedup import MANUAL_SHUFFLE_MAX_BLOCKS
+    from imagededupx_ray.util import block_group_size
+
+    if num_partitions is None:
+        num_partitions = suggest_num_partitions(per_cpu=2)
+    p = _pow2(num_partitions)
+    blocks = signatures_ds.to_arrow_refs()
+    if len(blocks) > MANUAL_SHUFFLE_MAX_BLOCKS:
+        return lsh_raw_pairs(signatures_ds, cfg, num_partitions).materialize()
+    import ray.data as rd
+
+    group = max(block_group_size(len(blocks)), 2)
+    n_groups = max(1, -(-len(blocks) // group))
+    if cfg.salt_threshold is not None:
+        # task-based hot scan (the _find_hot_buckets pigeonhole over the
+        # same fanout groups the map pass uses — a hot bucket must trip the
+        # local threshold in at least one group)
+        local_thr = max(2, cfg.salt_threshold // max(1, 2 * n_groups))
+        cands = ray.get(
+            [
+                _lsh_hot_block.remote(
+                    local_thr, cfg.lsh_bands, cfg.lsh_rows, cfg.num_perms,
+                    *blocks[i : i + group],
+                )
+                for i in range(0, len(blocks), group)
+            ]
+        )
+        ks = [c[0] for c in cands if len(c[0])]
+        if ks:
+            k = np.concatenate(ks)
+            v = np.concatenate([c[1] for c in cands if len(c[0])])
+            o = np.argsort(k)
+            k, v = k[o], v[o]
+            first = np.ones(len(k), dtype=bool)
+            first[1:] = k[1:] != k[:-1]
+            totals = np.add.reduceat(v, np.flatnonzero(first))
+            if (totals > cfg.salt_threshold).any():
+                return lsh_raw_pairs(signatures_ds, cfg, num_partitions).materialize()
+    per_block = [
+        _lsh_map_block.options(num_returns=p if p > 1 else 1).remote(
+            p, cfg.lsh_bands, cfg.lsh_rows, cfg.num_perms, *blocks[i : i + group]
+        )
+        for i in range(0, len(blocks), group)
+    ]
+    if p == 1:
+        parts = [_lsh_pair_part.remote(cfg.max_bucket_size, cfg.bucket_window, *per_block)]
+    else:
+        parts = [
+            _lsh_pair_part.remote(cfg.max_bucket_size, cfg.bucket_window, *col)
+            for col in zip(*per_block)
+        ]
+    return rd.from_arrow_refs(parts)
