@@ -1536,6 +1536,86 @@ def docs_exactsubstr_cleanup(sf_dir: str):
     return cleaned.map_batches(_cleanup_digest, batch_format="pyarrow")
 
 
+def _lined_docs_batch(batch: pa.Table, tokens_per_line: int = 12) -> pa.Table:
+    """Deterministic LINED view of the single-line sf documents corpus:
+    each doc's tokens wrapped into ``tokens_per_line``-token lines, plus
+    planted boilerplate (a cookie banner on even doc_ids, a digit-bearing
+    copyright footer on doc_id % 3 == 0) so the derived corpus has the
+    CCNet-style cross-document repeated lines that line-level dedup exists
+    to remove. Pure Arrow/numpy: token list offsets -> line ListArray ->
+    binary_join, no per-row Python."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    toks = pc.split_pattern(pc.cast(batch["text"], pa.string()), pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+    tok_offsets = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(counts, out=tok_offsets[1:])
+    pos = np.arange(len(doc_idx), dtype=np.int64) - tok_offsets[doc_idx]
+    # one line per tokens_per_line run within each doc
+    line_starts = np.flatnonzero((pos % tokens_per_line) == 0)
+    line_offsets = np.append(line_starts, len(doc_idx)).astype(np.int64)
+    lines = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(line_offsets, type=pa.int64()), flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat),
+        " ",
+    )
+    n_lines_per_doc = (counts + tokens_per_line - 1) // tokens_per_line
+    doc_line_offsets = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(n_lines_per_doc, out=doc_line_offsets[1:])
+    wrapped = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(doc_line_offsets, type=pa.int64()), lines),
+        "\n",
+    )
+    pre = np.where(ids % 2 == 0, "Cookie Consent Accept All Tracking Technologies\n", "")
+    suf = np.where(ids % 3 == 0, "\nCopyright 2024 Example Site All Rights Reserved", "")
+    text = pc.binary_join_element_wise(
+        pa.array(pre, type=pa.string()), wrapped, pa.array(suf, type=pa.string()), ""
+    )
+    return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+
+def lined_documents(sf_dir: str):
+    """The derived lined-documents view feeding docs_line_dedup (shared with
+    the DuckDB oracle twin in tests/test_linededup.py)."""
+    return (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "text"])
+        .map_batches(_lined_docs_batch, batch_format="pyarrow")
+    )
+
+
+def docs_line_dedup(sf_dir: str, min_doc_rep: int = 4):
+    """CCNet/RefinedWeb line-level boilerplate removal (Wenzek et al. 2019
+    §4.1; Penedo et al. 2023 §3.3) — the pre-step web pipelines run BEFORE
+    document-level near-dedup, removing every line whose normalized form
+    (lowercase, digits stripped, whitespace collapsed) repeats across >=
+    min_doc_rep distinct documents. The reference dedups whole files only
+    (improved_faiss_detector.py:259-295); line granularity is the web-text
+    extension. Runs over a deterministic lined view of the documents table
+    (the sf corpora are single-line; see _lined_docs_batch). Evidence row:
+    per-doc line counts, removal counts, removed chars and cleaned length —
+    all integers, so the suite md5 is float-noise-free. Exact DuckDB twin
+    (including the cleaned text itself) gated in tests/test_linededup.py."""
+    from imagededupx_ray.stages.linededup import dedup_lines
+
+    clean, _n_hot = dedup_lines(lined_documents(sf_dir), min_doc_rep=min_doc_rep)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_lines": batch["n_lines"],
+                "n_lines_removed": batch["n_lines_removed"],
+                "line_chars_removed": batch["line_chars_removed"],
+                "clean_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            }
+        )
+
+    return clean.map_batches(digest, batch_format="pyarrow")
+
+
 def dedup_tiers(sf_dir: str):
     """Tiered dedup cascade report (exact → MinHash-LSH near → loose-SimHash
     template → SemDeDup semantic), each tier over the previous tier's
@@ -4232,6 +4312,12 @@ def _component_ok(name: str, df: pd.DataFrame) -> bool:
     if name == "dedup_clusters" and {"cluster_id", "is_canonical"} <= cols:
         if not bool((df.groupby("cluster_id")["is_canonical"].sum() == 1).all()):
             return False
+    if name == "docs_line_dedup" and {"n_lines", "n_lines_removed"} <= cols:
+        rm = df["n_lines_removed"].to_numpy()
+        if (rm < 0).any() or (rm > df["n_lines"].to_numpy()).any():
+            return False
+        if int(rm.sum()) == 0:  # the lined view plants boilerplate; some must go
+            return False
     return True
 
 
@@ -4294,6 +4380,7 @@ def similarity_suite(sf_dir: str) -> pd.DataFrame:
             "pages_url_dedup": pages_url_dedup(sf_dir),
             "cross_dedup_report": cross_dedup_report(sf_dir),
             "docs_exactsubstr_cleanup": docs_exactsubstr_cleanup(sf_dir),
+            "docs_line_dedup": docs_line_dedup(sf_dir),
             "docs_distinct_bigrams_hll": docs_distinct_bigrams_hll(sf_dir),
             "docs_length_quantiles_sketch": docs_length_quantiles_sketch(sf_dir),
             "docs_decontaminate_bloom": docs_decontaminate_bloom(sf_dir),
@@ -4323,7 +4410,7 @@ def multimodal_suite(sf_dir: str) -> pd.DataFrame:
 def nonsql_suite(sf_dir: str) -> pd.DataFrame:
     """similarity_suite + multimodal_suite + the dedup cluster report as ONE
     driver-visible entry (the driver artifact records at most 50
-    ``queries()`` rows; merging the rows-only family keeps all 34 component
+    ``queries()`` rows; merging the rows-only family keeps all 35 component
     pipelines' evidence rows inside the cap while freeing slots for
     SQL-gated queries)."""
     return pd.concat(
