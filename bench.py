@@ -265,6 +265,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("docs_stratified_sample", Q.docs_stratified_sample),
         ("docs_chunk", Q.docs_chunk),
         ("docs_dsir_weights", Q.docs_dsir_weights),
+        ("docs_line_dedup", Q.docs_line_dedup),
+        ("corpus_refine_report", Q.corpus_refine_report),
         ("dedup_tiers", Q.dedup_tiers),
         ("image_phash_dup_pairs", Q.image_phash_dup_pairs),
         ("image_feature_dup_pairs", Q.image_feature_dup_pairs),

@@ -149,6 +149,26 @@ def main(argv: list[str] | None = None) -> int:
         "as parquet to this directory",
     )
 
+    rf = sub.add_parser(
+        "refine",
+        help="end-to-end corpus refinement: url dedup -> extract -> line "
+        "boilerplate dedup -> quality filter -> dedup tiers [-> "
+        "decontaminate vs --heldout]; prints the per-stage attrition report",
+    )
+    rf.add_argument("--input", required=True, help="pages parquet directory")
+    rf.add_argument("--output", default=None, help="write survivor docs parquet here")
+    rf.add_argument("--report-output", default=None, help="write the report parquet here")
+    rf.add_argument("--heldout", default=None, help="held-out pages parquet dir to decontaminate against")
+    rf.add_argument("--line-min-doc-rep", type=int, default=30)
+    rf.add_argument("--line-delimiter", default=" . ")
+    rf.add_argument("--min-line-retention", type=float, default=0.3)
+    rf.add_argument("--no-url-dedup", action="store_true")
+    rf.add_argument("--no-quality", action="store_true")
+    rf.add_argument(
+        "--keep-policy", choices=["min_id", "longest"], default="longest"
+    )
+    rf.add_argument("--semantic-encoder", choices=["lsa"], default=None)
+
     cx = sub.add_parser(
         "cross",
         help="cross-corpus decontamination: drop from A every doc whose dup "
@@ -536,6 +556,30 @@ def main(argv: list[str] | None = None) -> int:
 
                 pq.write_table(pa.Table.from_pandas(report), args.output)
             print(json.dumps({"tiers": report.to_dict(orient="records")}))
+        elif args.cmd == "refine":
+            from imagededupx_ray.pipelines.refine import refine_corpus
+
+            heldout = rd.read_parquet(args.heldout) if args.heldout else None
+            survivors, report = refine_corpus(
+                rd.read_parquet(args.input),
+                DEFAULT_CONFIG,
+                with_url_dedup=not args.no_url_dedup,
+                line_min_doc_rep=args.line_min_doc_rep or None,
+                line_delimiter=args.line_delimiter,
+                min_line_retention=args.min_line_retention,
+                with_quality=not args.no_quality,
+                keep_policy=args.keep_policy,
+                semantic_encoder=args.semantic_encoder,
+                decontam_ds=heldout,
+            )
+            if args.output:
+                survivors.write_parquet(args.output)
+            if args.report_output:
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                pq.write_table(pa.Table.from_pandas(report), args.report_output)
+            print(json.dumps({"refine": report.to_dict(orient="records")}))
         elif args.cmd == "cross":
             from imagededupx_ray.pipelines.cross import cross_dedup
 

@@ -182,3 +182,83 @@ def content_md5(texts: list[str]) -> list[str]:
     """Hex md5 per text (DuckDB-oracle-able exact fingerprint; reference
     analogue get_file_hash, improved_faiss_detector.py:41-50)."""
     return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+# ------------------------------------------------------- quality verdicts
+
+QUALITY_RULE_NAMES = np.array(
+    ["too_short", "too_long", "word_len", "repetitive", "low_diversity"]
+)
+
+
+def quality_verdict_batch(
+    batch: pa.Table,
+    min_tok: int = 20,
+    max_tok: int = 10_000,
+    mean_len_lo: float = 3.0,
+    mean_len_hi: float = 10.0,
+    top_max: float = 0.12,
+    ttr_min: float = 0.35,
+) -> pa.Table:
+    """Composite C4/Gopher quality-filter VERDICTS for one docs batch
+    (doc_id, text) -> (doc_id, n_tokens, keep, reasons): a boolean ``keep``
+    plus a comma-joined ``reasons`` string naming every failed rule in the
+    fixed QUALITY_RULE_NAMES order (Rae et al. 2021 §A1.1; Raffel et al.
+    2020 §2.2). The reasons column is assembled fully vectorized (flag
+    matrix -> ListArray of names -> ``binary_join``), never a per-row
+    Python loop. Shared by queries.docs_quality_verdicts (DuckDB-hash-
+    gated) and pipelines/refine.py's quality stage."""
+    import pandas as pd
+
+    from imagededupx_ray.functions.text import tokenize_batch
+
+    n = batch.num_rows
+    flat, offsets = tokenize_batch(batch["text"])
+    n_tok = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(n), n_tok)
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    len_sum = np.bincount(doc_idx, weights=tok_len, minlength=n)
+    per = (
+        pd.DataFrame({"d": doc_idx, "t": flat.to_pandas()})
+        .groupby(["d", "t"])
+        .size()
+        .groupby(level=0)
+        .agg(["size", "max"])
+    )
+    n_uniq = np.zeros(n, dtype=np.int64)
+    top = np.zeros(n, dtype=np.int64)
+    if len(per):
+        n_uniq[per.index.to_numpy()] = per["size"].to_numpy()
+        top[per.index.to_numpy()] = per["max"].to_numpy()
+    nt = n_tok.astype(np.float64)
+    safe_nt = np.maximum(nt, 1.0)
+    mean_len = len_sum / safe_nt
+    has_tok = n_tok > 0
+    flags = np.stack(
+        [
+            n_tok < min_tok,
+            n_tok > max_tok,
+            has_tok & ((mean_len < mean_len_lo) | (mean_len > mean_len_hi)),
+            has_tok & (top / safe_nt > top_max),
+            has_tok & (n_uniq / safe_nt < ttr_min),
+        ],
+        axis=1,
+    )
+    idx_doc, idx_flag = np.nonzero(flags)
+    reason_offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(np.bincount(idx_doc, minlength=n), out=reason_offsets[1:])
+    reasons = pc.binary_join(
+        pa.ListArray.from_arrays(
+            pa.array(reason_offsets),
+            pa.array(QUALITY_RULE_NAMES[idx_flag], type=pa.string()),
+        ),
+        ",",
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok.astype(np.int64)),
+            "keep": pa.array(~flags.any(axis=1)),
+            "reasons": reasons,
+        }
+    )

@@ -1,0 +1,196 @@
+"""End-to-end web-corpus REFINEMENT: the RefinedWeb/CCNet build recipe as
+one composable pipeline over a pages corpus, with a per-stage attrition
+report (the "Macrodata Refinement" table every released corpus publishes —
+RefinedWeb Penedo et al. 2023 Fig. 2; CCNet Wenzek et al. 2019 §4).
+
+Stage order (each optional, each a stage this repo already ships):
+  1. url_dedup            — canonical-url collapse, earliest crawl wins
+                            (stages/urlfilter.py)
+  2. extract              — html -> text (stages/extract.py; count-neutral)
+  3. line_dedup           — cross-document boilerplate line/paragraph
+                            removal + low-retention doc drop
+                            (stages/linededup.py; RefinedWeb drops docs
+                            that lose most of their content)
+  4. quality_filter       — C4/Gopher composite verdicts
+                            (functions/textstats.quality_verdict_batch)
+  5. dedup tiers          — exact -> MinHash-LSH near -> SimHash template
+                            (-> SemDeDup semantic with the LSA encoder)
+                            via pipelines/tiers.cascade semantics
+  6. decontaminate        — drop every doc whose dup cluster touches a
+                            held-out corpus (pipelines/cross.py)
+
+The reference refines one modality at a time (improved_faiss_detector.py
+dedups files; similarities' examples chain manually); web-scale corpus
+builds run exactly this cascade, so the composition is itself an operator
+with a receipt. Every stage streams or exchanges exactly as its underlying
+implementation does — this module only sequences materialized Datasets and
+counts them (counts are the report's content, and each stage's input is
+consumed once).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from imagededupx_ray.config import DEFAULT_CONFIG, DedupConfig
+
+
+def _pagesify(docs_ds):
+    """docs (doc_id, url, warc_ts?, text, ...) -> pages shape whose
+    extraction falls back to ``text`` (html column absent), so downstream
+    run_dedup re-derives the SAME hash64(url) doc_id domain."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "url": batch["url"],
+                "warc_ts": batch["warc_ts"]
+                if "warc_ts" in batch.column_names
+                else pa.nulls(n, pa.timestamp("us")),
+                "text": batch["text"],
+                "lang": batch["lang"]
+                if "lang" in batch.column_names
+                else pa.nulls(n, pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def refine_corpus(
+    pages_ds,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    *,
+    with_url_dedup: bool = True,
+    line_min_doc_rep: int | None = 30,
+    line_delimiter: str = " . ",
+    min_line_retention: float = 0.3,
+    with_quality: bool = True,
+    quality_kwargs: dict | None = None,
+    keep_policy: str = "longest",
+    semantic_encoder: str | None = None,
+    decontam_ds=None,
+):
+    """Run the full refinement cascade; returns ``(survivors_ds, report)``.
+
+    ``survivors_ds`` is the cleaned docs Dataset (doc_id, url, text, ...);
+    ``report`` is the attrition DataFrame — one row per executed stage:
+    (stage, docs_in, docs_out, removed), with the dedup cascade's per-tier
+    rows inlined as ``tier*`` stages. ``line_min_doc_rep=None`` /
+    ``with_quality=False`` / ``decontam_ds=None`` skip their stages.
+    ``min_line_retention`` drops docs keeping less than that fraction of
+    their pre-scrub characters (RefinedWeb's document-level line-filter
+    drop rule); 0 keeps every doc. ``semantic_encoder="lsa"`` enables the
+    cascade's 4th (semantic) tier with the corpus-learned LSA encoder."""
+    from imagededupx_ray.pipelines.tiers import (
+        _not_in_broadcast,
+        dedup_tier_cascade,
+    )
+    from imagededupx_ray.stages.extract import extract_stage
+
+    rows: list[tuple[str, int, int]] = []
+    ds = pages_ds.materialize()
+    n = ds.count()
+
+    def step(name: str, new_ds) -> None:
+        nonlocal ds, n
+        new_ds = new_ds.materialize()
+        m = new_ds.count()
+        rows.append((name, n, m))
+        ds, n = new_ds, m
+
+    if with_url_dedup and "url" in ds.schema().names:
+        from imagededupx_ray.stages.urlfilter import url_dedup
+
+        step("url_dedup", url_dedup(ds).drop_columns(["canonical_url"]))
+
+    # extraction is count-neutral; recorded so the receipt shows the
+    # text domain every later stage operates on
+    step("extract", extract_stage(ds))
+
+    if line_min_doc_rep:
+        from imagededupx_ray.stages.linededup import dedup_lines
+
+        cleaned, _ = dedup_lines(
+            ds,
+            text_col="text",
+            delimiter=line_delimiter,
+            min_doc_rep=line_min_doc_rep,
+        )
+        keep_frac = float(min_line_retention)
+
+        def drop_low_retention(batch: pa.Table) -> pa.Table:
+            kept = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
+            removed = batch["line_chars_removed"].to_numpy(zero_copy_only=False)
+            before = np.maximum(kept + removed, 1).astype(np.float64)
+            mask = (kept / before) >= keep_frac
+            return batch.filter(pa.array(mask)).drop_columns(
+                ["n_lines", "n_lines_removed", "line_chars_removed"]
+            )
+
+        step("line_dedup", cleaned.map_batches(drop_low_retention, batch_format="pyarrow"))
+
+    if with_quality:
+        from imagededupx_ray.functions.textstats import quality_verdict_batch
+
+        kw = quality_kwargs or {}
+
+        def quality_keep(batch: pa.Table) -> pa.Table:
+            verdicts = quality_verdict_batch(batch, **kw)
+            return batch.filter(verdicts["keep"])
+
+        step("quality_filter", ds.map_batches(quality_keep, batch_format="pyarrow"))
+
+    # dedup cascade (the flagship exchange stack) over the refined text
+    pages2 = _pagesify(ds)
+    drops: list = []
+    from imagededupx_ray.pipelines.dedup import run_dedup
+
+    res = run_dedup(pages2, cfg)
+    tier_report = dedup_tier_cascade(
+        pages2,
+        cfg=cfg,
+        keep_policy=keep_policy,
+        collect_drops=drops,
+        dedup_result=res,
+        semantic_encoder=semantic_encoder,
+    )
+    drop_all = (
+        np.concatenate([a for _, a in drops])
+        if drops
+        else np.empty(0, dtype=np.int64)
+    )
+    survivors = _not_in_broadcast(res.docs_unique, "doc_id", drop_all)
+    for t in tier_report.itertuples(index=False):
+        rows.append((f"tier{t.tier}_{t.method}", int(t.docs_in), int(t.docs_out)))
+    ds = survivors.materialize()
+    n = ds.count()
+
+    if decontam_ds is not None:
+        from imagededupx_ray.pipelines.cross import cross_dedup
+
+        clean_ids_ds, _rep = cross_dedup(_pagesify(ds), decontam_ds, cfg)
+        clean_ids = np.array(
+            [r["doc_id"] for r in clean_ids_ds.select_columns(["doc_id"]).take_all()],
+            dtype=np.int64,
+        )
+        import ray as _ray
+
+        ref = _ray.put(np.sort(clean_ids))
+
+        def keep_clean(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            srt = _ray.get(ref)
+            pos = np.searchsorted(srt, ids)
+            pos[pos >= len(srt)] = 0
+            return batch.filter(pa.array(srt[pos] == ids))
+
+        step("decontaminate", ds.map_batches(keep_clean, batch_format="pyarrow"))
+
+    report = pd.DataFrame(rows, columns=["stage", "docs_in", "docs_out"])
+    report["removed"] = report["docs_in"] - report["docs_out"]
+    return ds, report

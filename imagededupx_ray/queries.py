@@ -2228,65 +2228,11 @@ def docs_quality_verdicts(sf_dir: str):
     0.065-0.16, TTR 0.31-0.80). One narrow per-batch scan, no exchange;
     the reasons column is assembled fully vectorized (flag matrix ->
     ListArray of names -> ``binary_join``), never a per-row Python loop."""
-    MIN_TOK, MAX_TOK = 20, 10_000
-    MEAN_LEN_LO, MEAN_LEN_HI = 3.0, 10.0
-    TOP_MAX, TTR_MIN = 0.12, 0.35
-    NAMES = np.array(
-        ["too_short", "too_long", "word_len", "repetitive", "low_diversity"]
+    from imagededupx_ray.functions.textstats import quality_verdict_batch
+
+    return _read(sf_dir, "documents").map_batches(
+        quality_verdict_batch, batch_format="pyarrow"
     )
-
-    def fn(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        flat, offsets = tokenize_batch(batch["text"])
-        n_tok = np.diff(offsets)
-        doc_idx = np.repeat(np.arange(n), n_tok)
-        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
-        len_sum = np.bincount(doc_idx, weights=tok_len, minlength=n)
-        per = (
-            pd.DataFrame({"d": doc_idx, "t": flat.to_pandas()})
-            .groupby(["d", "t"])
-            .size()
-            .groupby(level=0)
-            .agg(["size", "max"])
-        )
-        n_uniq = np.zeros(n, dtype=np.int64)
-        top = np.zeros(n, dtype=np.int64)
-        if len(per):
-            n_uniq[per.index.to_numpy()] = per["size"].to_numpy()
-            top[per.index.to_numpy()] = per["max"].to_numpy()
-        nt = n_tok.astype(np.float64)
-        safe_nt = np.maximum(nt, 1.0)
-        mean_len = len_sum / safe_nt
-        has_tok = n_tok > 0
-        flags = np.stack(
-            [
-                n_tok < MIN_TOK,
-                n_tok > MAX_TOK,
-                has_tok & ((mean_len < MEAN_LEN_LO) | (mean_len > MEAN_LEN_HI)),
-                has_tok & (top / safe_nt > TOP_MAX),
-                has_tok & (n_uniq / safe_nt < TTR_MIN),
-            ],
-            axis=1,
-        )
-        idx_doc, idx_flag = np.nonzero(flags)
-        reason_offsets = np.zeros(n + 1, dtype=np.int32)
-        np.cumsum(np.bincount(idx_doc, minlength=n), out=reason_offsets[1:])
-        reasons = pc.binary_join(
-            pa.ListArray.from_arrays(
-                pa.array(reason_offsets), pa.array(NAMES[idx_flag], type=pa.string())
-            ),
-            ",",
-        )
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_tokens": pa.array(n_tok.astype(np.int64)),
-                "keep": pa.array(~flags.any(axis=1)),
-                "reasons": reasons,
-            }
-        )
-
-    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
 
 
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -3321,6 +3267,91 @@ def pages_url_dedup(sf_dir: str, n: int = 800, seed: int = 42, n_recrawls: int =
     return df
 
 
+def corpus_refine_report(sf_dir: str, n: int = 800, seed: int = 42):
+    """End-to-end corpus-refinement ATTRITION REPORT (pipelines/refine.py):
+    url dedup → extract → line boilerplate dedup → quality filter → dedup
+    tiers → decontamination, over a synthetic pages corpus with every
+    failure mode planted so each stage shows real attrition — 40 tracked-url
+    recrawls (url tier), a nav paragraph prepended and a copyright footer
+    appended to EVERY page plus 60 boilerplate-only pages (line tier: the
+    shared paragraphs span all docs and are removed; the boilerplate-only
+    pages fall under the 30 % retention rule), a min-token quality floor the
+    corpus's short tail fails, and a 40-page held-out slice re-urled as the
+    contamination target. All-integer rows (stage, docs_in, docs_out,
+    removed); stage semantics gated in tests/test_refine.py."""
+    from imagededupx_ray.pipelines.refine import refine_corpus
+
+    pages = _synth_pages_ds(n, seed)
+    NAV = "site nav home about contact"
+    FOOT = "copyright footer example site all rights reserved"
+
+    def plant(batch: pa.Table) -> pa.Table:
+        text = pc.binary_join_element_wise(
+            pa.scalar(NAV + " . "), batch["text"], pa.scalar(" . " + FOOT), ""
+        )
+        out = batch.set_column(batch.column_names.index("text"), "text", text)
+        # extraction prefers html; null it so the planted text IS the doc
+        return out.set_column(
+            out.column_names.index("html"),
+            "html",
+            pa.nulls(batch.num_rows, pa.binary()),
+        )
+
+    planted = pages.map_batches(plant, batch_format="pyarrow")
+
+    def recrawl(batch: pa.Table) -> pa.Table:
+        k = min(40, batch.num_rows)
+        head = batch.slice(0, k)
+        urls = pc.binary_join_element_wise(
+            head["url"], pa.array(["?utm_source=recrawl"] * k), ""
+        )
+        return head.set_column(head.column_names.index("url"), "url", urls)
+
+    recrawls = planted.map_batches(recrawl, batch_format="pyarrow").limit(40)
+
+    def boiler_only(batch: pa.Table) -> pa.Table:
+        k = min(60, batch.num_rows)
+        head = batch.slice(0, k)
+        urls = pc.binary_join_element_wise(
+            pa.array([f"http://boiler.example/{i:04d}-" for i in range(k)]),
+            head["url"],
+            "",
+        )
+        n_rows = len(urls)
+        return pa.table(
+            {
+                "url": urls,
+                "warc_ts": head["warc_ts"],
+                "html": pa.nulls(n_rows, pa.binary()),
+                "text": pa.array([f"{NAV} . only{i} . {FOOT}" for i in range(k)]),
+                "lang": head["lang"],
+                "snapshot": head["snapshot"],
+            }
+        )
+
+    boiler = planted.map_batches(boiler_only, batch_format="pyarrow").limit(60)
+
+    def heldout(batch: pa.Table) -> pa.Table:
+        k = min(40, batch.num_rows)
+        head = batch.slice(40, k)  # distinct from the recrawl rows
+        urls = pc.binary_join_element_wise(
+            pa.array(["http://heldout.example/"] * len(head["url"])), head["url"], ""
+        )
+        return head.set_column(head.column_names.index("url"), "url", urls)
+
+    held = planted.map_batches(heldout, batch_format="pyarrow").limit(40)
+
+    _, report = refine_corpus(
+        planted.union(recrawls).union(boiler),
+        line_min_doc_rep=30,
+        quality_kwargs={"min_tok": 70},
+        decontam_ds=held,
+    )
+    return report.astype(
+        {"docs_in": "int64", "docs_out": "int64", "removed": "int64"}
+    )
+
+
 def cross_dedup_report(sf_dir: str, n_a: int = 600, n_b: int = 200):
     """Cross-corpus decontamination report (pipelines/cross.py) over two
     synthetic pages corpora with different seeds — one (metric, value)
@@ -4312,6 +4343,11 @@ def _component_ok(name: str, df: pd.DataFrame) -> bool:
     if name == "dedup_clusters" and {"cluster_id", "is_canonical"} <= cols:
         if not bool((df.groupby("cluster_id")["is_canonical"].sum() == 1).all()):
             return False
+    if name == "corpus_refine_report" and {"docs_in", "docs_out", "removed"} <= cols:
+        if (df["docs_out"] > df["docs_in"]).any() or (df["removed"] < 0).any():
+            return False
+        if int(df["removed"].sum()) == 0:  # every stage has planted attrition
+            return False
     if name == "docs_line_dedup" and {"n_lines", "n_lines_removed"} <= cols:
         rm = df["n_lines_removed"].to_numpy()
         if (rm < 0).any() or (rm > df["n_lines"].to_numpy()).any():
@@ -4378,6 +4414,7 @@ def similarity_suite(sf_dir: str) -> pd.DataFrame:
             "corpus_datasheet": corpus_datasheet(sf_dir),
             "docs_dsir_weights": docs_dsir_weights(sf_dir),
             "pages_url_dedup": pages_url_dedup(sf_dir),
+            "corpus_refine_report": corpus_refine_report(sf_dir),
             "cross_dedup_report": cross_dedup_report(sf_dir),
             "docs_exactsubstr_cleanup": docs_exactsubstr_cleanup(sf_dir),
             "docs_line_dedup": docs_line_dedup(sf_dir),
@@ -4410,7 +4447,7 @@ def multimodal_suite(sf_dir: str) -> pd.DataFrame:
 def nonsql_suite(sf_dir: str) -> pd.DataFrame:
     """similarity_suite + multimodal_suite + the dedup cluster report as ONE
     driver-visible entry (the driver artifact records at most 50
-    ``queries()`` rows; merging the rows-only family keeps all 35 component
+    ``queries()`` rows; merging the rows-only family keeps all 36 component
     pipelines' evidence rows inside the cap while freeing slots for
     SQL-gated queries)."""
     return pd.concat(

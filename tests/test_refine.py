@@ -1,0 +1,172 @@
+"""End-to-end corpus refinement gates (pipelines/refine.py): each stage's
+planted failure mode must be removed by exactly its stage, the chain must be
+consistent, and the composition must hold up through the CLI."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _pages(rows):
+    import ray.data as rd
+
+    n = len(rows)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r["url"] for r in rows], type=pa.string()),
+                "warc_ts": pa.array(
+                    [r.get("warc_ts") for r in rows], type=pa.timestamp("us")
+                ),
+                "html": pa.nulls(n, pa.binary()),
+                "text": pa.array([r["text"] for r in rows], type=pa.string()),
+                "lang": pa.array(["en"] * n, type=pa.string()),
+            }
+        )
+    )
+
+
+def _let(n: int) -> str:
+    return "".join(chr(97 + int(c)) for c in str(n))
+
+
+def _body(i: int, n_tok: int = 40) -> str:
+    """Per-doc fully distinct token stream — distinct in LETTERS (line-dedup
+    normalization strips digits, so digit-only differences would make every
+    body one hot normalized line), and with no cross-doc shingles so the
+    dedup tiers only collapse the dups a test plants on purpose."""
+    return " ".join(f"d{_let(i)}w{_let(j)}x" for j in range(n_tok))
+
+
+NAV = "site nav home about contact"
+
+
+def test_each_stage_removes_its_planted_failure(ray_session):
+    import datetime as dt
+
+    from imagededupx_ray.pipelines.refine import refine_corpus
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 6, 1)
+    rows = []
+    # 6 distinct good docs, all carrying the nav paragraph
+    for i in range(6):
+        rows.append(
+            {
+                "url": f"http://a.example/{i}",
+                "warc_ts": t0,
+                "text": f"{NAV} . {_body(i)}",
+            }
+        )
+    # url-dup: same page recrawled later under a tracking url
+    rows.append(
+        {
+            "url": "http://a.example/0?utm_source=x",
+            "warc_ts": t1,
+            "text": f"{NAV} . {_body(0)}",
+        }
+    )
+    # line-dedup retention drop: boilerplate-only page
+    rows.append({"url": "http://a.example/boiler", "warc_ts": t0, "text": f"{NAV} . tail"})
+    # quality drop: long enough chars to pass retention, too few tokens
+    rows.append(
+        {
+            "url": "http://a.example/short",
+            "warc_ts": t0,
+            "text": f"{NAV} . smallish document nine tokens right here okay yes sir",
+        }
+    )
+    # exact dup of doc 1 under a different (non-tracking) url
+    rows.append(
+        {"url": "http://mirror.example/1", "warc_ts": t0, "text": f"{NAV} . {_body(1)}"}
+    )
+
+    survivors, report = refine_corpus(
+        _pages(rows),
+        line_min_doc_rep=6,
+        min_line_retention=0.5,
+        quality_kwargs={"min_tok": 10, "ttr_min": 0.0, "top_max": 1.0},
+    )
+    rep = report.set_index("stage")
+    assert rep.loc["url_dedup", "removed"] == 1
+    assert rep.loc["line_dedup", "removed"] == 1  # boiler-only page
+    assert rep.loc["quality_filter", "removed"] == 1  # the 9-token doc
+    tier1 = rep[rep.index.str.startswith("tier1")]
+    assert int(tier1["removed"].iloc[0]) == 1  # the mirror exact dup
+    top = report[~report["stage"].str.startswith("tier")]
+    assert (top["docs_out"] <= top["docs_in"]).all()
+    got = survivors.to_pandas()
+    # the nav paragraph is gone from every survivor text
+    assert not got["text"].str.contains(NAV).any()
+    # all six distinct good docs survive (recrawl + mirror collapsed onto them)
+    assert len(got) == 6
+
+
+def test_decontaminate_drops_clusters_touching_heldout(ray_session):
+    from imagededupx_ray.pipelines.refine import refine_corpus
+
+    rows = [
+        {"url": f"http://a.example/{i}", "text": _body(i)} for i in range(5)
+    ]
+    held = [{"url": "http://b.example/0", "text": rows[2]["text"]}]
+    survivors, report = refine_corpus(
+        _pages(rows),
+        with_url_dedup=False,
+        line_min_doc_rep=None,
+        with_quality=False,
+        decontam_ds=_pages(held),
+    )
+    rep = report.set_index("stage")
+    assert rep.loc["decontaminate", "removed"] == 1
+    got = survivors.to_pandas()
+    assert len(got) == 4
+    assert "http://a.example/2" not in set(got["url"])
+
+
+def test_report_query_is_deterministic_and_all_stages_attrit(ray_session):
+    from imagededupx_ray.queries import _component_ok, corpus_refine_report
+
+    a = corpus_refine_report("/root/testdata/sf0.001")
+    b = corpus_refine_report("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(a, b)
+    assert _component_ok("corpus_refine_report", a)
+    rep = a.set_index("stage")
+    for stage in ("url_dedup", "line_dedup", "quality_filter", "decontaminate"):
+        assert rep.loc[stage, "removed"] > 0, stage
+    assert rep[rep.index.str.startswith("tier")]["removed"].sum() > 0
+    # the chain is conservative: nothing is ever added
+    assert (a["docs_out"] <= a["docs_in"]).all()
+
+
+def test_refine_cli_roundtrip(ray_session, tmp_path):
+    from imagededupx_ray.__main__ import main as cli_main
+    from imagededupx_ray.sources.synthetic import write_pages_corpus
+
+    d = tmp_path / "corpus"
+    write_pages_corpus(str(d), n_pages=300, seed=7, with_truth=False)
+    out = tmp_path / "survivors"
+    rep = tmp_path / "report.parquet"
+    rc = cli_main(
+        [
+            "refine",
+            "--input",
+            str(d / "pages"),
+            "--output",
+            str(out),
+            "--report-output",
+            str(rep),
+            "--line-min-doc-rep",
+            "0",
+            "--no-quality",
+        ]
+    )
+    assert rc == 0
+    import pyarrow.parquet as pq
+
+    report = pq.read_table(str(rep)).to_pandas()
+    assert {"url_dedup", "extract"} <= set(report["stage"])
+    import ray.data as rd
+
+    surv = rd.read_parquet(str(out))
+    assert surv.count() == int(report["docs_out"].iloc[-1])
