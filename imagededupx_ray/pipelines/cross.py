@@ -66,6 +66,7 @@ def cross_dedup(
     pages_b,
     cfg: DedupConfig = DEFAULT_CONFIG,
     dedup_result=None,
+    collect_bad: list | None = None,
 ):
     """Returns (clean_a_ds, report): ``clean_a_ds`` is the (doc_id,
     cluster_id) rows of corpus-A docs whose cluster contains NO corpus-B
@@ -74,7 +75,10 @@ def cross_dedup(
     clusters — intra-A dedup is the tier cascade's job). Pass
     ``dedup_result`` to reuse a run_dedup over ``pages_a.union(pages_b)``.
     A url present in BOTH corpora is a B doc (and trivially
-    contaminated)."""
+    contaminated). Pass a list as ``collect_bad`` to also receive the
+    sorted contaminated A doc ids (contamination-bounded — the right side
+    for a broadcast anti-filter; the CLEAN set is corpus-sized and must
+    never be driver-collected)."""
     from imagededupx_ray.pipelines.dedup import run_dedup
 
     res = dedup_result if dedup_result is not None else run_dedup(
@@ -105,6 +109,8 @@ def cross_dedup(
             dtype=np.int64,
         )
     )
+    if collect_bad is not None:
+        collect_bad.append(np.setdiff1d(bad_members, b_ids))
     # clean A = cluster rows minus B docs minus contaminated members
     clean = _member_mask(
         _member_mask(cl, "doc_id", b_ids, keep_hits=False),

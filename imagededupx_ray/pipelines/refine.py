@@ -173,23 +173,13 @@ def refine_corpus(
     if decontam_ds is not None:
         from imagededupx_ray.pipelines.cross import cross_dedup
 
-        clean_ids_ds, _rep = cross_dedup(_pagesify(ds), decontam_ds, cfg)
-        clean_ids = np.array(
-            [r["doc_id"] for r in clean_ids_ds.select_columns(["doc_id"]).take_all()],
-            dtype=np.int64,
-        )
-        import ray as _ray
-
-        ref = _ray.put(np.sort(clean_ids))
-
-        def keep_clean(batch: pa.Table) -> pa.Table:
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            srt = _ray.get(ref)
-            pos = np.searchsorted(srt, ids)
-            pos[pos >= len(srt)] = 0
-            return batch.filter(pa.array(srt[pos] == ids))
-
-        step("decontaminate", ds.map_batches(keep_clean, batch_format="pyarrow"))
+        # collect only the CONTAMINATED ids (contamination-bounded) and
+        # broadcast-anti-filter — the clean set is corpus-sized and must
+        # never be driver-collected
+        bad: list = []
+        cross_dedup(_pagesify(ds), decontam_ds, cfg, collect_bad=bad)
+        bad_ids = bad[0] if bad else np.empty(0, dtype=np.int64)
+        step("decontaminate", _not_in_broadcast(ds, "doc_id", bad_ids))
 
     report = pd.DataFrame(rows, columns=["stage", "docs_in", "docs_out"])
     report["removed"] = report["docs_in"] - report["docs_out"]
