@@ -3267,6 +3267,54 @@ def pages_url_dedup(sf_dir: str, n: int = 800, seed: int = 42, n_recrawls: int =
     return df
 
 
+def pages_domain_cap(sf_dir: str, n: int = 800, seed: int = 42, max_per_host: int = 20):
+    """Per-domain volume cap over a synthetic pages corpus (the hot
+    'boiler' site holds every boilerplate page, far above the cap): keep at
+    most ``max_per_host`` pages per url host, earliest crawl first
+    (stages/urlfilter.host_cap — one coarse hash(host) exchange). Evidence
+    row = per-host attrition (host, n_in, n_kept), host domain bounded by
+    the corpus's site count; the keep-rule's ROW_NUMBER DuckDB twin gates
+    in tests/test_urlfilter.py."""
+    from imagededupx_ray.stages.urlfilter import extract_hosts, host_cap
+    from imagededupx_ray.util import partial_groupby
+
+    pages = _synth_pages_ds(n, seed)
+
+    def host_col(t: pa.Table) -> pa.Table:
+        return pa.table({"host": extract_hosts(t["url"])})
+
+    def counts(ds, alias):
+        return partial_groupby(
+            ds.map_batches(host_col, batch_format="pyarrow"),
+            ["host"],
+            [("count", "host", alias)],
+        ).to_pandas()
+
+    kept = host_cap(pages, max_per_host).materialize()
+    df = counts(pages, "n_in").merge(counts(kept, "n_kept"), on="host", how="left")
+    df["n_kept"] = df["n_kept"].fillna(0).astype(np.int64)
+    assert (df["n_kept"] <= max_per_host).all() and (df["n_kept"] <= df["n_in"]).all()
+    assert (df["n_in"] > max_per_host).any(), "corpus must plant a hot host"
+    return df.sort_values("host").reset_index(drop=True)
+
+
+def docs_softdedup_weights(sf_dir: str):
+    """Soft dedup over the flagship near-dup clusters: every member of a
+    k-doc duplicate community gets sampling weight 1/k (downweight instead
+    of drop — each community contributes one doc-equivalent to the training
+    mix; see stages/dedup.softdedup_weights for the scale shape: one
+    coarse hash(cluster_id) exchange, no driver aggregate). Rows-only —
+    weight/cluster-size identities gate in _component_ok and
+    tests/test_softdedup.py (planted groups + window-COUNT DuckDB twin)."""
+    from imagededupx_ray.stages.dedup import softdedup_weights
+
+    clusters = _run_dedup_cached(sf_dir, DEFAULT_CONFIG).clusters
+    out = softdedup_weights(
+        clusters.select_columns(["doc_id", "cluster_id"])
+    ).to_pandas()
+    return out.sort_values(["cluster_id", "doc_id"]).reset_index(drop=True)
+
+
 def corpus_refine_report(sf_dir: str, n: int = 800, seed: int = 42):
     """End-to-end corpus-refinement ATTRITION REPORT (pipelines/refine.py):
     url dedup → extract → line boilerplate dedup → quality filter → dedup
@@ -4348,6 +4396,16 @@ def _component_ok(name: str, df: pd.DataFrame) -> bool:
             return False
         if int(df["removed"].sum()) == 0:  # every stage has planted attrition
             return False
+    if name == "pages_domain_cap" and {"n_in", "n_kept"} <= cols:
+        if (df["n_kept"] > df["n_in"]).any() or (df["n_kept"] < 0).any():
+            return False
+        if int((df["n_in"] - df["n_kept"]).sum()) == 0:  # hot host is planted
+            return False
+    if name == "docs_softdedup_weights" and {"n_members", "weight"} <= cols:
+        w = df["weight"].to_numpy()
+        m = df["n_members"].to_numpy()
+        if (m < 1).any() or not np.allclose(w * m, 1.0):
+            return False
     if name == "docs_line_dedup" and {"n_lines", "n_lines_removed"} <= cols:
         rm = df["n_lines_removed"].to_numpy()
         if (rm < 0).any() or (rm > df["n_lines"].to_numpy()).any():
@@ -4414,6 +4472,8 @@ def similarity_suite(sf_dir: str) -> pd.DataFrame:
             "corpus_datasheet": corpus_datasheet(sf_dir),
             "docs_dsir_weights": docs_dsir_weights(sf_dir),
             "pages_url_dedup": pages_url_dedup(sf_dir),
+            "pages_domain_cap": pages_domain_cap(sf_dir),
+            "docs_softdedup_weights": docs_softdedup_weights(sf_dir),
             "corpus_refine_report": corpus_refine_report(sf_dir),
             "cross_dedup_report": cross_dedup_report(sf_dir),
             "docs_exactsubstr_cleanup": docs_exactsubstr_cleanup(sf_dir),
@@ -4447,7 +4507,7 @@ def multimodal_suite(sf_dir: str) -> pd.DataFrame:
 def nonsql_suite(sf_dir: str) -> pd.DataFrame:
     """similarity_suite + multimodal_suite + the dedup cluster report as ONE
     driver-visible entry (the driver artifact records at most 50
-    ``queries()`` rows; merging the rows-only family keeps all 36 component
+    ``queries()`` rows; merging the rows-only family keeps all 38 component
     pipelines' evidence rows inside the cap while freeing slots for
     SQL-gated queries)."""
     return pd.concat(

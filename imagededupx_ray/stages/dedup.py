@@ -467,3 +467,67 @@ def _exact_dedup_join(docs_ds, dup_groups_ds, return_extras: bool):
     if return_extras:
         return docs_unique, dup_map, docs_ds, None
     return docs_unique, dup_map
+
+
+def softdedup_weights(clusters_ds, id_col: str = "doc_id",
+                      cluster_col: str = "cluster_id",
+                      num_partitions: int = 64):
+    """Soft dedup: DOWNWEIGHT duplicates instead of dropping them (the
+    "reweight by commonness" alternative to hard removal, e.g. SoftDedup,
+    He et al. ACL 2024; this is the cluster-size variant every soft-dedup
+    recipe reduces to). Input is
+    any (id, cluster) assignment — e.g. the flagship near-dup pipeline's
+    ``clusters`` — and every member of a k-doc duplicate community gets
+    sampling weight 1/k, so each community contributes exactly ONE
+    doc-equivalent to the training mix while rare phrasing variants inside
+    it remain visible to the sampler (what hard dedup destroys).
+
+    Scale shape: cluster sizes are NOT bounded-key (cluster count grows
+    with the corpus), so no driver aggregate and no broadcast — ONE
+    coarse-partition exchange on ``hash64(cluster_id) & (P-1)`` co-locates
+    each cluster, then a lexsort + segmented count emits (id, cluster,
+    n_members, weight) per row. Same exchange discipline as url_dedup /
+    host_cap; a hot mega-cluster costs its partition one sort."""
+    import pandas as pd
+
+    from imagededupx_ray.functions.hashing import splitmix64
+    from imagededupx_ray.stages.lsh import _pow2
+
+    p = _pow2(num_partitions)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cl = batch[cluster_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (
+            splitmix64(cl.view(np.uint64)) & np.uint64(p - 1)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                cluster_col: pa.array(cl, type=pa.int64()),
+                "_part": pa.array(part, type=pa.int32()),
+            }
+        )
+
+    def weigh(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].to_numpy()
+        cl = group[cluster_col].to_numpy()
+        order = np.lexsort((ids, cl))
+        cl_s = cl[order]
+        starts = np.r_[True, cl_s[1:] != cl_s[:-1]]
+        seg = np.cumsum(starts) - 1
+        sizes = np.bincount(seg)[seg]
+        return pd.DataFrame(
+            {
+                id_col: ids[order],
+                cluster_col: cl_s,
+                "n_members": sizes.astype(np.int64),
+                "weight": 1.0 / sizes,
+            }
+        )
+
+    return (
+        clusters_ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(weigh, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )

@@ -58,6 +58,72 @@ def canonicalize_urls(urls: pa.Array) -> pa.Array:
     return u
 
 
+_HOST = r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?(?P<h>[^/:?#]+)"
+
+
+def extract_hosts(urls: pa.Array) -> pa.Array:
+    """Lowercased host of each url ('' when the url carries no authority
+    component). Vectorized Arrow RE2; userinfo (user:pass@) and port are
+    excluded from the host."""
+    u = pc.utf8_lower(pc.cast(urls, pa.string()))
+    ex = pc.extract_regex(u, _HOST)
+    return pc.fill_null(pc.struct_field(ex, "h"), "")
+
+
+def host_cap(pages_ds, max_per_host: int, num_partitions: int = 64):
+    """pages → pages with at most ``max_per_host`` rows per url host
+    (earliest ``warc_ts`` first, missing-ts last, raw-url tie-break), plus
+    a ``host`` column — the per-domain volume cap Common-Crawl-style corpus
+    builds apply so hot hosts (link farms, calendar pages, mirrors) cannot
+    dominate the training mix. The reference scopes identity to a directory
+    the same way (improved_faiss_detector.py:259-295 keys on path prefix).
+
+    Scale shape: ONE coarse-partition exchange on ``hash64(host) & (P-1)``
+    — all rows of a host land in one partition; each partition resolves ALL
+    its hosts with one lexsort + segmented rank (never per-host Python).
+    Output volume is self-bounding: a partition emits at most
+    ``max_per_host × hosts_in_partition`` rows, so a single 10M-page host
+    costs one partition one sort, not a cross-cluster hot key. Hostless
+    urls share the '' host and are capped together. A public-suffix
+    collapse (host → registrable domain) is a pre-map on the host column
+    when a PSL table is available; the cap discipline is identical."""
+    from imagededupx_ray.functions.hashing import token_hash_flat
+    from imagededupx_ray.stages.lsh import _pow2
+
+    if max_per_host < 1:
+        raise ValueError("max_per_host must be >= 1")
+    p = _pow2(num_partitions)
+    k = int(max_per_host)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        host = extract_hosts(batch["url"])
+        part = (token_hash_flat(host) & np.uint64(p - 1)).astype(np.int32)
+        return batch.append_column("host", host).append_column(
+            "_part", pa.array(part, type=pa.int32())
+        )
+
+    def cap_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.drop_columns(["_part"])
+        host = group["host"].to_numpy(zero_copy_only=False)
+        ts64 = group["warc_ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        tsv = ts64.astype(np.int64)
+        tsv[np.isnat(ts64)] = np.iinfo(np.int64).max  # missing ts sorts last
+        raw = group["url"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((raw, tsv, host))
+        host_s = host[order]
+        starts = np.r_[True, host_s[1:] != host_s[:-1]]
+        seg = np.cumsum(starts) - 1
+        rank = np.arange(len(host_s)) - np.flatnonzero(starts)[seg]
+        return group.take(pa.array(order[rank < k])).drop_columns(["_part"])
+
+    return (
+        pages_ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(cap_group, batch_format="pyarrow")
+    )
+
+
 def url_dedup(pages_ds, num_partitions: int = 64):
     """pages → pages with one row per canonical url (earliest warc_ts wins,
     raw-url tie-break), plus a ``canonical_url`` column. One exchange on

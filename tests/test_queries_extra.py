@@ -295,6 +295,25 @@ def test_suite_ok_invariants(ray_session):
         "dedup_clusters",
         pd.DataFrame({"cluster_id": [1, 1], "is_canonical": [True, False]}),
     )
+    # round-5 components: cap overshoot / missing attrition / broken
+    # weight-members identity all fail
+    assert not _component_ok(
+        "pages_domain_cap", pd.DataFrame({"n_in": [5], "n_kept": [6]})
+    )
+    assert not _component_ok(
+        "pages_domain_cap", pd.DataFrame({"n_in": [3, 4], "n_kept": [3, 4]})
+    )
+    assert _component_ok(
+        "pages_domain_cap", pd.DataFrame({"n_in": [9, 4], "n_kept": [3, 4]})
+    )
+    assert not _component_ok(
+        "docs_softdedup_weights",
+        pd.DataFrame({"n_members": [2], "weight": [1.0]}),
+    )
+    assert _component_ok(
+        "docs_softdedup_weights",
+        pd.DataFrame({"n_members": [2, 1], "weight": [0.5, 1.0]}),
+    )
 
 
 def test_attach_dim_paths_match_oracle(ray_session):
