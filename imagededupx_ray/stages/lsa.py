@@ -105,6 +105,32 @@ def _gram_partial(V: int, idf_ref, *tables: pa.Table):
 
 
 @ray.remote
+def _row_partial(V: int, idf_ref, *tables: pa.Table):
+    """Quantized tf-idf rows of a block group — the DUAL fit path's gather
+    (only taken when the whole corpus is smaller than the hashed vocab)."""
+    import numpy as _np
+
+    idf = ray.get(idf_ref) if not isinstance(idf_ref, _np.ndarray) else idf_ref
+    ids_l, rows_l = [], []
+    for t in tables:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            continue
+        ids, A = _tfidf_rows(t, V, idf)
+        _np.round(A * _GRAM_QUANTUM, out=A)
+        A /= _GRAM_QUANTUM
+        ids_l.append(ids)
+        rows_l.append(A)
+    if not ids_l:
+        return _np.empty(0, _np.int64), _np.empty((0, V), _np.float64)
+    return _np.concatenate(ids_l), _np.vstack(rows_l)
+
+
+# dual-path budget: gathering the n×V quantized row matrix to the driver
+# costs n·V·8 bytes — tiny corpora only by construction (n ≤ V/2)
+_DUAL_MAX_BYTES = 256 << 20
+
+
+@ray.remote
 def _sum_arrays(*arrs):
     out = arrs[0].copy()
     for a in arrs[1:]:
@@ -129,7 +155,12 @@ def lsa_fit(docs_ds, dim: int = 64, vocab: int = 2048) -> dict:
     float64 partial sums are exact up to ~2.1M docs (see _GRAM_QUANTUM),
     and the eigenvector sign convention pins each column — so the fitted
     model is bit-identical regardless of parallelism below that bound;
-    above it, bit-identity holds per input blocking only."""
+    above it, bit-identity holds per input blocking only.
+
+    Corpora smaller than the hashed vocab (n ≤ V/2, e.g. eval benchmark
+    corpora) fit through the DUAL n×n eigenproblem instead of the V×V
+    primal — same factors (parity-gated), O(n³) instead of O(V³), rows
+    doc_id-sorted so the bit-identity guarantees carry over."""
     from imagededupx_ray.util import block_group_size
 
     V = int(vocab)
@@ -147,6 +178,45 @@ def lsa_fit(docs_ds, dim: int = 64, vocab: int = 2048) -> dict:
         n_docs += n
     idf = np.log((1.0 + n_docs) / (1.0 + df)) + 1.0
     idf_ref = ray.put(idf)
+    k = min(dim, V)
+
+    if 0 < n_docs <= V // 2 and n_docs * V * 8 <= _DUAL_MAX_BYTES:
+        # DUAL eigenproblem: when the corpus is smaller than the hashed
+        # vocab, G = AᵀA has rank ≤ n, so the top-k factors come from the
+        # n×n matrix D = AAᵀ at O(n³) instead of O(V³) — eigenvectors of G
+        # for eigenvalue λ>0 are w = Aᵀu/√λ with (λ,u) from D. Same
+        # quantized rows as the Gram pass; rows sort by doc_id so D (hence
+        # the fit) stays bit-identical across blockings and cluster sizes.
+        # Exact for well-separated positive eigenvalues (parity vs the
+        # primal eigh gated in tests/test_lsa.py at ~1e-13); corpora whose
+        # rank can't fill k columns fall through to the primal path, whose
+        # nullspace convention the dual cannot reproduce.
+        parts = [
+            _row_partial.remote(V, idf_ref, *blocks[i : i + group])
+            for i in range(0, len(blocks), group)
+        ]
+        got = ray.get(parts)
+        ids = np.concatenate([g[0] for g in got])
+        Aq = np.vstack([g[1] for g in got])
+        Aq = Aq[np.argsort(ids, kind="stable")]
+        D = Aq @ Aq.T
+        evals_d, U = np.linalg.eigh(D)  # ascending
+        pos = evals_d[::-1]
+        U = U[:, ::-1]
+        floor = max(pos[0], 0.0) * 1e-10
+        if len(pos) >= k and (pos[:k] > floor).all():
+            lam = pos[:k]
+            W = Aq.T @ (U[:, :k] / np.sqrt(lam)[None, :])
+            am = np.argmax(np.abs(W), axis=0)
+            sign = np.sign(W[am, np.arange(k)])
+            sign[sign == 0] = 1.0
+            W = W * sign[None, :]
+            return {
+                "idf": idf,
+                "W": np.ascontiguousarray(W),
+                "sv": np.sqrt(lam),
+                "vocab": V,
+            }
 
     gram_parts = [
         _gram_partial.remote(V, idf_ref, *blocks[i : i + group])
@@ -155,7 +225,6 @@ def lsa_fit(docs_ds, dim: int = 64, vocab: int = 2048) -> dict:
     G = ray.get(_tree_sum(gram_parts))
 
     evals, evecs = np.linalg.eigh(G)  # ascending
-    k = min(dim, V)
     top = evals[::-1][:k]
     W = evecs[:, ::-1][:, :k]
     # deterministic sign: the largest-|component| entry of each column > 0

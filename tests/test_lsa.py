@@ -235,3 +235,24 @@ def test_lsa_search_matches_dense_ranking(ray_session, tmp_path):
             .iloc[0]
         )
         assert top1 == len(texts) - len(ENSEMBLE_QUERIES) + qi
+
+
+def test_lsa_dual_path_rank_deficient_fallback(ray_session):
+    """A corpus whose rank cannot fill dim columns must fall through to the
+    primal V x V path (the dual cannot reproduce the nullspace convention):
+    the model still carries dim columns and embeds without NaN."""
+    from imagededupx_ray.stages.lsa import lsa_embed, lsa_fit
+
+    texts = ["alpha beta", "alpha beta", "gamma delta", "", "gamma delta"]
+    model = lsa_fit(_docs(texts), dim=8, vocab=64)
+    assert model["W"].shape == (64, 8)
+    assert np.isfinite(model["W"]).all() and np.isfinite(model["sv"]).all()
+    E = np.stack(
+        lsa_embed(_docs(texts), model)
+        .to_pandas()
+        .sort_values("doc_id")["embedding"]
+        .to_numpy()
+    )
+    assert np.isfinite(E).all()
+    # the two identical pairs embed identically
+    assert np.allclose(E[0], E[1]) and np.allclose(E[2], E[4])
