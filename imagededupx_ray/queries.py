@@ -3315,6 +3315,37 @@ def docs_softdedup_weights(sf_dir: str):
     return out.sort_values(["cluster_id", "doc_id"]).reset_index(drop=True)
 
 
+def docs_topic_clusters(sf_dir: str, k: int = 8, n_iter: int = 10):
+    """Corpus topic clustering for training-mix analysis: distributed
+    spherical k-means over the embeddings table (stages/kmeans.py — one
+    fixed-size k x d tree-reduced partial per iteration, one assignment
+    scan; nothing corpus-sized ever reaches the driver). Evidence row =
+    the k-row cluster report (n_members, mean cosine to centroid),
+    canonically relabeled by (size desc, mean_sim) so label permutation
+    across environments cannot move the md5; Lloyd/recovery gates live in
+    tests/test_kmeans.py."""
+    from imagededupx_ray.stages.kmeans import kmeans_assign, kmeans_fit_distributed
+    from imagededupx_ray.util import partial_groupby
+
+    emb = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    centroids, history = kmeans_fit_distributed(emb, n_clusters=k, n_iter=n_iter)
+    assert all(b <= a + 1e-9 for a, b in zip(history, history[1:])), history
+    assigned = kmeans_assign(emb, centroids)
+    rep = partial_groupby(
+        assigned,
+        ["cluster"],
+        [("count", "cluster", "n_members"), ("mean", "sim", "mean_sim")],
+    ).to_pandas()
+    rep["mean_sim"] = rep["mean_sim"].round(3)
+    rep = (
+        rep.sort_values(["n_members", "mean_sim"], ascending=[False, True])
+        .reset_index(drop=True)
+        .drop(columns=["cluster"])
+    )
+    rep.insert(0, "cluster_rank", np.arange(len(rep), dtype=np.int64))
+    return rep
+
+
 def corpus_refine_report(sf_dir: str, n: int = 800, seed: int = 42):
     """End-to-end corpus-refinement ATTRITION REPORT (pipelines/refine.py):
     url dedup → extract → line boilerplate dedup → quality filter → dedup
@@ -4474,6 +4505,7 @@ def similarity_suite(sf_dir: str) -> pd.DataFrame:
             "pages_url_dedup": pages_url_dedup(sf_dir),
             "pages_domain_cap": pages_domain_cap(sf_dir),
             "docs_softdedup_weights": docs_softdedup_weights(sf_dir),
+            "docs_topic_clusters": docs_topic_clusters(sf_dir),
             "corpus_refine_report": corpus_refine_report(sf_dir),
             "cross_dedup_report": cross_dedup_report(sf_dir),
             "docs_exactsubstr_cleanup": docs_exactsubstr_cleanup(sf_dir),
@@ -4507,7 +4539,7 @@ def multimodal_suite(sf_dir: str) -> pd.DataFrame:
 def nonsql_suite(sf_dir: str) -> pd.DataFrame:
     """similarity_suite + multimodal_suite + the dedup cluster report as ONE
     driver-visible entry (the driver artifact records at most 50
-    ``queries()`` rows; merging the rows-only family keeps all 38 component
+    ``queries()`` rows; merging the rows-only family keeps all 39 component
     pipelines' evidence rows inside the cap while freeing slots for
     SQL-gated queries)."""
     return pd.concat(
