@@ -163,6 +163,12 @@ def main(argv: list[str] | None = None) -> int:
     rf.add_argument("--line-delimiter", default=" . ")
     rf.add_argument("--min-line-retention", type=float, default=0.3)
     rf.add_argument("--no-url-dedup", action="store_true")
+    rf.add_argument(
+        "--max-per-host",
+        type=int,
+        default=None,
+        help="cap pages per url host (earliest crawl first) after url dedup",
+    )
     rf.add_argument("--no-quality", action="store_true")
     rf.add_argument(
         "--keep-policy", choices=["min_id", "longest"], default="longest"
@@ -178,6 +184,28 @@ def main(argv: list[str] | None = None) -> int:
     cx.add_argument("--input-b", required=True, help="corpus-B pages parquet dir")
     cx.add_argument(
         "--output", default=None, help="write clean-A (doc_id, cluster_id) parquet here"
+    )
+
+    tp = sub.add_parser(
+        "topics",
+        help="distributed spherical k-means topic clustering: embeddings "
+        "parquet (vec_id, embedding) OR pages parquet via the corpus-learned "
+        "LSA encoder -> per-cluster report [+ assignment parquet]",
+    )
+    tp.add_argument("--input", required=True, help="embeddings or pages parquet dir")
+    tp.add_argument("--clusters", type=int, default=8)
+    tp.add_argument("--iters", type=int, default=10)
+    tp.add_argument(
+        "--encoder",
+        choices=["none", "lsa"],
+        default="none",
+        help="'lsa': treat --input as pages/docs with a text column and "
+        "embed with the corpus-learned LSA encoder first",
+    )
+    tp.add_argument("--lsa-dim", type=int, default=32)
+    tp.add_argument("--lsa-vocab", type=int, default=1024)
+    tp.add_argument(
+        "--output", default=None, help="write (vec_id, cluster, sim) parquet here"
     )
 
     ln = sub.add_parser(
@@ -564,6 +592,7 @@ def main(argv: list[str] | None = None) -> int:
                 rd.read_parquet(args.input),
                 DEFAULT_CONFIG,
                 with_url_dedup=not args.no_url_dedup,
+                max_per_host=args.max_per_host,
                 line_min_doc_rep=args.line_min_doc_rep or None,
                 line_delimiter=args.line_delimiter,
                 min_line_retention=args.min_line_retention,
@@ -580,6 +609,59 @@ def main(argv: list[str] | None = None) -> int:
 
                 pq.write_table(pa.Table.from_pandas(report), args.report_output)
             print(json.dumps({"refine": report.to_dict(orient="records")}))
+        elif args.cmd == "topics":
+            import pyarrow as pa
+
+            from imagededupx_ray.stages.kmeans import (
+                kmeans_assign,
+                kmeans_fit_distributed,
+            )
+
+            ds = rd.read_parquet(args.input)
+            if args.encoder == "lsa":
+                from imagededupx_ray.stages.extract import extract_stage
+                from imagededupx_ray.stages.lsa import lsa_embed, lsa_fit
+
+                names = ds.schema().names
+                if "doc_id" not in names:
+                    ds = extract_stage(ds)
+                docs_txt = ds.select_columns(["doc_id", "text"])
+                model = lsa_fit(docs_txt, dim=args.lsa_dim, vocab=args.lsa_vocab)
+                ds = lsa_embed(docs_txt, model).map_batches(
+                    lambda t: t.rename_columns(["vec_id", "embedding"]),
+                    batch_format="pyarrow",
+                )
+            centroids, history = kmeans_fit_distributed(
+                ds, n_clusters=args.clusters, n_iter=args.iters
+            )
+            assigned = kmeans_assign(ds, centroids).materialize()
+            if args.output:
+                assigned.write_parquet(args.output)
+            from imagededupx_ray.util import partial_groupby
+
+            rep = partial_groupby(
+                assigned,
+                ["cluster"],
+                [("count", "cluster", "n_members"), ("mean", "sim", "mean_sim")],
+            ).to_pandas().sort_values("cluster")
+            print(
+                json.dumps(
+                    {
+                        "topics": {
+                            "k": int(len(centroids)),
+                            "inertia": [round(h, 6) for h in history],
+                            "clusters": [
+                                {
+                                    "cluster": int(r.cluster),
+                                    "n_members": int(r.n_members),
+                                    "mean_sim": round(float(r.mean_sim), 4),
+                                }
+                                for r in rep.itertuples(index=False)
+                            ],
+                        }
+                    }
+                )
+            )
         elif args.cmd == "cross":
             from imagededupx_ray.pipelines.cross import cross_dedup
 

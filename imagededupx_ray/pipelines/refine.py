@@ -6,6 +6,9 @@ RefinedWeb Penedo et al. 2023 Fig. 2; CCNet Wenzek et al. 2019 §4).
 Stage order (each optional, each a stage this repo already ships):
   1. url_dedup            — canonical-url collapse, earliest crawl wins
                             (stages/urlfilter.py)
+  1b. domain_cap          — <= max_per_host pages per url host, earliest
+                            crawl first (stages/urlfilter.host_cap; off by
+                            default)
   2. extract              — html -> text (stages/extract.py; count-neutral)
   3. line_dedup           — cross-document boilerplate line/paragraph
                             removal + low-retention doc drop
@@ -66,6 +69,7 @@ def refine_corpus(
     cfg: DedupConfig = DEFAULT_CONFIG,
     *,
     with_url_dedup: bool = True,
+    max_per_host: int | None = None,
     line_min_doc_rep: int | None = 30,
     line_delimiter: str = " . ",
     min_line_retention: float = 0.3,
@@ -82,6 +86,7 @@ def refine_corpus(
     (stage, docs_in, docs_out, removed), with the dedup cascade's per-tier
     rows inlined as ``tier*`` stages. ``line_min_doc_rep=None`` /
     ``with_quality=False`` / ``decontam_ds=None`` skip their stages.
+    ``max_per_host`` (default off) caps pages per url host after url dedup.
     ``min_line_retention`` drops docs keeping less than that fraction of
     their pre-scrub characters (RefinedWeb's document-level line-filter
     drop rule); 0 keeps every doc. ``semantic_encoder="lsa"`` enables the
@@ -107,6 +112,13 @@ def refine_corpus(
         from imagededupx_ray.stages.urlfilter import url_dedup
 
         step("url_dedup", url_dedup(ds).drop_columns(["canonical_url"]))
+
+    if max_per_host and "url" in ds.schema().names:
+        from imagededupx_ray.stages.urlfilter import host_cap
+
+        # per-domain volume cap straight after url identity is settled —
+        # hot hosts must not dominate the mix the later stages refine
+        step("domain_cap", host_cap(ds, max_per_host).drop_columns(["host"]))
 
     # extraction is count-neutral; recorded so the receipt shows the
     # text domain every later stage operates on

@@ -170,3 +170,96 @@ def test_refine_cli_roundtrip(ray_session, tmp_path):
 
     surv = rd.read_parquet(str(out))
     assert surv.count() == int(report["docs_out"].iloc[-1])
+
+
+def test_refine_domain_cap_stage(ray_session, tmp_path):
+    """--max-per-host inserts the domain_cap stage after url dedup: the
+    report carries its attrition and no surviving host exceeds the cap."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from imagededupx_ray.__main__ import main as cli_main
+    from imagededupx_ray.sources.synthetic import write_pages_corpus
+    from imagededupx_ray.stages.urlfilter import extract_hosts
+
+    d = tmp_path / "corpus"
+    write_pages_corpus(str(d), n_pages=300, seed=11, with_truth=False)
+    out = tmp_path / "survivors"
+    rep = tmp_path / "report.parquet"
+    rc = cli_main(
+        [
+            "refine", "--input", str(d / "pages"), "--output", str(out),
+            "--report-output", str(rep), "--max-per-host", "5",
+            "--line-min-doc-rep", "0", "--no-quality",
+        ]
+    )
+    assert rc == 0
+    report = pq.read_table(str(rep)).to_pandas().set_index("stage")
+    assert report.loc["domain_cap", "removed"] > 0
+    # stage order: the cap consumes url_dedup's survivors
+    stages = report.index.tolist()
+    assert stages.index("domain_cap") == stages.index("url_dedup") + 1
+    surv = rd.read_parquet(str(out)).to_pandas()
+    hosts = extract_hosts(__import__("pyarrow").array(surv["url"].tolist()))
+    counts = __import__("pandas").Series(hosts.to_pylist()).value_counts()
+    assert counts.max() <= 5
+
+
+def test_topics_cli(ray_session, tmp_path, capsys):
+    """topics verb end-to-end on both input shapes: a raw embeddings
+    parquet, and a pages corpus through the LSA encoder."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from imagededupx_ray.__main__ import main as cli_main
+    from imagededupx_ray.sources.synthetic import write_pages_corpus
+
+    rng = np.random.default_rng(31)
+    centers = rng.normal(size=(3, 12))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = np.vstack([c + 0.04 * rng.normal(size=(30, 12)) for c in centers])
+    emb_dir = tmp_path / "emb"
+    emb_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(X)), type=pa.int64()),
+                "embedding": pa.array(
+                    [r.tolist() for r in X], type=pa.list_(pa.float64())
+                ),
+            }
+        ),
+        str(emb_dir / "part0.parquet"),
+    )
+    out = tmp_path / "assign"
+    rc = cli_main(
+        [
+            "topics", "--input", str(emb_dir), "--clusters", "3",
+            "--iters", "8", "--output", str(out),
+        ]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.splitlines()[-1])["topics"]
+    assert rep["k"] == 3
+    assert sum(c["n_members"] for c in rep["clusters"]) == len(X)
+    assert all(b <= a + 1e-9 for a, b in zip(rep["inertia"], rep["inertia"][1:]))
+    assigned = rd.read_parquet(str(out)).to_pandas()
+    assert len(assigned) == len(X) and assigned["cluster"].nunique() == 3
+
+    # pages -> LSA encoder -> clusters
+    d = tmp_path / "corpus"
+    write_pages_corpus(str(d), n_pages=120, seed=12, with_truth=False)
+    rc = cli_main(
+        [
+            "topics", "--input", str(d / "pages"), "--encoder", "lsa",
+            "--clusters", "4", "--iters", "5",
+            "--lsa-dim", "16", "--lsa-vocab", "256",
+        ]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.splitlines()[-1])["topics"]
+    assert rep["k"] == 4 and sum(c["n_members"] for c in rep["clusters"]) > 0
