@@ -3178,6 +3178,30 @@ def docs_stratified_sample(sf_dir: str, k: int = 20, seed: int = 42):
     return out.select(["lang", "doc_id", "sample_rank"])
 
 
+def docs_ppl_buckets(sf_dir: str, lam: float = 0.8, V1: int = 1 << 16, V2: int = 1 << 18):
+    """CCNet-style perplexity tertiles (Wenzek et al. 2019,
+    arXiv:1911.00359 §4.3) — fit a hashed interpolated bigram LM on the
+    corpus (two fixed-size integer tree-reduces, bit-identical at any
+    parallelism), score every doc's mean token NLL in one broadcast scan,
+    and bucket into head/middle/tail by EXACT quantized-histogram tertile
+    cutoffs (no sketch, no sample; stages/ngramlm.py). The quality gate
+    CommonCrawl curation runs between dedup and release; reference parity:
+    improved_faiss_detector.py's per-file score-threshold filters. Pure-
+    python LM/score oracle gated in tests/test_ngramlm.py."""
+    from imagededupx_ray.stages.ngramlm import (
+        bigram_lm_counts,
+        bigram_logppl,
+        ppl_bucket,
+        ppl_cutoffs,
+    )
+
+    docs = _read(sf_dir, "documents")
+    counts = bigram_lm_counts(docs, V1, V2)
+    scores = bigram_logppl(docs, counts, lam=lam).materialize()
+    cutoffs = ppl_cutoffs(scores)
+    return ppl_bucket(scores, cutoffs)
+
+
 def docs_dsir_weights(sf_dir: str, target_lang: str | None = None, vocab: int = 4096):
     """DSIR importance-resampling weights (Xie et al. 2023,
     arXiv:2302.03169) — score every doc by hashed-ngram target-vs-raw
@@ -4437,6 +4461,13 @@ def _component_ok(name: str, df: pd.DataFrame) -> bool:
         m = df["n_members"].to_numpy()
         if (m < 1).any() or not np.allclose(w * m, 1.0):
             return False
+    if name == "docs_ppl_buckets" and {"bucket", "logppl"} <= cols:
+        counts = df["bucket"].value_counts()
+        if set(counts.index) != {"head", "middle", "tail"}:
+            return False
+        # exact tertiles: no bucket may dominate (ties can shift a few rows)
+        if counts.max() > 0.5 * len(df):
+            return False
     if name == "docs_line_dedup" and {"n_lines", "n_lines_removed"} <= cols:
         rm = df["n_lines_removed"].to_numpy()
         if (rm < 0).any() or (rm > df["n_lines"].to_numpy()).any():
@@ -4502,6 +4533,7 @@ def similarity_suite(sf_dir: str) -> pd.DataFrame:
             "docs_chunk": docs_chunk(sf_dir),
             "corpus_datasheet": corpus_datasheet(sf_dir),
             "docs_dsir_weights": docs_dsir_weights(sf_dir),
+            "docs_ppl_buckets": docs_ppl_buckets(sf_dir),
             "pages_url_dedup": pages_url_dedup(sf_dir),
             "pages_domain_cap": pages_domain_cap(sf_dir),
             "docs_softdedup_weights": docs_softdedup_weights(sf_dir),
@@ -4539,7 +4571,7 @@ def multimodal_suite(sf_dir: str) -> pd.DataFrame:
 def nonsql_suite(sf_dir: str) -> pd.DataFrame:
     """similarity_suite + multimodal_suite + the dedup cluster report as ONE
     driver-visible entry (the driver artifact records at most 50
-    ``queries()`` rows; merging the rows-only family keeps all 39 component
+    ``queries()`` rows; merging the rows-only family keeps all 40 component
     pipelines' evidence rows inside the cap while freeing slots for
     SQL-gated queries)."""
     return pd.concat(
