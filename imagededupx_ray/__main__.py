@@ -152,8 +152,9 @@ def main(argv: list[str] | None = None) -> int:
     rf = sub.add_parser(
         "refine",
         help="end-to-end corpus refinement: url dedup -> extract -> line "
-        "boilerplate dedup -> quality filter -> dedup tiers [-> "
-        "decontaminate vs --heldout]; prints the per-stage attrition report",
+        "boilerplate dedup -> quality filter [-> ppl tail drop] -> dedup "
+        "tiers [-> decontaminate vs --heldout]; prints the per-stage "
+        "attrition report",
     )
     rf.add_argument("--input", required=True, help="pages parquet directory")
     rf.add_argument("--output", default=None, help="write survivor docs parquet here")
@@ -170,6 +171,12 @@ def main(argv: list[str] | None = None) -> int:
         help="cap pages per url host (earliest crawl first) after url dedup",
     )
     rf.add_argument("--no-quality", action="store_true")
+    rf.add_argument(
+        "--ppl-tail-drop",
+        action="store_true",
+        help="fit a hashed bigram LM on the filtered corpus and drop the "
+        "perplexity tail tertile (CCNet)",
+    )
     rf.add_argument(
         "--keep-policy", choices=["min_id", "longest"], default="longest"
     )
@@ -597,6 +604,7 @@ def main(argv: list[str] | None = None) -> int:
                 line_delimiter=args.line_delimiter,
                 min_line_retention=args.min_line_retention,
                 with_quality=not args.no_quality,
+                ppl_tail_drop=args.ppl_tail_drop,
                 keep_policy=args.keep_policy,
                 semantic_encoder=args.semantic_encoder,
                 decontam_ds=heldout,

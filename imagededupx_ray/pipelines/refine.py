@@ -16,6 +16,8 @@ Stage order (each optional, each a stage this repo already ships):
                             that lose most of their content)
   4. quality_filter       — C4/Gopher composite verdicts
                             (functions/textstats.quality_verdict_batch)
+  4b. ppl_filter          — CCNet bigram-LM perplexity tail drop
+                            (stages/ngramlm.py; off by default)
   5. dedup tiers          — exact -> MinHash-LSH near -> SimHash template
                             (-> SemDeDup semantic with the LSA encoder)
                             via pipelines/tiers.cascade semantics
@@ -75,6 +77,8 @@ def refine_corpus(
     min_line_retention: float = 0.3,
     with_quality: bool = True,
     quality_kwargs: dict | None = None,
+    ppl_tail_drop: bool = False,
+    ppl_lam: float = 0.8,
     keep_policy: str = "longest",
     semantic_encoder: str | None = None,
     decontam_ds=None,
@@ -89,7 +93,9 @@ def refine_corpus(
     ``max_per_host`` (default off) caps pages per url host after url dedup.
     ``min_line_retention`` drops docs keeping less than that fraction of
     their pre-scrub characters (RefinedWeb's document-level line-filter
-    drop rule); 0 keeps every doc. ``semantic_encoder="lsa"`` enables the
+    drop rule); 0 keeps every doc. ``ppl_tail_drop`` fits the hashed bigram
+    LM on the quality-filtered corpus and drops the perplexity tail tertile
+    (CCNet §4.3). ``semantic_encoder="lsa"`` enables the
     cascade's 4th (semantic) tier with the corpus-learned LSA encoder."""
     from imagededupx_ray.pipelines.tiers import (
         _not_in_broadcast,
@@ -156,6 +162,22 @@ def refine_corpus(
             return batch.filter(verdicts["keep"])
 
         step("quality_filter", ds.map_batches(quality_keep, batch_format="pyarrow"))
+
+    if ppl_tail_drop:
+        # CCNet LM-perplexity gate (Wenzek et al. 2019 §4.3): fit the hashed
+        # bigram LM on the surviving corpus, drop the tail tertile. Fit is
+        # two fixed-size integer tree-reduces; the filter is a second
+        # streaming scan against the broadcast LM (stages/ngramlm.py)
+        from imagededupx_ray.stages.ngramlm import (
+            bigram_lm_counts,
+            bigram_logppl,
+            ppl_cutoffs,
+            ppl_tail_filter,
+        )
+
+        counts = bigram_lm_counts(ds, V1=1 << 16, V2=1 << 18)
+        cutoffs = ppl_cutoffs(bigram_logppl(ds, counts, lam=ppl_lam))
+        step("ppl_filter", ppl_tail_filter(ds, counts, cutoffs[1], lam=ppl_lam))
 
     # dedup cascade (the flagship exchange stack) over the refined text
     pages2 = _pagesify(ds)

@@ -129,6 +129,51 @@ def bigram_lm_counts(
     return ray.get(parts[0])
 
 
+def _broadcast_lm(counts: tuple[np.ndarray, np.ndarray, np.ndarray]):
+    """``ray.put`` the scoring-ready LM once: (log p_uni per unigram
+    bucket, log bigram denominator per context bucket, raw bigram counts)."""
+    c1, cctx, c2 = counts
+    V1, V2 = len(c1), len(c2)
+    T = float(c1.sum())
+    return ray.put(
+        (
+            np.log(c1 + 1.0) - np.log(T + V1),
+            np.log(np.maximum(cctx, 0) + float(V2)),
+            c2,
+        )
+    )
+
+
+def _batch_logppl(
+    texts: pa.Array, lm: tuple, V1: int, V2: int, lam: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """(nonempty-row mask, logppl per nonempty row rounded to 6 dp) for one
+    Arrow text column under the broadcast LM — the shared scoring kernel of
+    ``bigram_logppl`` and ``ppl_tail_filter``."""
+    lp_uni_b, log_den_b, c2_b = lm
+    uni, big, offsets = _uni_big_buckets(texts, V1, V2)
+    n_tok = np.diff(offsets)
+    keep = n_tok > 0
+    p_uni = np.exp(lp_uni_b[uni])
+    nll = np.empty(len(uni), dtype=np.float64)
+    if len(uni):
+        # per-token position: is it a doc's first token?
+        first = np.zeros(len(uni), dtype=bool)
+        first[offsets[:-1][keep]] = True
+        # bigram term aligns with the NON-first positions; its CONTEXT
+        # is the non-LAST positions — both enumerate the in-doc
+        # (i-1, i) pairs in the same flat order as ``big``
+        nonlast = np.ones(len(uni), dtype=bool)
+        nonlast[(offsets[1:] - 1)[keep]] = False
+        p_big = (c2_b[big] + 1.0) / np.exp(log_den_b[uni[nonlast]])
+        nll[first] = -np.log(p_uni[first])
+        nll[~first] = -np.log(lam * p_big + (1.0 - lam) * p_uni[~first])
+    sums = (
+        np.add.reduceat(nll, offsets[:-1][keep]) if keep.any() else np.empty(0)
+    )
+    return keep, np.round(sums / n_tok[keep].astype(np.float64), 6)
+
+
 def bigram_logppl(
     docs_ds,
     counts: tuple[np.ndarray, np.ndarray, np.ndarray],
@@ -138,56 +183,50 @@ def bigram_logppl(
     interpolated hashed bigram LM (module docstring formula). Empty docs
     are dropped (no tokens to score). One streaming scan against the
     broadcast count vectors."""
-    c1, cctx, c2 = counts
-    V1, V2 = len(c1), len(c2)
-    T = float(c1.sum())
-    ref = ray.put(
-        (
-            np.log(c1 + 1.0) - np.log(T + V1),  # log p_uni per bucket
-            np.log(np.maximum(cctx, 0) + float(V2)),  # log big denominator
-            c2,
-        )
-    )
+    V1, V2 = len(counts[0]), len(counts[2])
+    ref = _broadcast_lm(counts)
     lam = float(lam)
 
     def score(batch: pa.Table) -> pa.Table:
-        lp_uni_b, log_den_b, c2_b = ray.get(ref)
-        uni, big, offsets = _uni_big_buckets(batch["text"], V1, V2)
+        keep, scores = _batch_logppl(batch["text"], ray.get(ref), V1, V2, lam)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n_tok = np.diff(offsets)
-        keep = n_tok > 0
-        p_uni = np.exp(lp_uni_b[uni])
-        nll = np.empty(len(uni), dtype=np.float64)
-        if len(uni):
-            # per-token position: is it a doc's first token?
-            first = np.zeros(len(uni), dtype=bool)
-            first[offsets[:-1][keep]] = True
-            # bigram term aligns with the NON-first positions; its CONTEXT
-            # is the non-LAST positions — both enumerate the in-doc
-            # (i-1, i) pairs in the same flat order as ``big``
-            nonlast = np.ones(len(uni), dtype=bool)
-            nonlast[(offsets[1:] - 1)[keep]] = False
-            p_big = (c2_b[big] + 1.0) / np.exp(log_den_b[uni[nonlast]])
-            nll[first] = -np.log(p_uni[first])
-            nll[~first] = -np.log(lam * p_big + (1.0 - lam) * p_uni[~first])
-        sums = (
-            np.add.reduceat(nll, offsets[:-1][keep])
-            if keep.any()
-            else np.empty(0)
-        )
         return pa.table(
             {
                 "doc_id": pa.array(ids[keep], type=pa.int64()),
-                "logppl": pa.array(
-                    np.round(sums / n_tok[keep].astype(np.float64), 6),
-                    type=pa.float64(),
-                ),
+                "logppl": pa.array(scores, type=pa.float64()),
             }
         )
 
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def ppl_tail_filter(
+    docs_ds,
+    counts: tuple[np.ndarray, np.ndarray, np.ndarray],
+    cutoff: float,
+    lam: float = 0.8,
+    quant: int = 3,
+):
+    """Drop the perplexity TAIL: keep rows whose quantized logppl <=
+    ``cutoff`` (the 2/3 tertile boundary from ``ppl_cutoffs`` -> CCNet's
+    head+middle). Re-scores each batch against the broadcast LM instead of
+    joining the scores Dataset back — a second streaming scan beats a
+    corpus-sized doc_id join/broadcast at scale. Token-less docs pass
+    through (no LM evidence; upstream quality gates own the empty-doc
+    rule). Keeps every input column."""
+    V1, V2 = len(counts[0]), len(counts[2])
+    ref = _broadcast_lm(counts)
+    lam, cutoff = float(lam), float(cutoff)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep, scores = _batch_logppl(batch["text"], ray.get(ref), V1, V2, lam)
+        mask = np.ones(batch.num_rows, dtype=bool)
+        mask[keep] = np.round(scores, quant) <= cutoff
+        return batch.filter(pa.array(mask))
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
 def ppl_cutoffs(

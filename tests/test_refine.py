@@ -263,3 +263,46 @@ def test_topics_cli(ray_session, tmp_path, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.splitlines()[-1])["topics"]
     assert rep["k"] == 4 and sum(c["n_members"] for c in rep["clusters"]) > 0
+
+
+def test_refine_ppl_filter_drops_gibberish_tail(ray_session):
+    """ppl_tail_drop inserts the CCNet LM stage after quality: planted
+    gibberish (singleton tokens -> high perplexity under the corpus-fit
+    LM) is removed, shared-vocab docs survive, and the report carries the
+    stage's attrition."""
+    from imagededupx_ray.pipelines.refine import refine_corpus
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{_let(i)}x" for i in range(50)]
+    rows = []
+    # 30 shared-vocab docs in per-doc random order: common unigrams (low
+    # perplexity) but distinct 5-gram shingles (no near-dup collapse)
+    for i in range(30):
+        rows.append(
+            {
+                "url": f"http://a.example/{i}",
+                "text": " ".join(rng.permutation(vocab)[:40]),
+            }
+        )
+    for i in range(12):
+        rows.append(
+            {
+                "url": f"http://gib.example/{i}",
+                "text": " ".join(
+                    "".join(rng.choice(list("qxzjvkwy"), size=9))
+                    for _ in range(20)
+                ),
+            }
+        )
+    survivors, report = refine_corpus(
+        _pages(rows),
+        with_url_dedup=False,
+        line_min_doc_rep=None,
+        with_quality=False,
+        ppl_tail_drop=True,
+    )
+    rep = report.set_index("stage")
+    assert rep.loc["ppl_filter", "removed"] >= 12
+    got = survivors.to_pandas()
+    assert not got["url"].str.startswith("http://gib.").any()
+    assert (got["url"].str.startswith("http://a.")).sum() >= 25
