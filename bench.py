@@ -265,6 +265,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("docs_stratified_sample", Q.docs_stratified_sample),
         ("docs_chunk", Q.docs_chunk),
         ("docs_dsir_weights", Q.docs_dsir_weights),
+        ("docs_quality_classifier", Q.docs_quality_classifier),
         ("docs_ppl_buckets", Q.docs_ppl_buckets),
         ("docs_softdedup_weights", Q.docs_softdedup_weights),
         ("docs_topic_clusters", Q.docs_topic_clusters),

@@ -3238,6 +3238,100 @@ def docs_dsir_weights(sf_dir: str, target_lang: str | None = None, vocab: int = 
     return dsir_weights(docs, t_counts, r_counts)
 
 
+_JUNK_VOCAB = np.array(
+    ["zx%02dq" % i for i in range(64)], dtype=object
+)  # 64 gibberish tokens disjoint from any real corpus vocabulary
+
+
+def docs_quality_classifier(
+    sf_dir: str,
+    V: int = 4096,
+    iters: int = 80,
+    holdout_mod: int = 5,
+    junk_tokens: int = 40,
+):
+    """Fasttext-style learned quality filter (Joulin et al. 2016,
+    arXiv:1607.01759; the GPT-3 / LLaMA "quality classifier" stage): train
+    stages/qualityclf's hashed-ngram logistic model to separate clean pages
+    from junk, then score the whole corpus in one broadcast scan. The junk
+    class is PLANTED deterministically (odd-doc_id docs get their text
+    replaced by seeded gibberish drawn from a disjoint 64-token vocabulary
+    — the spam/boilerplate class a production filter separates; the suite's
+    planting pattern, like pages_url_dedup's recrawls), the fit sees only
+    ``doc_id % holdout_mod != 0``, and _component_ok requires >= 0.9
+    accuracy on the held-out docs — evidence the TRAINED model, not a rule,
+    does the separating. Training is full-batch Adagrad over exact
+    fixed-point int64 gradient tree-reduces (bit-identical fit at any
+    parallelism — stages/qualityclf docstring). Output: (doc_id, prob
+    [6dp], pred, label, holdout). Planted-separation / bit-parity / oracle
+    gates live in tests/test_qualityclf.py."""
+    from imagededupx_ray.functions.hashing import splitmix64
+    from imagededupx_ray.stages.qualityclf import (
+        fit_quality_classifier,
+        score_quality,
+    )
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def label_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        junk = ids % 2 == 1
+        texts = batch["text"]
+        if junk.any():
+            jn = int(junk.sum())
+            # per-junk-doc gibberish: token i of doc d indexes the junk
+            # vocabulary by splitmix64(d * 257 + i) — deterministic, no RNG
+            base = np.repeat(ids[junk] * 257, junk_tokens) + np.tile(
+                np.arange(junk_tokens, dtype=np.int64), jn
+            )
+            idx = (splitmix64(base.astype(np.uint64)) % np.uint64(64)).astype(
+                np.int64
+            )
+            flat = pa.array(_JUNK_VOCAB[idx], type=pa.string())
+            offs = pa.array(
+                np.arange(jn + 1, dtype=np.int32) * junk_tokens, type=pa.int32()
+            )
+            junk_texts = pc.binary_join(
+                pa.ListArray.from_arrays(offs, flat), " "
+            ).to_numpy(zero_copy_only=False)
+            out = texts.to_numpy(zero_copy_only=False).copy()
+            out[junk] = junk_texts
+            texts = pa.array(out, type=pa.string())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": texts,
+                "label": pa.array((~junk).astype(np.int8)),
+            }
+        )
+
+    labeled = docs.map_batches(label_batch, batch_format="pyarrow").materialize()
+
+    def train_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % holdout_mod != 0))
+
+    w = fit_quality_classifier(
+        labeled.map_batches(train_rows, batch_format="pyarrow"), V=V, iters=iters
+    )
+    scored = score_quality(labeled, w)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        prob = batch["prob"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "prob": batch["prob"],
+                "pred": pa.array((prob >= 0.5).astype(np.int64)),
+                "label": pc.cast(batch["label"], pa.int64()),
+                "holdout": pa.array((ids % holdout_mod == 0).astype(np.int64)),
+            }
+        )
+
+    return scored.map_batches(finish, batch_format="pyarrow")
+
+
 def _synth_pages_ds(n: int, seed: int, n_blocks: int = 16):
     """/tmp-cached synthetic pages corpus as a pinned-block Dataset (same
     caching discipline as the media corpora)."""
@@ -4468,6 +4562,19 @@ def _component_ok(name: str, df: pd.DataFrame) -> bool:
         # exact tertiles: no bucket may dominate (ties can shift a few rows)
         if counts.max() > 0.5 * len(df):
             return False
+    if name == "docs_quality_classifier" and {"prob", "pred", "label", "holdout"} <= cols:
+        p = df["prob"].to_numpy()
+        if p.min() < 0.0 or p.max() > 1.0:
+            return False
+        if df["label"].nunique() < 2:  # a real verdict mix, not one class
+            return False
+        ho = df[df["holdout"] == 1]
+        if len(ho) == 0:
+            return False
+        # distillation agreement on docs the fit never saw (a linear
+        # bag-of-ngrams model can't represent the length rules exactly)
+        if float((ho["pred"] == ho["label"]).mean()) < 0.70:
+            return False
     if name == "docs_line_dedup" and {"n_lines", "n_lines_removed"} <= cols:
         rm = df["n_lines_removed"].to_numpy()
         if (rm < 0).any() or (rm > df["n_lines"].to_numpy()).any():
@@ -4533,6 +4640,7 @@ def similarity_suite(sf_dir: str) -> pd.DataFrame:
             "docs_chunk": docs_chunk(sf_dir),
             "corpus_datasheet": corpus_datasheet(sf_dir),
             "docs_dsir_weights": docs_dsir_weights(sf_dir),
+            "docs_quality_classifier": docs_quality_classifier(sf_dir),
             "docs_ppl_buckets": docs_ppl_buckets(sf_dir),
             "pages_url_dedup": pages_url_dedup(sf_dir),
             "pages_domain_cap": pages_domain_cap(sf_dir),
