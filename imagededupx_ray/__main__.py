@@ -172,6 +172,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     rf.add_argument("--no-quality", action="store_true")
     rf.add_argument(
+        "--quality-clf",
+        type=float,
+        default=None,
+        metavar="THRESHOLD",
+        help="swap the hard rule filter for a trained fasttext-style "
+        "classifier: the C4/Gopher rules label the corpus, the distilled "
+        "linear model keeps docs with prob >= THRESHOLD (GPT-3 App. A)",
+    )
+    rf.add_argument(
         "--ppl-tail-drop",
         action="store_true",
         help="fit a hashed bigram LM on the filtered corpus and drop the "
@@ -604,6 +613,7 @@ def main(argv: list[str] | None = None) -> int:
                 line_delimiter=args.line_delimiter,
                 min_line_retention=args.min_line_retention,
                 with_quality=not args.no_quality,
+                quality_clf_threshold=args.quality_clf,
                 ppl_tail_drop=args.ppl_tail_drop,
                 keep_policy=args.keep_policy,
                 semantic_encoder=args.semantic_encoder,

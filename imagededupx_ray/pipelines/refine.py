@@ -15,7 +15,11 @@ Stage order (each optional, each a stage this repo already ships):
                             (stages/linededup.py; RefinedWeb drops docs
                             that lose most of their content)
   4. quality_filter       — C4/Gopher composite verdicts
-                            (functions/textstats.quality_verdict_batch)
+                            (functions/textstats.quality_verdict_batch);
+                            with ``quality_clf_threshold`` set, the rules
+                            instead LABEL the corpus and a trained
+                            fasttext-style linear model does the filtering
+                            (stages/qualityclf.py — the GPT-3 deployment)
   4b. ppl_filter          — CCNet bigram-LM perplexity tail drop
                             (stages/ngramlm.py; off by default)
   5. dedup tiers          — exact -> MinHash-LSH near -> SimHash template
@@ -77,6 +81,8 @@ def refine_corpus(
     min_line_retention: float = 0.3,
     with_quality: bool = True,
     quality_kwargs: dict | None = None,
+    quality_clf_threshold: float | None = None,
+    quality_clf_iters: int = 40,
     ppl_tail_drop: bool = False,
     ppl_lam: float = 0.8,
     keep_policy: str = "longest",
@@ -93,7 +99,12 @@ def refine_corpus(
     ``max_per_host`` (default off) caps pages per url host after url dedup.
     ``min_line_retention`` drops docs keeping less than that fraction of
     their pre-scrub characters (RefinedWeb's document-level line-filter
-    drop rule); 0 keeps every doc. ``ppl_tail_drop`` fits the hashed bigram
+    drop rule); 0 keeps every doc. ``quality_clf_threshold`` (default off)
+    swaps the hard rule filter for the trained-classifier deployment: the
+    rules label, a ``quality_clf_iters``-step bit-identical logistic fit
+    learns them, and docs keep iff model prob >= threshold — the
+    distillation generalizes past the rules, so junk-vocab docs that slip
+    the length gates are still dropped. ``ppl_tail_drop`` fits the hashed bigram
     LM on the quality-filtered corpus and drops the perplexity tail tertile
     (CCNet §4.3). ``semantic_encoder="lsa"`` enables the
     cascade's 4th (semantic) tier with the corpus-learned LSA encoder."""
@@ -157,11 +168,45 @@ def refine_corpus(
 
         kw = quality_kwargs or {}
 
-        def quality_keep(batch: pa.Table) -> pa.Table:
-            verdicts = quality_verdict_batch(batch, **kw)
-            return batch.filter(verdicts["keep"])
+        if quality_clf_threshold is not None:
+            # GPT-3-style deployment (Brown et al. 2020 App. A; Touvron et
+            # al. 2023 §2): the C4/Gopher rules produce LABELS, a
+            # fasttext-style linear model (stages/qualityclf.py) is trained
+            # on them, and the DISTILLED model does the filtering — it
+            # generalizes past the rules (junk-vocab docs that slip the
+            # length gates still score low, because their hashed n-grams
+            # co-occur with rule failures) and the keep threshold is
+            # calibratable. Fit = T exact integer tree-reduces; filter =
+            # one broadcast scan (all columns pass through).
+            from imagededupx_ray.stages.qualityclf import (
+                fit_quality_classifier,
+                quality_filter_by_model,
+            )
 
-        step("quality_filter", ds.map_batches(quality_keep, batch_format="pyarrow"))
+            def label_by_rules(batch: pa.Table) -> pa.Table:
+                verdicts = quality_verdict_batch(batch, **kw)
+                return batch.append_column(
+                    "label", pc.cast(verdicts["keep"], pa.int8())
+                )
+
+            w = fit_quality_classifier(
+                ds.map_batches(label_by_rules, batch_format="pyarrow"),
+                iters=quality_clf_iters,
+            )
+            step(
+                "quality_clf",
+                quality_filter_by_model(ds, w, quality_clf_threshold),
+            )
+        else:
+
+            def quality_keep(batch: pa.Table) -> pa.Table:
+                verdicts = quality_verdict_batch(batch, **kw)
+                return batch.filter(verdicts["keep"])
+
+            step(
+                "quality_filter",
+                ds.map_batches(quality_keep, batch_format="pyarrow"),
+            )
 
     if ppl_tail_drop:
         # CCNet LM-perplexity gate (Wenzek et al. 2019 §4.3): fit the hashed

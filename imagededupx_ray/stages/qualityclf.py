@@ -195,31 +195,53 @@ def fit_quality_classifier(
     return w
 
 
+def _batch_probs(texts, w: np.ndarray) -> np.ndarray:
+    """Keep-probabilities for one batch's text column under weights ``w``
+    — the shared scoring kernel of score_quality and
+    quality_filter_by_model. Feature-less docs score sigmoid(bias)."""
+    V = len(w) - 1
+    feats, offsets = _feature_buckets(texts, V)
+    n = len(offsets) - 1
+    n_feat = np.diff(offsets)
+    inv = np.zeros(n, dtype=np.float64)
+    nz = n_feat > 0
+    inv[nz] = 1.0 / n_feat[nz]
+    sums = np.zeros(n, dtype=np.float64)
+    if len(feats) and nz.any():
+        sums[nz] = np.add.reduceat(w[feats], offsets[:-1][nz]) * inv[nz]
+    z = np.clip(sums + w[V], -30.0, 30.0)
+    return 1.0 / (1.0 + np.exp(-z))
+
+
 def score_quality(docs_ds, weights: np.ndarray, round_dp: int = 6):
     """The trained model applied to every doc in one broadcast scan: the
     input Dataset minus ``text`` plus a ``prob`` keep-probability column
     (non-text columns pass through, so corpus metadata needs no join).
     ``prob`` is rounded (stable across machines — the score is a
-    deterministic dot product of the bit-identical fit). Feature-less docs
-    score sigmoid(bias)."""
-    V = len(weights) - 1
+    deterministic dot product of the bit-identical fit)."""
     ref = ray.put(np.asarray(weights, dtype=np.float64))
 
     def fn(batch: pa.Table) -> pa.Table:
-        w = ray.get(ref)
-        n = batch.num_rows
-        feats, offsets = _feature_buckets(batch["text"], V)
-        n_feat = np.diff(offsets)
-        inv = np.zeros(n, dtype=np.float64)
-        nz = n_feat > 0
-        inv[nz] = 1.0 / n_feat[nz]
-        sums = np.zeros(n, dtype=np.float64)
-        if len(feats) and nz.any():
-            sums[nz] = np.add.reduceat(w[feats], offsets[:-1][nz]) * inv[nz]
-        z = np.clip(sums + w[V], -30.0, 30.0)
-        prob = np.round(1.0 / (1.0 + np.exp(-z)), round_dp)
+        prob = np.round(_batch_probs(batch["text"], ray.get(ref)), round_dp)
         return batch.drop_columns(["text"]).append_column(
             "prob", pa.array(prob, type=pa.float64())
         )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_filter_by_model(
+    docs_ds, weights: np.ndarray, threshold: float = 0.5, text_col: str = "text"
+):
+    """KEEP rows whose model keep-probability clears ``threshold`` — one
+    broadcast scan, every column (text included) passes through: the
+    refine-pipeline shape, where downstream stages still need the text
+    (score_quality is the scoring-REPORT shape and drops it)."""
+    ref = ray.put(np.asarray(weights, dtype=np.float64))
+    thr = float(threshold)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = _batch_probs(batch[text_col], ray.get(ref)) >= thr
+        return batch.filter(pa.array(keep))
 
     return docs_ds.map_batches(fn, batch_format="pyarrow")

@@ -265,6 +265,59 @@ def test_topics_cli(ray_session, tmp_path, capsys):
     assert rep["k"] == 4 and sum(c["n_members"] for c in rep["clusters"]) > 0
 
 
+def test_refine_quality_clf_generalizes_past_rules(ray_session):
+    """quality_clf_threshold swaps the hard rule filter for the trained
+    classifier (rules label -> model filters): rule-failing short junk is
+    dropped, AND long junk docs that PASS every rule are dropped too,
+    because their hashed n-grams co-occur with the labeled failures — the
+    generalization a hard rule filter cannot provide. Clean docs survive
+    and the report carries the quality_clf stage (not quality_filter)."""
+    from imagededupx_ray.pipelines.refine import refine_corpus
+
+    rng = np.random.default_rng(17)
+    clean_vocab = [f"w{_let(i)}x" for i in range(50)]
+    junk_vocab = [f"zz{_let(i)}q" for i in range(30)]
+    rows = []
+    # 20 clean docs: shared clean vocab, per-doc random order (distinct
+    # shingles, so the dedup tiers collapse nothing)
+    for i in range(20):
+        rows.append(
+            {
+                "url": f"http://a.example/{i}",
+                "text": " ".join(rng.permutation(clean_vocab)[:40]),
+            }
+        )
+    # 12 short junk docs: 9 tokens < min_tok=10 -> the rules LABEL them 0
+    shorts = [" ".join(rng.choice(junk_vocab, size=9)) for _ in range(12)]
+    for i, t in enumerate(shorts):
+        rows.append({"url": f"http://junk.example/short{i}", "text": t})
+    # 3 long junk docs: concatenations of four short junk docs each, so
+    # every rule PASSES (36 tokens, label 1) but their hashed n-grams are
+    # exactly the labeled failures' n-grams — the model must drop them on
+    # vocabulary (12 negative pushes outweigh 3 positive on shared buckets)
+    for i in range(3):
+        rows.append(
+            {
+                "url": f"http://junk.example/long{i}",
+                "text": " ".join(shorts[4 * i : 4 * i + 4]),
+            }
+        )
+    survivors, report = refine_corpus(
+        _pages(rows),
+        with_url_dedup=False,
+        line_min_doc_rep=None,
+        quality_kwargs={"min_tok": 10, "ttr_min": 0.0, "top_max": 1.0},
+        quality_clf_threshold=0.5,
+    )
+    stages = set(report["stage"])
+    assert "quality_clf" in stages and "quality_filter" not in stages
+    rep = report.set_index("stage")
+    assert rep.loc["quality_clf", "removed"] == 15  # 12 short + 3 long junk
+    got = survivors.to_pandas()
+    assert not got["url"].str.startswith("http://junk.").any()
+    assert (got["url"].str.startswith("http://a.")).sum() == 20
+
+
 def test_refine_ppl_filter_drops_gibberish_tail(ray_session):
     """ppl_tail_drop inserts the CCNet LM stage after quality: planted
     gibberish (singleton tokens -> high perplexity under the corpus-fit
