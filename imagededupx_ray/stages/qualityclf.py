@@ -118,6 +118,35 @@ def _part_gradient_arrays(
 
 
 @ray.remote
+def _fit_local(
+    V: int, iters: int, lr: float, l2: float, *parts: tuple
+) -> np.ndarray:
+    """All ``iters`` steps inside ONE task — the small-corpus crossover.
+    Bit-identical to the distributed loop: each step's gradient is the
+    int64 sum of the SAME per-part quantized kernels (integer addition
+    commutes), and the Adagrad update is the same float math, so blocking
+    and fit-path choice never change the weights. Cuts T fan-out round
+    trips to one when the featurized corpus is small."""
+    w = np.zeros(V + 1, dtype=np.float64)
+    g2 = np.zeros(V + 1, dtype=np.float64)
+    scale = float(1 << QUANT_BITS)
+    for _ in range(int(iters)):
+        g = np.zeros(V + 1, dtype=np.int64)
+        n = 0
+        for p in parts:
+            gp, np_ = _part_gradient_arrays(p, w, V)
+            g += gp
+            n += np_
+        if n == 0:
+            break
+        grad = g.astype(np.float64) / (scale * n)
+        grad[:V] += l2 * w[:V]
+        g2 += grad * grad
+        w -= lr * grad / np.sqrt(g2 + 1e-10)
+    return w
+
+
+@ray.remote
 def _grad_partial(V: int, w_ref: np.ndarray, *parts: tuple) -> tuple:
     g = np.zeros(V + 1, dtype=np.int64)
     n = 0
@@ -140,19 +169,22 @@ def _sum_grad(*parts: tuple) -> tuple:
 
 def featurize_labeled(docs_ds, V: int = V_DEFAULT, label_col: str = "label"):
     """Materialize the labeled corpus as block-grouped CSR feature parts
-    (object refs). Run once; every GD iteration re-reads these."""
+    (object refs) plus the doc count. Run once; every GD iteration re-reads
+    the parts."""
     from imagededupx_ray.util import block_group_size
 
-    blocks = (
-        docs_ds.select_columns(["text", label_col]).materialize().to_arrow_refs()
-    )
+    mat = docs_ds.select_columns(["text", label_col]).materialize()
+    blocks = mat.to_arrow_refs()
     if not blocks:
-        return []
+        return [], 0
     group = block_group_size(len(blocks))
     return [
         _featurize_partial.remote(V, label_col, *blocks[i : i + group])
         for i in range(0, len(blocks), group)
-    ]
+    ], mat.count()
+
+
+LOCAL_FIT_DOCS = 200_000  # below this, all iterations run in one task
 
 
 def fit_quality_classifier(
@@ -162,6 +194,7 @@ def fit_quality_classifier(
     iters: int = 80,
     lr: float = 0.5,
     l2: float = 1e-8,
+    local_fit_docs: int = LOCAL_FIT_DOCS,
 ) -> np.ndarray:
     """Train the (V+1)-weight logistic model on ``docs_ds`` (needs ``text``
     and 0/1 ``label_col``). Full-batch Adagrad, ``iters`` fixed steps —
@@ -170,11 +203,19 @@ def fit_quality_classifier(
     plain GD would need thousands of passes). Every step's gradient is an
     exact integer tree-reduce (module docstring) and the Adagrad state is
     driver-side float math over those exact sums, so the result stays
-    bit-identical at any parallelism."""
-    parts = featurize_labeled(docs_ds, V, label_col)
+    bit-identical at any parallelism. Corpora at or under
+    ``local_fit_docs`` run every iteration inside one task instead
+    (``_fit_local`` — same integer sums, so bit-identical to the
+    distributed loop; tests gate the equality)."""
+    parts, n_docs = featurize_labeled(docs_ds, V, label_col)
     w = np.zeros(V + 1, dtype=np.float64)
     if not parts:
         return w
+    if n_docs <= local_fit_docs:
+        # small-corpus crossover: one task runs every iteration over the
+        # same CSR parts — bit-identical (see _fit_local) without T
+        # driver round trips
+        return ray.get(_fit_local.remote(V, iters, lr, l2, *parts))
     scale = float(1 << QUANT_BITS)
     g2 = np.zeros(V + 1, dtype=np.float64)
     for _ in range(int(iters)):

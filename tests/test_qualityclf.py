@@ -112,6 +112,20 @@ def test_fit_bit_identical_across_blockings(ray_session):
     assert np.array_equal(fits[0], fits[2])
 
 
+def test_local_and_distributed_fit_paths_bit_equal(ray_session):
+    """The small-corpus crossover (_fit_local, one task for all steps) and
+    the per-iteration distributed tree-reduce produce BIT-identical
+    weights — integer gradient sums commute across parts and paths."""
+    from imagededupx_ray.stages.qualityclf import fit_quality_classifier
+
+    rng = np.random.default_rng(19)
+    texts, labels = _corpus(rng, 20, 20)
+    ds = _labeled_ds(texts, labels, n_blocks=7)
+    w_local = fit_quality_classifier(ds, V=512, iters=9)  # default crossover
+    w_dist = fit_quality_classifier(ds, V=512, iters=9, local_fit_docs=0)
+    assert np.array_equal(w_local, w_dist)
+
+
 def test_planted_separation_on_holdout(ray_session):
     """Train on 2/3 of a junk-vs-clean corpus, score the held-out 1/3:
     accuracy >= 0.95 and probabilities ordered by class."""
