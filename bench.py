@@ -268,6 +268,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("docs_quality_classifier", Q.docs_quality_classifier),
         ("docs_ppl_buckets", Q.docs_ppl_buckets),
         ("docs_softdedup_weights", Q.docs_softdedup_weights),
+        ("pages_snapshot_dup_report", Q.pages_snapshot_dup_report),
         ("docs_topic_clusters", Q.docs_topic_clusters),
         ("docs_line_dedup", Q.docs_line_dedup),
         ("corpus_refine_report", Q.corpus_refine_report),

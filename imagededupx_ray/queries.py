@@ -3416,6 +3416,54 @@ def pages_domain_cap(sf_dir: str, n: int = 800, seed: int = 42, max_per_host: in
     return df.sort_values("host").reset_index(drop=True)
 
 
+def pages_snapshot_dup_report(sf_dir: str, n: int = 1200, seed: int = 6):
+    """Cross-snapshot duplicate attribution over a synthetic multi-snapshot
+    crawl (FineWeb's finding, Penedo et al. 2024 §3.1: web duplicates live
+    mostly ACROSS crawl snapshots): run the flagship dedup pipeline, attach
+    each doc's crawl snapshot, and report per snapshot how many docs sit in
+    a duplicate cluster and how many of those clusters span snapshots.
+
+    The corpus's planted truth makes the attribution checkable: the
+    generator puts the LAST member of every >= 3-member dup group in
+    snapshot 1 and the rest in snapshot 0 (sources/synthetic.py), so every
+    snapshot-1 dup is cross-snapshot while snapshot 0 keeps within-snapshot
+    dups (2-member groups) too — _component_ok asserts exactly that.
+
+    Scale shape: snapshot attach is the broadcast/union-exchange
+    ``_attach_dim`` crossover on doc_id; attribution is one coarse
+    hash(cluster_id) exchange + bounded-key partial groupby
+    (stages/dedup.snapshot_dup_attribution). DuckDB window twin:
+    tests/test_snapshot_attribution.py."""
+    from imagededupx_ray.pipelines.dedup import run_dedup
+    from imagededupx_ray.stages.dedup import snapshot_dup_attribution
+    from imagededupx_ray.stages.extract import _hash64_column
+
+    pages = _synth_pages_ds(n, seed)
+    res = run_dedup(pages, DEFAULT_CONFIG)
+
+    def snap_rows(batch: pa.Table) -> pa.Table:
+        url = batch["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": pa.array(_hash64_column(url), type=pa.int64()),
+                "snapshot": batch["snapshot"].cast(pa.int64()),
+            }
+        )
+
+    assign = _attach_dim(
+        res.clusters.select_columns(["doc_id", "cluster_id"]),
+        pages.map_batches(snap_rows, batch_format="pyarrow"),
+        "doc_id",
+        "doc_id",
+        "snapshot",
+        "snapshot",
+    )
+    rep = snapshot_dup_attribution(assign).to_pandas()
+    return rep.sort_values("snapshot").reset_index(drop=True)
+
+
 def docs_softdedup_weights(sf_dir: str):
     """Soft dedup over the flagship near-dup clusters: every member of a
     k-doc duplicate community gets sampling weight 1/k (downweight instead
@@ -4575,6 +4623,30 @@ def _component_ok(name: str, df: pd.DataFrame) -> bool:
         # bag-of-ngrams model can't represent the length rules exactly)
         if float((ho["pred"] == ho["label"]).mean()) < 0.70:
             return False
+    if name == "pages_snapshot_dup_report" and {
+        "snapshot",
+        "n_docs",
+        "n_dup_docs",
+        "n_cross_dup_docs",
+    } <= cols:
+        if len(df) != 2 or int(df["n_docs"].sum()) == 0:
+            return False
+        if (df["n_cross_dup_docs"] > df["n_dup_docs"]).any():
+            return False
+        if (df["n_dup_docs"] > df["n_docs"]).any():
+            return False
+        r = df.set_index("snapshot")
+        # planted truth: every snapshot-1 dup belongs to a >=3-member group
+        # whose other members sit in snapshot 0 -> all its dups are cross;
+        # snapshot 0 keeps within-snapshot dups (2-member groups) too
+        if int(r.loc[1, "n_cross_dup_docs"]) != int(r.loc[1, "n_dup_docs"]):
+            return False
+        if not (
+            0
+            < int(r.loc[0, "n_cross_dup_docs"])
+            < int(r.loc[0, "n_dup_docs"])
+        ):
+            return False
     if name == "docs_line_dedup" and {"n_lines", "n_lines_removed"} <= cols:
         rm = df["n_lines_removed"].to_numpy()
         if (rm < 0).any() or (rm > df["n_lines"].to_numpy()).any():
@@ -4644,6 +4716,7 @@ def similarity_suite(sf_dir: str) -> pd.DataFrame:
             "docs_ppl_buckets": docs_ppl_buckets(sf_dir),
             "pages_url_dedup": pages_url_dedup(sf_dir),
             "pages_domain_cap": pages_domain_cap(sf_dir),
+            "pages_snapshot_dup_report": pages_snapshot_dup_report(sf_dir),
             "docs_softdedup_weights": docs_softdedup_weights(sf_dir),
             "docs_topic_clusters": docs_topic_clusters(sf_dir),
             "corpus_refine_report": corpus_refine_report(sf_dir),
@@ -4679,7 +4752,7 @@ def multimodal_suite(sf_dir: str) -> pd.DataFrame:
 def nonsql_suite(sf_dir: str) -> pd.DataFrame:
     """similarity_suite + multimodal_suite + the dedup cluster report as ONE
     driver-visible entry (the driver artifact records at most 50
-    ``queries()`` rows; merging the rows-only family keeps all 40 component
+    ``queries()`` rows; merging the rows-only family keeps all 42 component
     pipelines' evidence rows inside the cap while freeing slots for
     SQL-gated queries)."""
     return pd.concat(

@@ -531,3 +531,84 @@ def softdedup_weights(clusters_ds, id_col: str = "doc_id",
         .map_groups(weigh, batch_format="pandas")
         .map_batches(lambda t: t, batch_format="pyarrow")
     )
+
+
+def snapshot_dup_attribution(
+    assign_ds,
+    cluster_col: str = "cluster_id",
+    snap_col: str = "snapshot",
+    num_partitions: int = 64,
+):
+    """Cross-snapshot duplicate ATTRIBUTION — the FineWeb measurement
+    (Penedo et al. 2024 §3.1: most web duplicates live ACROSS crawl
+    snapshots, which is why per-snapshot dedup and global dedup keep very
+    different corpora). Input: any (cluster, snapshot) assignment — e.g.
+    the flagship pipeline's ``clusters`` with the crawl snapshot attached.
+    Output: one row per snapshot ``(snapshot, n_docs, n_dup_docs,
+    n_cross_dup_docs)`` where a doc is *dup* when its cluster has >= 2
+    members and *cross* when that cluster touches >= 2 snapshots.
+
+    Scale shape: cluster count is corpus-sized, so ONE coarse
+    ``hash64(cluster_id) & (P-1)`` exchange co-locates each cluster
+    (softdedup_weights' discipline), a lexsort + segmented scan emits
+    per-doc int8 dup/cross flags, and the per-snapshot report is a
+    bounded-key ``util.partial_groupby`` (snapshot domain = crawl count,
+    a few dozen at most). Nothing corpus-sized reaches the driver. DuckDB
+    window twin + cross-blocking identity + planted gates:
+    tests/test_snapshot_attribution.py."""
+    import pandas as pd
+
+    from imagededupx_ray.functions.hashing import splitmix64
+    from imagededupx_ray.stages.lsh import _pow2
+    from imagededupx_ray.util import partial_groupby
+
+    p = _pow2(num_partitions)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cl = batch[cluster_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (
+            splitmix64(cl.view(np.uint64)) & np.uint64(p - 1)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                cluster_col: pa.array(cl, type=pa.int64()),
+                snap_col: batch[snap_col].cast(pa.int64()),
+                "_part": pa.array(part, type=pa.int32()),
+            }
+        )
+
+    def flag(group: pd.DataFrame) -> pd.DataFrame:
+        cl = group[cluster_col].to_numpy()
+        sn = group[snap_col].to_numpy()
+        order = np.lexsort((sn, cl))
+        cl_s, sn_s = cl[order], sn[order]
+        starts = np.r_[True, cl_s[1:] != cl_s[:-1]]
+        seg = np.cumsum(starts) - 1
+        sizes = np.bincount(seg)
+        # distinct snapshots per cluster: rows are sorted (cluster,
+        # snapshot), so a distinct value begins at each segment start or
+        # in-segment snapshot change
+        new_snap = starts | np.r_[True, sn_s[1:] != sn_s[:-1]]
+        nsnap = np.bincount(seg, weights=new_snap).astype(np.int64)
+        return pd.DataFrame(
+            {
+                snap_col: sn_s,
+                "dup": (sizes[seg] > 1).astype(np.int8),
+                "cross": (nsnap[seg] > 1).astype(np.int8),
+            }
+        )
+
+    flags = (
+        assign_ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(flag, batch_format="pandas")
+    )
+    return partial_groupby(
+        flags,
+        [snap_col],
+        [
+            ("count", snap_col, "n_docs"),
+            ("sum", "dup", "n_dup_docs"),
+            ("sum", "cross", "n_cross_dup_docs"),
+        ],
+    )
