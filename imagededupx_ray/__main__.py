@@ -187,6 +187,12 @@ def main(argv: list[str] | None = None) -> int:
         "perplexity tail tertile (CCNet)",
     )
     rf.add_argument(
+        "--count-tokens",
+        action="store_true",
+        help="add a tokens_out column to the attrition report (whitespace "
+        "tokens surviving each stage — the unit corpus papers publish)",
+    )
+    rf.add_argument(
         "--keep-policy", choices=["min_id", "longest"], default="longest"
     )
     rf.add_argument("--semantic-encoder", choices=["lsa"], default=None)
@@ -612,6 +618,7 @@ def main(argv: list[str] | None = None) -> int:
                 line_min_doc_rep=args.line_min_doc_rep or None,
                 line_delimiter=args.line_delimiter,
                 min_line_retention=args.min_line_retention,
+                count_tokens=args.count_tokens,
                 with_quality=not args.no_quality,
                 quality_clf_threshold=args.quality_clf,
                 ppl_tail_drop=args.ppl_tail_drop,
@@ -626,7 +633,9 @@ def main(argv: list[str] | None = None) -> int:
                 import pyarrow.parquet as pq
 
                 pq.write_table(pa.Table.from_pandas(report), args.report_output)
-            print(json.dumps({"refine": report.to_dict(orient="records")}))
+            # docs-only tier rows carry NaN tokens_out -> null, not bare NaN
+            clean = report.astype(object).where(report.notna(), None)
+            print(json.dumps({"refine": clean.to_dict(orient="records")}))
         elif args.cmd == "topics":
             import pyarrow as pa
 

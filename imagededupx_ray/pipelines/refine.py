@@ -70,10 +70,30 @@ def _pagesify(docs_ds):
     return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _token_count(ds) -> int:
+    """Whitespace token count of a docs Dataset — ONE streaming keyless
+    aggregate (util.partial_groupby with no keys: per-block int64 partials,
+    fanout-bounded combine). Same M4 tokenizer as docs_token_stats, so the
+    receipt's token figures live in the unit corpus papers publish
+    (RefinedWeb Fig. 2 is drawn in tokens, not documents)."""
+    from imagededupx_ray.functions.text import tokenize_batch
+    from imagededupx_ray.util import partial_groupby
+
+    def tok(batch: pa.Table) -> pa.Table:
+        _, offsets = tokenize_batch(batch["text"])
+        return pa.table({"n": pa.array([int(offsets[-1])], type=pa.int64())})
+
+    out = partial_groupby(
+        ds.map_batches(tok, batch_format="pyarrow"), [], [("sum", "n", "n")]
+    ).to_pandas()
+    return int(out["n"].iloc[0]) if len(out) else 0
+
+
 def refine_corpus(
     pages_ds,
     cfg: DedupConfig = DEFAULT_CONFIG,
     *,
+    count_tokens: bool = False,
     with_url_dedup: bool = True,
     max_per_host: int | None = None,
     line_min_doc_rep: int | None = 30,
@@ -94,7 +114,12 @@ def refine_corpus(
     ``survivors_ds`` is the cleaned docs Dataset (doc_id, url, text, ...);
     ``report`` is the attrition DataFrame — one row per executed stage:
     (stage, docs_in, docs_out, removed), with the dedup cascade's per-tier
-    rows inlined as ``tier*`` stages. ``line_min_doc_rep=None`` /
+    rows inlined as ``tier*`` stages. ``count_tokens=True`` adds a
+    ``tokens_out`` column (whitespace tokens surviving each stage — the
+    unit corpus papers publish), an ``input`` baseline row and a
+    ``dedup_cascade_total`` summary row (per-tier rows count docs only);
+    each count is one streaming keyless aggregate of the already
+    materialized stage output. ``line_min_doc_rep=None`` /
     ``with_quality=False`` / ``decontam_ds=None`` skip their stages.
     ``max_per_host`` (default off) caps pages per url host after url dedup.
     ``min_line_retention`` drops docs keeping less than that fraction of
@@ -114,15 +139,25 @@ def refine_corpus(
     )
     from imagededupx_ray.stages.extract import extract_stage
 
-    rows: list[tuple[str, int, int]] = []
+    rows: list[tuple[str, int, int, int | None]] = []
     ds = pages_ds.materialize()
     n = ds.count()
+
+    def toks(d) -> int | None:
+        # pre-extract pages may be html-only; token accounting starts once
+        # a text column exists
+        if not count_tokens or "text" not in d.schema().names:
+            return None
+        return _token_count(d)
+
+    if count_tokens:
+        rows.append(("input", n, n, toks(ds)))
 
     def step(name: str, new_ds) -> None:
         nonlocal ds, n
         new_ds = new_ds.materialize()
         m = new_ds.count()
-        rows.append((name, n, m))
+        rows.append((name, n, m, toks(new_ds)))
         ds, n = new_ds, m
 
     if with_url_dedup and "url" in ds.schema().names:
@@ -244,10 +279,16 @@ def refine_corpus(
         else np.empty(0, dtype=np.int64)
     )
     survivors = _not_in_broadcast(res.docs_unique, "doc_id", drop_all)
+    n_before_cascade = n
     for t in tier_report.itertuples(index=False):
-        rows.append((f"tier{t.tier}_{t.method}", int(t.docs_in), int(t.docs_out)))
+        # per-tier rows count docs only — intermediate tier survivor sets
+        # are never materialized as text; the cascade's total token
+        # attrition lands on the summary row below
+        rows.append((f"tier{t.tier}_{t.method}", int(t.docs_in), int(t.docs_out), None))
     ds = survivors.materialize()
     n = ds.count()
+    if count_tokens:
+        rows.append(("dedup_cascade_total", n_before_cascade, n, toks(ds)))
 
     if decontam_ds is not None:
         from imagededupx_ray.pipelines.cross import cross_dedup
@@ -260,6 +301,10 @@ def refine_corpus(
         bad_ids = bad[0] if bad else np.empty(0, dtype=np.int64)
         step("decontaminate", _not_in_broadcast(ds, "doc_id", bad_ids))
 
-    report = pd.DataFrame(rows, columns=["stage", "docs_in", "docs_out"])
+    report = pd.DataFrame(
+        rows, columns=["stage", "docs_in", "docs_out", "tokens_out"]
+    )
     report["removed"] = report["docs_in"] - report["docs_out"]
+    if not count_tokens:
+        report = report.drop(columns=["tokens_out"])
     return ds, report

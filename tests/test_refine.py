@@ -265,6 +265,43 @@ def test_topics_cli(ray_session, tmp_path, capsys):
     assert rep["k"] == 4 and sum(c["n_members"] for c in rep["clusters"]) > 0
 
 
+def test_refine_token_attrition_receipt(ray_session):
+    """count_tokens=True: the receipt gains tokens_out, whose figures match
+    an independent whitespace count — the input row equals the corpus's
+    total tokens, every counted stage is non-increasing, and the
+    dedup_cascade_total row counts exactly the survivors' tokens."""
+    from imagededupx_ray.pipelines.refine import refine_corpus
+
+    rows = [
+        {"url": f"http://a.example/{i}", "text": _body(i, n_tok=30)}
+        for i in range(8)
+    ]
+    rows.append({"url": "http://mirror.example/1", "text": _body(1, n_tok=30)})
+    survivors, report = refine_corpus(
+        _pages(rows),
+        count_tokens=True,
+        with_url_dedup=False,
+        line_min_doc_rep=None,
+        with_quality=False,
+    )
+    assert "tokens_out" in report.columns
+    rep = report.set_index("stage")
+    assert int(rep.loc["input", "tokens_out"]) == 9 * 30
+    counted = report.dropna(subset=["tokens_out"])
+    t = counted["tokens_out"].to_numpy()
+    assert (t[1:] <= t[:-1]).all()  # refinement never adds tokens
+    got = survivors.to_pandas()
+    want = int(got["text"].str.split().str.len().sum())
+    assert int(rep.loc["dedup_cascade_total", "tokens_out"]) == want
+    # per-tier rows are docs-only by design
+    assert report[report["stage"].str.startswith("tier")]["tokens_out"].isna().all()
+    # flag off -> no column (existing consumers unchanged)
+    _, plain = refine_corpus(
+        _pages(rows), with_url_dedup=False, line_min_doc_rep=None, with_quality=False
+    )
+    assert "tokens_out" not in plain.columns
+
+
 def test_refine_quality_clf_generalizes_past_rules(ray_session):
     """quality_clf_threshold swaps the hard rule filter for the trained
     classifier (rules label -> model filters): rule-failing short junk is
