@@ -111,6 +111,39 @@ class ClassicalImageEncoder:
         )
 
 
+def length_sorted(ds, col: str, window: int = 4096, descending: bool = True):
+    """Length-sorted batching before an encoder pool (SURVEY O6; reference
+    ``clip_module.py:194-213`` sorts inputs by length so padded inference
+    batches waste less compute, then restores order). Ray-Data-native
+    shape: sort WITHIN each ``window``-row batch — one vectorized
+    ``map_batches``, NO global all-to-all sort. At 100 TB a full
+    ``sort(n_bytes)`` is an exchange whose only payoff is padding
+    efficiency; a window of ~64x the inference batch captures nearly all
+    of that payoff for free, because the encoder's ``batch_size`` then
+    slices near-equal-length runs out of each sorted window. Output order
+    is a window-local permutation — downstream consumers key rows by id
+    per the plugin contract, so the reference's order-restoration step has
+    no Dataset equivalent to pay for."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def srt(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        t = batch.schema.field(col).type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            ln = pc.utf8_length(c)
+        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            ln = pc.binary_length(c)
+        else:  # list-typed payloads (e.g. pre-tokenized ids)
+            ln = pc.list_value_length(c)
+        lengths = ln.to_numpy(zero_copy_only=False)
+        order = np.argsort(-lengths if descending else lengths, kind="stable")
+        return batch.take(pa.array(order))
+
+    return ds.map_batches(srt, batch_format="pyarrow", batch_size=window)
+
+
 def encoder_stage(
     ds,
     spec_or_cls: str | type,
@@ -120,15 +153,22 @@ def encoder_stage(
     num_gpus: float = 0.0,
     num_cpus: float = 1.0,
     fn_constructor_kwargs: dict[str, Any] | None = None,
+    sort_by_length: str | None = None,
+    sort_window: int = 4096,
 ):
     """Run a plugin encoder as an actor-pool ``map_batches`` stage: one
     instance per actor (model load in ``__init__``), vectorized Arrow
-    batches through ``__call__``, GPU share per actor via ``num_gpus``."""
+    batches through ``__call__``, GPU share per actor via ``num_gpus``.
+    ``sort_by_length=<col>`` inserts the O6 window-local length sort ahead
+    of the pool so each inference batch holds near-equal-length rows
+    (``length_sorted``)."""
     cls = (
         resolve_encoder(spec_or_cls)
         if isinstance(spec_or_cls, str)
         else spec_or_cls
     )
+    if sort_by_length:
+        ds = length_sorted(ds, sort_by_length, window=sort_window)
     return ds.map_batches(
         cls,
         **encoder_map_kwargs(

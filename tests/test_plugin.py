@@ -188,3 +188,81 @@ def test_cli_media_encoder_plugin(ray_session, tmp_path, capsys):
 
     rep = json.loads(capsys.readouterr().out.splitlines()[-1])
     assert rep["modality"] == "image" and rep["rows"] > 0
+
+
+def test_length_sorted_batches_reach_encoder_sorted(ray_session):
+    """O6 length-sorted batching: with the window covering the corpus, every
+    inference batch the encoder sees is internally length-sorted
+    (descending), batches slice a monotone run (each batch's max <= the
+    previous batch's min), and the id<->length pairing is untouched."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from imagededupx_ray.stages.plugin import encoder_stage
+
+    rng = np.random.default_rng(13)
+    n = 200
+    lens = rng.integers(1, 120, size=n)
+    texts = ["x" * int(k) for k in lens]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+
+    class LenEncoder:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ln = np.array([len(t) for t in batch["text"].to_pylist()])
+            assert (np.diff(ln) <= 0).all(), "batch not length-sorted"
+            return pa.table(
+                {
+                    "vec_id": batch["doc_id"],
+                    "n_chars": pa.array(ln, type=pa.int64()),
+                    "batch_max": pa.array(
+                        np.full(len(ln), ln.max()), type=pa.int64()
+                    ),
+                }
+            )
+
+    out = (
+        encoder_stage(
+            ds, LenEncoder, concurrency=1, batch_size=32,
+            sort_by_length="text", sort_window=n,
+        )
+        .to_pandas()
+    )
+    assert len(out) == n
+    # ids still map to their own lengths (sort permutes rows, never pairs)
+    want = {i: int(k) for i, k in enumerate(lens)}
+    assert {int(r.vec_id): int(r.n_chars) for r in out.itertuples()} == want
+    # single sorted window -> successive batches hold non-increasing runs
+    seen = out.drop_duplicates("batch_max", keep="first")["batch_max"].tolist()
+    assert seen == sorted(seen, reverse=True)
+
+
+def test_length_sorted_binary_and_list_columns(ray_session):
+    """length_sorted dispatches on column type: binary payloads and
+    pre-tokenized list columns sort by their own length kernels."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from imagededupx_ray.stages.plugin import length_sorted
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "payload": pa.array([b"aa", b"aaaa", b"a"], type=pa.binary()),
+            "toks": pa.array([[1], [1, 2, 3], [1, 2]], type=pa.list_(pa.int32())),
+        }
+    )
+    by_bin = length_sorted(rd.from_arrow(tbl), "payload").to_pandas()
+    assert by_bin["doc_id"].tolist() == [1, 0, 2]
+    by_list = length_sorted(
+        rd.from_arrow(tbl), "toks", descending=False
+    ).to_pandas()
+    assert by_list["doc_id"].tolist() == [0, 2, 1]
