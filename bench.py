@@ -161,7 +161,7 @@ def _warm_workers() -> None:
     ))
 
 
-def run_headline(sf: float, pages_per_sf: int = PAGES_PER_SF) -> dict:
+def run_headline(sf: float, pages_per_sf: int = PAGES_PER_SF, cfg=None) -> dict:
     import ray.data as rd
 
     from imagededupx_ray.pipelines.dedup import run_dedup
@@ -174,9 +174,8 @@ def run_headline(sf: float, pages_per_sf: int = PAGES_PER_SF) -> dict:
     # the pre-extracted `text` fallback column (and the int8 snapshot tag)
     # never leave storage — extract is the bandwidth-bound stage at high
     # core counts and the text column is ~40% of the corpus bytes
-    res = run_dedup(
-        rd.read_parquet(pages_path, columns=["url", "warc_ts", "html", "lang"])
-    )
+    pages = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html", "lang"])
+    res = run_dedup(pages, cfg) if cfg is not None else run_dedup(pages)
     t1 = time.monotonic()
     n_clusters = res.clusters.count()
     wall = time.monotonic() - t0
@@ -391,6 +390,58 @@ def headline_only() -> None:
     ctx.read_op_min_num_blocks = 64
     head = _headline_best(_sf_of(SF_DIR), SCALING_PAGES_PER_SF, max_runs=3)
     print(json.dumps(head))
+    ray.shutdown()
+
+
+def signer_compare() -> None:
+    """Time the full headline pipeline under signer=kperm vs signer=oph on
+    the scaling corpus in ONE warmed session (median of 2 runs each,
+    kperm first), and report the signature-stage walls + cluster-count
+    delta. Evidence for the OPH scale path (SURVEY Round-5 additions);
+    prints one JSON line, honoring the canonical probe rule."""
+    import ray
+
+    from imagededupx_ray.config import DedupConfig
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    _quiet_ray_schema_noise()
+    ctx.read_op_min_num_blocks = 64
+    sf = _sf_of(SF_DIR)
+    warm_trace = warm_box()
+    out: dict = {"metric": "signer_compare_wall_sec", "unit": "sec",
+                 "sf": sf, "num_cpus": NUM_CPUS}
+    for signer in ("kperm", "oph"):
+        cfg = DedupConfig(signer=signer)
+        runs = [run_headline(sf, SCALING_PAGES_PER_SF, cfg=cfg) for _ in range(2)]
+        by_wall = sorted(runs, key=lambda h: h["sec"])
+        med = by_wall[(len(by_wall) - 1) // 2]
+        out[signer] = {
+            "sec": round(med["sec"], 3),
+            "walls_sec": [round(h["sec"], 3) for h in runs],
+            "docs_per_sec": round(med["docs_per_sec"], 1),
+            "signatures_sec": med["stages"].get("signatures_sec"),
+            "n_cluster_rows": med["n_cluster_rows"],
+            "n_pages": med["n_pages"],
+        }
+    out["speedup_total"] = round(out["kperm"]["sec"] / out["oph"]["sec"], 3)
+    if out["kperm"]["signatures_sec"] and out["oph"]["signatures_sec"]:
+        out["speedup_signatures"] = round(
+            out["kperm"]["signatures_sec"] / out["oph"]["signatures_sec"], 3
+        )
+    probe = round(_stream_probe(8, reps=2), 1)
+    out["warm_sweeps_gbps"] = warm_trace
+    out["stream_gbps_post_run"] = [probe]
+    out["canonical"] = bool(probe >= CANONICAL_MIN_POST_GBPS)
+    print(json.dumps(out))
     ray.shutdown()
 
 
@@ -702,5 +753,7 @@ if __name__ == "__main__":
         headline_only()
     elif "--merge" in sys.argv:
         merge_bench()
+    elif "--signer-compare" in sys.argv:
+        signer_compare()
     else:
         main()

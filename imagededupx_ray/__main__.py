@@ -78,6 +78,15 @@ def main(argv: list[str] | None = None) -> int:
         "planner (config.lsh_plan, recall target 0.99) instead of the "
         "config defaults",
     )
+    d.add_argument(
+        "--signer",
+        choices=("kperm", "oph"),
+        default="kperm",
+        help="minhash signer: kperm = 128 independent permutations (the "
+        "north-star config); oph = one-permutation hashing with optimal "
+        "densification — one hash per shingle, same signature shape and "
+        "LSH semantics, ~100x less signing compute at equal recall",
+    )
 
     b = sub.add_parser("build", help="checkpointed full build into a snapshot store")
     b.add_argument("--input", required=True)
@@ -493,6 +502,10 @@ def main(argv: list[str] | None = None) -> int:
                 from dataclasses import replace
 
                 cfg = replace(cfg, jaccard_threshold=args.jaccard)
+            if args.signer != cfg.signer:
+                from dataclasses import replace
+
+                cfg = replace(cfg, signer=args.signer)
             res = run_dedup(pages, cfg)
             clusters = res.clusters
             if args.partition_shards > 0:

@@ -27,6 +27,19 @@ class DedupConfig:
     # independent, exact in uint64; see functions/hashing.make_permutations)
     num_perms: int = 128
     perm_seed: int = 42
+    # signer scheme for the minhash matrix:
+    #   "kperm" (default, the north-star config): num_perms independent
+    #     permutations — 128 hash evaluations per shingle.
+    #   "oph": one-permutation hashing (Li, Owen & Zhang, NIPS 2012) with
+    #     optimal densification (Shrivastava, ICML 2017; rotation fallback
+    #     per Shrivastava & Li, ICML 2014 for ultra-sparse sketches) — ONE
+    #     hash evaluation per shingle binned into num_perms partitions.
+    #     Same (n_docs, num_perms) signature shape, same LSH banding and
+    #     32-bit verify semantics; per-component collision probability is
+    #     still the jaccard, so est_jaccard stays an unbiased estimate.
+    #     At 10^12 docs this removes ~99% of signing compute; gated to
+    #     recall >= 0.99 on planted truth pairs (tests/test_oph.py).
+    signer: str = "kperm"
     # simhash: 64-bit over the same k-gram shingles, weight = term frequency
     simhash_bits: int = 64
     # LSH banding: bands * rows_per_band == num_perms
@@ -54,6 +67,10 @@ class DedupConfig:
     def __post_init__(self) -> None:
         if self.lsh_bands * self.lsh_rows != self.num_perms:
             raise ValueError("lsh_bands * lsh_rows must equal num_perms")
+        if self.signer not in ("kperm", "oph"):
+            raise ValueError(f"unknown signer {self.signer!r}")
+        if self.signer == "oph" and self.num_perms & (self.num_perms - 1):
+            raise ValueError("oph signer requires num_perms to be a power of 2")
 
     @property
     def config_hash(self) -> str:

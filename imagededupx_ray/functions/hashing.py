@@ -281,6 +281,135 @@ def minhash_simhash(
     return minhash_matrix(shingles, counts, salts), simhash_vector(shingles, counts)
 
 
+def oph_salt(seed: int) -> int:
+    """The single 64-bit OPH salt for a given perm seed (distinct stream from
+    make_permutations so kperm and oph signatures are uncorrelated)."""
+    rng = np.random.default_rng(seed ^ 0x0B1)
+    return int(rng.integers(0, 1 << 64, dtype=np.uint64))
+
+
+def _oph_densify(orig: np.ndarray, counts: np.ndarray, seed: int, probe_rounds: int = 16) -> np.ndarray:
+    """Fill empty bins of an OPH binned-min matrix (sentinel entries).
+
+    Phase 1 — optimal densification (Shrivastava, ICML 2017): empty bin i
+    copies from bin probe_t(i), a universal hash of (bin, attempt) SHARED
+    across docs (the paper's h_i(attempt) depends only on the bin and the
+    attempt number), for ``probe_rounds`` vectorized rounds over the rows
+    that still need filling. Phase 2 — rotation densification (Shrivastava
+    & Li, ICML 2014) for rows still sparse after phase 1 (ultra-short docs):
+    each remaining empty bin copies the value of the nearest non-empty bin
+    to its circular LEFT, remixed with the distance — exact and loop-free
+    via a row-wise running maximum. Both fills are deterministic functions
+    of the doc's own non-empty sketch, so identical shingle sets yield
+    identical densified signatures. Empty docs (counts == 0) keep their
+    all-sentinel row (they never enter LSH)."""
+    n_docs, K = orig.shape
+    logk = int(K).bit_length() - 1
+    salt = U64(oph_salt(seed))
+    filled = orig.copy()
+    nonempty = np.flatnonzero(counts > 0)
+    if not len(nonempty):
+        return filled
+    empty_mask = orig == _EMPTY_SENTINEL
+    empty_mask[counts == 0] = False
+    er, eb = np.nonzero(empty_mask)  # flat (row, bin) cells needing a fill
+    if not len(er):
+        return filled
+    # phase 1 over FLAT cells: each probe round touches only the cells still
+    # unfilled (the set shrinks geometrically — a cell resolves with
+    # probability = its row's non-empty fraction), not the whole matrix
+    i_arr = np.arange(K, dtype=np.uint64)
+    fill_vals = np.full(len(er), _EMPTY_SENTINEL, dtype=np.uint64)
+    remaining = np.arange(len(er), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for t in range(probe_rounds):
+            probe = (
+                splitmix64(i_arr * _MIX_C ^ U64(t + 1) * _MIX_C ^ salt)
+                >> U64(64 - logk)
+            ).astype(np.int64)
+            src = orig[er[remaining], probe[eb[remaining]]]
+            ok = src != _EMPTY_SENTINEL
+            fill_vals[remaining[ok]] = src[ok]
+            remaining = remaining[~ok]
+            if not len(remaining):
+                break
+    done = fill_vals != _EMPTY_SENTINEL
+    filled[er[done], eb[done]] = fill_vals[done]
+    rows2 = np.unique(er[remaining]) if len(remaining) else np.empty(0, dtype=np.int64)
+    if len(rows2):
+        o2 = orig[rows2]
+        has = o2 != _EMPTY_SENTINEL
+        pos = np.arange(K, dtype=np.int64)
+        idx = np.where(has, pos[None, :], -1)
+        left = np.maximum.accumulate(idx, axis=1)
+        wrap = left[:, -1]  # rightmost non-empty bin (>= 0: rows are nonempty docs)
+        src_idx = np.where(left < 0, wrap[:, None], left)
+        dist = (pos[None, :] - src_idx) % K
+        vals = np.take_along_axis(o2, src_idx, axis=1)
+        with np.errstate(over="ignore"):
+            fill = splitmix64(vals ^ dist.astype(np.uint64) * _MIX_C)
+        row_map = np.full(orig.shape[0], -1, dtype=np.int64)
+        row_map[rows2] = np.arange(len(rows2), dtype=np.int64)
+        rr, bb = er[remaining], eb[remaining]
+        filled[rr, bb] = fill[row_map[rr], bb]
+    return filled
+
+
+def oph_minhash_matrix(
+    shingles: np.ndarray, counts: np.ndarray, num_perms: int, seed: int
+) -> np.ndarray:
+    """(n_docs, num_perms) uint64 one-permutation-hashing minhash matrix
+    (Li, Owen & Zhang, NIPS 2012): ONE hash v = splitmix64(x ^ salt) per
+    shingle, binned by its top log2(num_perms) bits, per-bin running min,
+    then densification (see ``_oph_densify``). Same signature shape, LSH
+    banding, and 32-bit-equality verify semantics as ``minhash_matrix`` at
+    ~1/num_perms of the hashing compute — the scale path for 10^12-doc
+    signing. Per-bin collision probability between two docs is their
+    jaccard, so component agreement remains an unbiased estimate."""
+    K = num_perms
+    if K & (K - 1):
+        raise ValueError("oph requires num_perms to be a power of 2")
+    logk = int(K).bit_length() - 1
+    n_docs = len(counts)
+    out = np.full((n_docs, K), _EMPTY_SENTINEL, dtype=np.uint64)
+    nonempty = np.flatnonzero(counts > 0)
+    if not len(nonempty):
+        return out
+    v = splitmix64(shingles ^ U64(oph_salt(seed)))
+    bins = (v >> U64(64 - logk)).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    acc = np.full(n_docs * K, _EMPTY_SENTINEL, dtype=np.uint64)
+    np.minimum.at(acc, doc_idx * K + bins, v)
+    return _oph_densify(acc.reshape(n_docs, K), counts, seed)
+
+
+def oph_minhash_simhash(
+    shingles: np.ndarray, counts: np.ndarray, num_perms: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fused (OPH minhash matrix, simhash vector): native C binned-min +
+    simhash-bit-count kernel when available (functions/native.py), numpy
+    otherwise — bit-identical either way (tests/test_oph.py). The simhash
+    half counts bits of the RAW shingle hashes, so it is bit-identical to
+    the kperm signer's simhash regardless of signer choice."""
+    from imagededupx_ray.functions import native
+
+    K = num_perms
+    logk = int(K).bit_length() - 1
+    n_docs = len(counts)
+    nonempty = np.flatnonzero(counts > 0).astype(np.int64)
+    if len(nonempty) and native.available():
+        mh = np.full((n_docs, K), _EMPTY_SENTINEL, dtype=np.uint64)
+        ones = np.zeros((n_docs, 64), dtype=np.int64)
+        ne_counts = counts[nonempty].astype(np.int64)
+        bounds = np.concatenate(([0], np.cumsum(ne_counts)))
+        if native.oph_kernel(shingles, bounds, nonempty, oph_salt(seed), logk, mh, ones):
+            return _oph_densify(mh, counts, seed), _pack_simhash(ones, counts)
+    return (
+        oph_minhash_matrix(shingles, counts, num_perms, seed),
+        simhash_vector(shingles, counts),
+    )
+
+
 def band_buckets(mh: np.ndarray, bands: int, rows: int) -> np.ndarray:
     """(n_docs, bands) int64 63-bit bucket hashes: polynomial combine of each
     band's ``rows`` minhash values, mixed with the band index (SURVEY.md §4.2

@@ -69,6 +69,33 @@ void signature_kernel(const uint64_t* shingles, const int64_t* bounds,
     }
 }
 
+/* Fused one-permutation-hashing (OPH) binned-min + SimHash-bit-count kernel.
+   ONE hash evaluation per shingle (vs num_perms in signature_kernel): each
+   shingle's v = splitmix64(x ^ salt) lands in bin v >> (64 - logk) and the
+   per-bin running min is kept. Empty bins stay at the caller's sentinel;
+   densification happens in numpy afterwards (cold path, matrix-shaped).
+   SimHash counts bits of the RAW shingle hash x — bit-identical to
+   signature_kernel's simhash regardless of signer. */
+void oph_kernel(const uint64_t* shingles, const int64_t* bounds,
+                const int64_t* doc_idx, int64_t n_nonempty,
+                uint64_t salt, int64_t logk,
+                uint64_t* mh_out, int64_t* ones_out) {
+    int64_t num_perms = (int64_t)1 << logk;
+    int shift = (int)(64 - logk);
+    for (int64_t d = 0; d < n_nonempty; ++d) {
+        uint64_t* row = mh_out + doc_idx[d] * num_perms;
+        int64_t* ones = ones_out + doc_idx[d] * 64;
+        for (int64_t s = bounds[d]; s < bounds[d+1]; ++s) {
+            uint64_t x = shingles[s];
+            uint64_t v = splitmix64(x ^ salt);
+            uint64_t b = v >> shift;
+            if (v < row[b]) row[b] = v;
+            for (int k = 0; k < 64; ++k)
+                ones[k] += (int64_t)((x >> (63 - k)) & 1ULL);
+        }
+    }
+}
+
 /* One-pass web-page text extract: first-<main> slice -> <[^>]+> tag strip ->
    standard-entity decode (&lt; &gt; &quot; &#39; &amp;) -> ASCII-whitespace
    collapse + edge trim. Byte-identical to the chained pyarrow.compute path
@@ -181,6 +208,7 @@ def _build_and_load():
             return None
     lib = ctypes.CDLL(so_path)
     lib.signature_kernel.restype = None
+    lib.oph_kernel.restype = None
     lib.extract_kernel.restype = None
     return lib
 
@@ -225,6 +253,37 @@ def signature_kernel(
         ctypes.c_int64(len(di)),
         sa.ctypes.data_as(ctypes.c_void_p),
         ctypes.c_int64(len(sa)),
+        mh_out.ctypes.data_as(ctypes.c_void_p),
+        ones_out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return True
+
+
+def oph_kernel(
+    shingles: np.ndarray,
+    bounds: np.ndarray,
+    doc_idx: np.ndarray,
+    salt: int,
+    logk: int,
+    mh_out: np.ndarray,
+    ones_out: np.ndarray,
+) -> bool:
+    """Run the fused OPH binned-min + simhash kernel in place. Returns False
+    (untouched outputs) when no native library is available."""
+    lib = _get_lib()
+    if lib is None:
+        return False
+    sh = np.ascontiguousarray(shingles, dtype=np.uint64)
+    bo = np.ascontiguousarray(bounds, dtype=np.int64)
+    di = np.ascontiguousarray(doc_idx, dtype=np.int64)
+    assert mh_out.flags.c_contiguous and ones_out.flags.c_contiguous
+    lib.oph_kernel(
+        sh.ctypes.data_as(ctypes.c_void_p),
+        bo.ctypes.data_as(ctypes.c_void_p),
+        di.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(di)),
+        ctypes.c_uint64(salt),
+        ctypes.c_int64(logk),
         mh_out.ctypes.data_as(ctypes.c_void_p),
         ones_out.ctypes.data_as(ctypes.c_void_p),
     )

@@ -1200,6 +1200,18 @@ def dedup_clusters(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG):
     return _run_dedup_cached(sf_dir, cfg).clusters
 
 
+def oph_dedup_clusters(sf_dir: str):
+    """Flagship pipeline under the one-permutation-hashing signer
+    (config.signer == "oph": one hash per shingle binned into 128
+    partitions + optimal densification, vs 128 permutation hashes — the
+    10^12-doc signing path). Same cluster schema and LSH/verify semantics;
+    recall >= 0.99 on planted truth pairs gated in tests/test_oph.py.
+    Runs LAST in the suite (the dedup cache holds one config at a time)."""
+    from dataclasses import replace
+
+    return _run_dedup_cached(sf_dir, replace(DEFAULT_CONFIG, signer="oph")).clusters
+
+
 def dedup_cluster_report(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG, top: int = 100):
     """Size-ordered duplicate-community report: the reference's
     community_detection output semantics (utils/util.py:237-305 — communities
@@ -4585,7 +4597,7 @@ def _component_ok(name: str, df: pd.DataFrame) -> bool:
             v = df[c].to_numpy()
             if v.min() < -1.000001 or v.max() > 1.000001:
                 return False
-    if name == "dedup_clusters" and {"cluster_id", "is_canonical"} <= cols:
+    if name in ("dedup_clusters", "oph_dedup_clusters") and {"cluster_id", "is_canonical"} <= cols:
         if not bool((df.groupby("cluster_id")["is_canonical"].sum() == 1).all()):
             return False
     if name == "corpus_refine_report" and {"docs_in", "docs_out", "removed"} <= cols:
@@ -4752,7 +4764,7 @@ def multimodal_suite(sf_dir: str) -> pd.DataFrame:
 def nonsql_suite(sf_dir: str) -> pd.DataFrame:
     """similarity_suite + multimodal_suite + the dedup cluster report as ONE
     driver-visible entry (the driver artifact records at most 50
-    ``queries()`` rows; merging the rows-only family keeps all 42 component
+    ``queries()`` rows; merging the rows-only family keeps all 43 component
     pipelines' evidence rows inside the cap while freeing slots for
     SQL-gated queries)."""
     return pd.concat(
@@ -4760,6 +4772,9 @@ def nonsql_suite(sf_dir: str) -> pd.DataFrame:
             similarity_suite(sf_dir),
             multimodal_suite(sf_dir),
             _suite_summary({"dedup_cluster_report": dedup_cluster_report(sf_dir)}),
+            # LAST: signer="oph" re-keys the dedup cache; running it after
+            # every kperm consumer avoids re-running the kperm pipeline
+            _suite_summary({"oph_dedup_clusters": oph_dedup_clusters(sf_dir)}),
         ],
         ignore_index=True,
     )

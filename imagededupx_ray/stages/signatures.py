@@ -38,7 +38,10 @@ class SignatureStage:
         flat, offsets = tokenize_batch(batch["text"])
         token_h = H.token_hash_flat(flat, unique_cache=self.token_cache)
         shingles, counts = H.shingle_hashes(token_h, offsets, cfg.shingle_k)
-        mh, sv = H.minhash_simhash(shingles, counts, self.salts)
+        if cfg.signer == "oph":
+            mh, sv = H.oph_minhash_simhash(shingles, counts, cfg.num_perms, cfg.perm_seed)
+        else:
+            mh, sv = H.minhash_simhash(shingles, counts, self.salts)
         mh_col = pa.FixedSizeListArray.from_arrays(
             pa.array(mh.reshape(-1), type=pa.uint64()), cfg.num_perms
         )
