@@ -92,7 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cluster report — run as ONE composite suite: every component
         # executes end-to-end and contributes one deterministic
         # (component, n_rows, n_cols, result_md5) evidence row, keeping all
-        # 43 component pipelines visible in the driver artifact within the
+        # 44 component pipelines visible in the driver artifact within the
         # 50-entry budget (dedup_clusters rides the suite too — entry()
         # already runs the flagship pipeline standalone). Granular callables
         # remain first-class in imagededupx_ray.queries (pytest-gated,

@@ -1200,6 +1200,18 @@ def dedup_clusters(sf_dir: str, cfg: DedupConfig = DEFAULT_CONFIG):
     return _run_dedup_cached(sf_dir, cfg).clusters
 
 
+def docs_weighted_dup_pairs(sf_dir: str, threshold: float = 0.5):
+    """All doc pairs with TERM-FREQUENCY-weighted jaccard >= threshold
+    (J_w = sum min(tf) / sum max(tf) over unigram tokens): ICWS weighted
+    minhash sketches (Ioffe 2010) band through the production LSH exchange
+    for candidates, exact weighted verify via the bag-expansion reduction
+    (stages/wminhash.py). DuckDB exact twin + engine equality gated in
+    tests/test_wminhash.py."""
+    from imagededupx_ray.stages.wminhash import weighted_dup_pairs
+
+    return weighted_dup_pairs(_read(sf_dir, "documents"), threshold=threshold)
+
+
 def oph_dedup_clusters(sf_dir: str):
     """Flagship pipeline under the one-permutation-hashing signer
     (config.signer == "oph": one hash per shingle binned into 128
@@ -4592,7 +4604,7 @@ def _component_ok(name: str, df: pd.DataFrame) -> bool:
             return False
     if {"a", "b"} <= cols and not bool((df["a"] < df["b"]).all()):
         return False
-    for c in ("jaccard", "cosine"):
+    for c in ("jaccard", "cosine", "wjaccard"):
         if c in cols and len(df):
             v = df[c].to_numpy()
             if v.min() < -1.000001 or v.max() > 1.000001:
@@ -4738,6 +4750,7 @@ def similarity_suite(sf_dir: str) -> pd.DataFrame:
             "docs_distinct_bigrams_hll": docs_distinct_bigrams_hll(sf_dir),
             "docs_length_quantiles_sketch": docs_length_quantiles_sketch(sf_dir),
             "docs_decontaminate_bloom": docs_decontaminate_bloom(sf_dir),
+            "docs_weighted_dup_pairs": docs_weighted_dup_pairs(sf_dir),
         }
     )
 
@@ -4764,7 +4777,7 @@ def multimodal_suite(sf_dir: str) -> pd.DataFrame:
 def nonsql_suite(sf_dir: str) -> pd.DataFrame:
     """similarity_suite + multimodal_suite + the dedup cluster report as ONE
     driver-visible entry (the driver artifact records at most 50
-    ``queries()`` rows; merging the rows-only family keeps all 43 component
+    ``queries()`` rows; merging the rows-only family keeps all 44 component
     pipelines' evidence rows inside the cap while freeing slots for
     SQL-gated queries)."""
     return pd.concat(
