@@ -174,6 +174,13 @@ def main(argv: list[str] | None = None) -> int:
     rf.add_argument("--min-line-retention", type=float, default=0.3)
     rf.add_argument("--no-url-dedup", action="store_true")
     rf.add_argument(
+        "--blocklist",
+        default=None,
+        help="host blocklist file (one host per line, # comments); pages "
+        "whose url host matches a blocked host or any dot-suffix of one "
+        "are dropped before every other stage",
+    )
+    rf.add_argument(
         "--max-per-host",
         type=int,
         default=None,
@@ -626,6 +633,7 @@ def main(argv: list[str] | None = None) -> int:
             survivors, report = refine_corpus(
                 rd.read_parquet(args.input),
                 DEFAULT_CONFIG,
+                blocklist_hosts=args.blocklist,
                 with_url_dedup=not args.no_url_dedup,
                 max_per_host=args.max_per_host,
                 line_min_doc_rep=args.line_min_doc_rep or None,

@@ -4,6 +4,11 @@ report (the "Macrodata Refinement" table every released corpus publishes —
 RefinedWeb Penedo et al. 2023 Fig. 2; CCNet Wenzek et al. 2019 §4).
 
 Stage order (each optional, each a stage this repo already ships):
+  0. url_blocklist        — drop blocklisted-host pages first, dot-suffix
+                            match (stages/urlfilter.host_blocklist_filter;
+                            RefinedWeb §G.1 applies its curated domain
+                            blocklist before any content work; off by
+                            default)
   1. url_dedup            — canonical-url collapse, earliest crawl wins
                             (stages/urlfilter.py)
   1b. domain_cap          — <= max_per_host pages per url host, earliest
@@ -94,6 +99,7 @@ def refine_corpus(
     cfg: DedupConfig = DEFAULT_CONFIG,
     *,
     count_tokens: bool = False,
+    blocklist_hosts=None,
     with_url_dedup: bool = True,
     max_per_host: int | None = None,
     line_min_doc_rep: int | None = 30,
@@ -122,6 +128,9 @@ def refine_corpus(
     materialized stage output. ``line_min_doc_rep=None`` /
     ``with_quality=False`` / ``decontam_ds=None`` skip their stages.
     ``max_per_host`` (default off) caps pages per url host after url dedup.
+    ``blocklist_hosts`` (default off; a path to a hosts file or an iterable
+    of hosts) drops blocklisted-host pages FIRST — dot-suffix semantics,
+    see stages/urlfilter.host_blocklist_filter.
     ``min_line_retention`` drops docs keeping less than that fraction of
     their pre-scrub characters (RefinedWeb's document-level line-filter
     drop rule); 0 keeps every doc. ``quality_clf_threshold`` (default off)
@@ -159,6 +168,13 @@ def refine_corpus(
         m = new_ds.count()
         rows.append((name, n, m, toks(new_ds)))
         ds, n = new_ds, m
+
+    if blocklist_hosts and "url" in ds.schema().names:
+        from imagededupx_ray.stages.urlfilter import host_blocklist_filter
+
+        # FIRST: dropping a blocklisted page here costs nothing downstream
+        # (RefinedWeb's url filtering precedes every content stage)
+        step("url_blocklist", host_blocklist_filter(ds, blocklist_hosts))
 
     if with_url_dedup and "url" in ds.schema().names:
         from imagededupx_ray.stages.urlfilter import url_dedup

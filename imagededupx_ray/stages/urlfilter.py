@@ -162,3 +162,84 @@ def url_dedup(pages_ds, num_partitions: int = 64):
         .groupby("_part")
         .map_groups(first_per_url, batch_format="pyarrow")
     )
+
+
+def load_blocklist(path: str) -> list[str]:
+    """Read a host blocklist file: one host per line, '#' comments and blank
+    lines skipped, entries lowercased; a leading '*.' or '.' (common
+    blocklist notations for "and subdomains" — suffix matching already
+    implies it here) is stripped."""
+    hosts = []
+    with open(path) as f:
+        for line in f:
+            h = line.split("#", 1)[0].strip().lower()
+            if h.startswith("*."):
+                h = h[2:]
+            h = h.lstrip(".")
+            if h:
+                hosts.append(h)
+    return hosts
+
+
+def blocked_host_mask(
+    hosts: pa.Array, blocked_sorted: np.ndarray, max_labels: int = 12
+) -> np.ndarray:
+    """Boolean mask: host is blocked under DOT-SUFFIX semantics — blocking
+    'bad.com' drops 'bad.com' and 'x.bad.com', never 'notbad.com'. Each
+    round tests the current suffix's hash against the sorted blocklist
+    hashes (searchsorted — no Python set per row), then strips one leading
+    label; rounds stop when no '.' remains (registrable hosts are < 12
+    labels deep)."""
+    import pandas as pd
+
+    from imagededupx_ray.functions.hashing import token_hash_flat
+
+    mask = np.zeros(len(hosts), dtype=bool)
+    if len(blocked_sorted) == 0 or len(hosts) == 0:
+        return mask
+    cur = pd.Series(hosts.to_pandas() if hasattr(hosts, "to_pandas") else hosts)
+    for _ in range(max_labels):
+        nonempty = cur.str.len() > 0
+        if not nonempty.any():
+            break
+        h = token_hash_flat(pa.array(cur, type=pa.string()))
+        pos = np.minimum(
+            np.searchsorted(blocked_sorted, h), len(blocked_sorted) - 1
+        )
+        mask |= (blocked_sorted[pos] == h) & nonempty.to_numpy()
+        has_dot = cur.str.contains(".", regex=False)
+        if not has_dot.any():
+            break
+        nxt = cur.where(~has_dot, cur.str.split(".", n=1).str[-1])
+        nxt[~has_dot] = ""
+        cur = nxt
+    return mask
+
+
+def host_blocklist_filter(pages_ds, blocked_hosts):
+    """pages → pages whose url host is NOT on the blocklist — the first
+    filtering stage of RefinedWeb-style corpus builds (Penedo et al. 2023
+    §G.1: a curated adult/fraud/malware domain blocklist applied before any
+    content work, because dropping a page here costs nothing downstream).
+
+    Matching is dot-suffix (see blocked_host_mask). Scale shape: the
+    blocklist ships as ONE sorted uint64 hash array in the object store
+    (``ray.put`` — RefinedWeb's 4.6M domains ≈ 37 MB, fetched once per node,
+    never per task) and the filter is an embarrassingly parallel
+    map_batches; no exchange."""
+    import ray
+
+    from imagededupx_ray.functions.hashing import token_hash_flat
+
+    blocked = sorted(set(load_blocklist(blocked_hosts))) if isinstance(
+        blocked_hosts, str
+    ) else sorted({h.strip().lower() for h in blocked_hosts if h.strip()})
+    blocked_arr = np.sort(token_hash_flat(pa.array(blocked, type=pa.string())))
+    blocked_ref = ray.put(blocked_arr)
+
+    def drop_blocked(batch: pa.Table) -> pa.Table:
+        bl = ray.get(blocked_ref)
+        m = blocked_host_mask(extract_hosts(batch["url"]), bl)
+        return batch.filter(pa.array(~m))
+
+    return pages_ds.map_batches(drop_blocked, batch_format="pyarrow")

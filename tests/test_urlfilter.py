@@ -159,3 +159,105 @@ def test_host_cap_keeps_earliest_and_host_column(ray_session):
     # the two earliest crawls survive; NaT sorts last and is dropped
     assert hot == ["http://hot.example/p1", "http://hot.example/p3"]
     assert out[out["host"] == "cold.example"]["url"].tolist() == ["http://cold.example/x"]
+
+
+def test_blocked_host_mask_suffix_semantics():
+    from imagededupx_ray.functions.hashing import token_hash_flat
+    from imagededupx_ray.stages.urlfilter import blocked_host_mask, extract_hosts
+
+    blocked = np.sort(token_hash_flat(pa.array(["bad.com", "evil.org"])))
+    urls = pa.array(
+        [
+            "http://bad.com/x",          # exact
+            "https://www.bad.com/",      # subdomain
+            "http://notbad.com/",        # NOT a dot-suffix
+            "http://a.b.evil.org/z",     # deep subdomain
+            "http://good.com/",
+            "not a url",                 # no host -> never blocked
+            "http://BAD.com/up",         # case-insensitive
+            "http://com/",               # bare label != suffix of bad.com
+        ]
+    )
+    m = blocked_host_mask(extract_hosts(urls), blocked)
+    assert m.tolist() == [True, True, False, True, False, False, True, False]
+    # empty blocklist blocks nothing
+    m0 = blocked_host_mask(extract_hosts(urls), np.empty(0, dtype=np.uint64))
+    assert not m0.any()
+
+
+def test_load_blocklist(tmp_path):
+    from imagededupx_ray.stages.urlfilter import load_blocklist
+
+    f = tmp_path / "bl.txt"
+    f.write_text("# comment\nBad.com\n*.evil.org  # trailing\n\n.dotted.net\n")
+    assert load_blocklist(str(f)) == ["bad.com", "evil.org", "dotted.net"]
+
+
+def test_host_blocklist_filter_matches_duckdb(ray_session):
+    """Kept set equals the DuckDB dot-suffix twin over the same host
+    extraction (simple authority urls: no userinfo/port)."""
+    import duckdb
+    import ray.data as rd
+
+    from imagededupx_ray.stages.urlfilter import host_blocklist_filter
+
+    rng = np.random.default_rng(5)
+    hosts = ["bad.com", "www.bad.com", "a.bad.com", "notbad.com", "ok.net",
+             "evil.org", "x.evil.org", "fine.io", "sub.fine.io"]
+    urls = [
+        f"http://{hosts[int(i)]}/p{n}" for n, i in enumerate(rng.integers(0, len(hosts), 120))
+    ]
+    pages = pa.table({"url": pa.array(urls, type=pa.string()),
+                      "text": pa.array([f"t{n}" for n in range(len(urls))], type=pa.string())})
+    blocked = ["bad.com", "evil.org"]
+    kept = host_blocklist_filter(rd.from_arrow(pages), blocked).to_pandas()
+
+    con = duckdb.connect()
+    con.register("pages", pages)
+    want = con.execute(
+        "WITH h AS (SELECT url, regexp_extract(lower(url), "
+        "'^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host FROM pages) "
+        "SELECT url FROM h WHERE NOT (host IN ('bad.com', 'evil.org') "
+        "OR host LIKE '%.bad.com' OR host LIKE '%.evil.org') ORDER BY url"
+    ).df()
+    assert sorted(kept["url"].tolist()) == want["url"].tolist()
+    assert len(kept) < len(urls)  # something was planted and dropped
+
+
+def test_refine_blocklist_stage(ray_session, tmp_path):
+    import ray.data as rd
+
+    from imagededupx_ray.config import DEFAULT_CONFIG
+    from imagededupx_ray.pipelines.refine import refine_corpus
+
+    n = 60
+    urls = [
+        f"http://spam.example/p{i}" if i % 3 == 0 else f"http://site{i}.net/a"
+        for i in range(n)
+    ]
+    texts = ["words " * 60 + f"tail{i} " + "more words here. " * 20 for i in range(n)]
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "warc_ts": pa.array(np.full(n, "2021-01-01", dtype="datetime64[us]")),
+                "html": pa.array([None] * n, type=pa.binary()),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(["en"] * n, type=pa.string()),
+            }
+        )
+    )
+    bl = tmp_path / "bl.txt"
+    bl.write_text("spam.example\n")
+    _, report = refine_corpus(
+        pages,
+        DEFAULT_CONFIG,
+        blocklist_hosts=str(bl),
+        line_min_doc_rep=None,
+        with_quality=False,
+    )
+    r = report.set_index("stage")
+    assert r.loc["url_blocklist", "docs_in"] == n
+    assert r.loc["url_blocklist", "removed"] == n // 3
+    # blocklist runs FIRST
+    assert list(report["stage"])[0] == "url_blocklist"
