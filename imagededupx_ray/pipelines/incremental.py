@@ -1172,29 +1172,35 @@ def build_snapshot(
             if n_new > 0
             else _EMPTY
         )
+        # exact-dedup canonical via the freshly-merged sig_min_doc minima —
+        # no dup-group exchange over the corpus (sig-space keying, same
+        # collision tolerance as the label map itself)
+        canon_ref = ray.put((usk, usv))
         if delta_disjoint and len(parent_excl) == 0:
             # fully delta-bounded clusters: no parent row can change and no
             # prior patch rows need carrying forward — assign over the
             # delta meta alone (dup groups are delta-internal: no shared
             # text with the parent by the disjoint check)
             MERGE_PAIR_WALLS["cl_path"] = "disjoint"
-            dup_ref = _dup_groups_broadcast(docs_new_meta, p)
             clusters_patch = _assign_clusters_sigspace(
-                docs_new_meta, dup_ref, new_keys, new_labels
+                docs_new_meta, None, new_keys, new_labels,
+                sig_canon_ref=canon_ref,
             ).materialize()
             patch_docs_emitted = delta_doc_ids
         else:
             MERGE_PAIR_WALLS["cl_path"] = "incremental"
-            dup_ref = _dup_groups_broadcast(_meta_all(), p)
             patch_sigs = np.union1d(changed_sigs, cluster_patch_sigs_aux)
             patch_docs = np.union1d(delta_doc_ids, parent_excl)
             clusters_patch = _assign_clusters_sigspace(
-                _meta_all(),
-                dup_ref,
+                # lazy read: the filter-and-assign map fuses with the
+                # parquet scan — no full-corpus materialize on this path
+                store.read_stage(snapshot, "docs_meta"),
+                None,
                 new_keys,
                 new_labels,
                 only_docs=patch_docs,
                 only_sigs=patch_sigs,
+                sig_canon_ref=canon_ref,
             ).materialize()
             patch_docs_emitted = _collect_unique_i64(
                 clusters_patch, _col_i64("doc_id")
@@ -1378,6 +1384,7 @@ def _assign_clusters_sigspace(
     cl_vals: np.ndarray,
     only_docs: np.ndarray | None = None,
     only_sigs: np.ndarray | None = None,
+    sig_canon_ref=None,
 ):
     """Final ``clusters`` table in ONE map over the full docs_meta view:
     cluster(doc) = component label of sig(doc) when its text appears in any
@@ -1387,7 +1394,14 @@ def _assign_clusters_sigspace(
 
     ``only_docs``/``only_sigs`` (sorted i64) restrict the OUTPUT to docs in
     the set or with a sig in the set — the patch-based merge emits only rows
-    that can differ from the parent's clusters parts."""
+    that can differ from the parent's clusters parts.
+
+    ``sig_canon_ref`` (ray ref of sorted (sig, min_doc) arrays — the
+    ``sig_min_doc`` sidecar the incremental-labels path already maintains)
+    replaces ``dup_ref``: the exact-dedup canonical is looked up per SIG
+    instead of per 128-bit sha key, skipping the full-corpus dup-group
+    exchange entirely. Sig-space keying is the same collision tolerance the
+    cluster-label map already accepts."""
     map_ref = ray.put((sig_sorted, cl_vals))
     filt_ref = (
         ray.put((only_docs, only_sigs))
@@ -1397,16 +1411,24 @@ def _assign_clusters_sigspace(
 
     def assign(batch: pa.Table) -> pa.Table:
         sigs, cls = ray.get(map_ref)
-        d_keys, d_canon, _ = ray.get(dup_ref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         sg = sig_ids_from_sha(batch["text_sha256"])
         canon = ids.copy()
-        if len(d_keys):
-            s16 = i64_pair_to_key16(*sha_to_i64_pair(batch["text_sha256"]))
-            pos = np.searchsorted(d_keys, s16)
-            pos[pos >= len(d_keys)] = 0
-            hit = d_keys[pos] == s16
-            canon[hit] = d_canon[pos[hit]]
+        if sig_canon_ref is not None:
+            c_keys, c_min = ray.get(sig_canon_ref)
+            if len(c_keys):
+                pos = np.searchsorted(c_keys, sg)
+                pos[pos >= len(c_keys)] = 0
+                hit = c_keys[pos] == sg
+                canon[hit] = c_min[pos[hit]]
+        else:
+            d_keys, d_canon, _ = ray.get(dup_ref)
+            if len(d_keys):
+                s16 = i64_pair_to_key16(*sha_to_i64_pair(batch["text_sha256"]))
+                pos = np.searchsorted(d_keys, s16)
+                pos[pos >= len(d_keys)] = 0
+                hit = d_keys[pos] == s16
+                canon[hit] = d_canon[pos[hit]]
         cl = canon.copy()
         if len(sigs):
             pos = np.searchsorted(sigs, sg)
