@@ -54,6 +54,7 @@ same accepted budget as doc_id = hash64(url): ~2^-63 per pair.
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -79,6 +80,7 @@ from imagededupx_ray.state.checkpoint import (
     SnapshotStore,
     parquet_files,
     part_sorted_index_paths,
+    write_part_meta_index,
     write_part_sig_index,
     write_part_sorted_index,
 )
@@ -131,6 +133,62 @@ def _index_lookup(kp: str, vp: str, want, key: str, val: str):
             val: pa.array(np.asarray(v[idx]), type=pa.int64()),
         }
     )
+
+
+@ray.remote
+def _meta_index_lookup(kp: str, cp: str, sp: str, want):
+    """Memmapped multi-hit point lookup into one docs_meta part's sorted
+    (doc_id → combo, sig) index: returns the (combo, sig) rows of every
+    physical row whose doc_id is in ``want`` (a url may own several
+    physical rows across snapshots — all are returned, like the scan)."""
+    schema = pa.schema([("combo", pa.int64()), ("sig", pa.int64())])
+    k = np.load(kp, mmap_mode="r")
+    if len(k) == 0 or len(want) == 0:
+        return schema.empty_table()
+    lo = np.searchsorted(k, want, side="left")
+    hi = np.searchsorted(k, want, side="right")
+    cnt = hi - lo
+    nz = cnt > 0
+    if not nz.any():
+        return schema.empty_table()
+    lo2, cnt2 = lo[nz], cnt[nz]
+    total = int(cnt2.sum())
+    excl = np.concatenate(([0], np.cumsum(cnt2)[:-1]))
+    idx = np.repeat(lo2 - excl, cnt2) + np.arange(total)
+    c = np.load(cp, mmap_mode="r")
+    s = np.load(sp, mmap_mode="r")
+    return pa.table(
+        {
+            "combo": pa.array(np.asarray(c[idx]), type=pa.int64()),
+            "sig": pa.array(np.asarray(s[idx]), type=pa.int64()),
+        }
+    )
+
+
+def _meta_index_paths(dirs: list[str]) -> list[tuple[str, str, str]] | None:
+    """(_idx_doc_id, _idx_combo, _idx_sig) per docs_meta part dir, or None
+    if ANY part lacks them (caller falls back to the parquet scan)."""
+    out = []
+    for d in dirs:
+        ps = tuple(
+            os.path.join(d, f"_idx_{n}.npy") for n in ("doc_id", "combo", "sig")
+        )
+        if not all(os.path.exists(p) for p in ps):
+            return None
+        out.append(ps)
+    return out
+
+
+@ray.remote
+def _index_member(kp: str, want):
+    """Memmapped membership probe into one part's sorted key index: the
+    subset of ``want`` (sorted i64) present in the part."""
+    k = np.load(kp, mmap_mode="r")
+    if len(k) == 0 or len(want) == 0:
+        return np.empty(0, np.int64)
+    pos = np.searchsorted(k, want)
+    pos[pos >= len(k)] = 0
+    return np.asarray(want[k[pos] == want], dtype=np.int64)
 
 
 @ray.remote
@@ -843,35 +901,69 @@ def build_snapshot(
             delta_doc_ids_pre = _collect_unique_i64(
                 docs_new.select_columns(["doc_id"]), _col_i64("doc_id")
             )
-            combo_ref = ray.put(delta_combos)
-            docs_ref = ray.put(delta_doc_ids_pre)
-
-            def hit_fn(t: pa.Table) -> pa.Table:
-                if t.num_rows == 0:
-                    return t
-                m = _in_sorted(ray.get(combo_ref), doc_sig_combo(t)) | _in_sorted(
-                    ray.get(docs_ref), t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            # classification key is the url hash alone: ``combo`` is a hash
+            # of (doc_id, sig), so a stored row can only classify a delta
+            # url whose doc_id it shares
+            idx_paths = _meta_index_paths(parent_meta_dirs)
+            if idx_paths is not None:
+                # delta-bounded probe: binary-search the delta's urls in the
+                # memmapped per-part (doc_id → combo, sig) indexes — I/O is
+                # hits + log-depth index pages, not the stored corpus
+                MERGE_PAIR_WALLS["class_mode"] = "index"
+                want_ref = ray.put(
+                    np.ascontiguousarray(delta_doc_ids_pre, dtype=np.int64)
                 )
-                return t.filter(pa.array(m))
+                hit_tables = [
+                    t
+                    for t in ray.get(
+                        [
+                            _meta_index_lookup.remote(kp, cp, sp, want_ref)
+                            for kp, cp, sp in idx_paths
+                        ]
+                    )
+                    if t.num_rows
+                ]
+            else:
+                MERGE_PAIR_WALLS["class_mode"] = "scan"
+                docs_ref = ray.put(delta_doc_ids_pre)
 
-            hit_tables = [
-                b
-                for b in rd.read_parquet(
-                    parquet_files(parent_meta_dirs),
-                    columns=["doc_id", "text_sha256"],
-                )
-                .map_batches(hit_fn, batch_format="pyarrow")
-                .iter_batches(batch_size=1 << 18, batch_format="pyarrow")
-                if b.num_rows
-            ]
+                def hit_fn(t: pa.Table) -> pa.Table:
+                    if t.num_rows == 0:
+                        return pa.table(
+                            {"combo": pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.int64())}
+                        )
+                    m = _in_sorted(
+                        ray.get(docs_ref),
+                        t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    )
+                    t = t.filter(pa.array(m))
+                    return pa.table(
+                        {
+                            "combo": pa.array(doc_sig_combo(t), type=pa.int64()),
+                            "sig": pa.array(_sig_of(t), type=pa.int64()),
+                        }
+                    )
+
+                hit_tables = [
+                    b
+                    for b in rd.read_parquet(
+                        parquet_files(parent_meta_dirs),
+                        columns=["doc_id", "text_sha256"],
+                    )
+                    .map_batches(hit_fn, batch_format="pyarrow")
+                    .iter_batches(batch_size=1 << 18, batch_format="pyarrow")
+                    if b.num_rows
+                ]
             if hit_tables:
                 hits = pa.concat_tables(hit_tables)
-                combos_h = doc_sig_combo(hits)
+                combos_h = hits["combo"].to_numpy(zero_copy_only=False).astype(np.int64)
                 in_delta = _in_sorted(delta_combos, combos_h)
                 seen = np.unique(combos_h[in_delta])
                 if not in_delta.all():
+                    sigs_h = hits["sig"].to_numpy(zero_copy_only=False).astype(np.int64)
                     superseded_combos = np.unique(combos_h[~in_delta])
-                    superseded_sigs = np.unique(_sig_of(hits)[~in_delta])
+                    superseded_sigs = np.unique(sigs_h[~in_delta])
                     n_super = int(
                         (~_in_sorted(parent_dead, superseded_combos)).sum()
                     )
@@ -921,7 +1013,7 @@ def build_snapshot(
         cluster_patch_aux_ok = True
 
         if not resume_meta:
-            store.write_stage(
+            meta_own_dir = store.write_stage(
                 snapshot,
                 "docs_meta",
                 _nonempty(docs_new_meta, _META_SCHEMA),
@@ -930,6 +1022,10 @@ def build_snapshot(
                 exclude={"sidecar": "dead_row_keys", "columns": ["doc_sig_combo"]},
                 rows=parent_meta_rows - n_killed - n_super + len(revived) + n_new,
             )
+            # sorted (doc_id → combo, sig) lookup index over the OWN part:
+            # future merges classify their deltas by memmapped binary
+            # search instead of scanning every stored meta row
+            write_part_meta_index(meta_own_dir)
 
         # ---- signatures: sign ONLY never-seen texts ----------------------
         t0 = time.monotonic()
@@ -939,17 +1035,31 @@ def build_snapshot(
             reps, _ = exact_dedup(docs_new, strategy="broadcast")
             if parent_sig_dirs:
                 # texts already signed anywhere in the lineage (extinct ones
-                # included — resurrection reuses them): one column-pruned
-                # scan of the physical signature parts, delta-restricted
-                signed = _collect_unique_i64(
-                    _filter_ds(
-                        rd.read_parquet(parquet_files(parent_sig_dirs), columns=["doc_id"]),
+                # included — resurrection reuses them): membership probe of
+                # the delta's sig ids against the per-part sorted signature
+                # indexes (delta-bounded), else one column-pruned scan of
+                # the physical parts, delta-restricted
+                sig_idx = part_sorted_index_paths(parent_sig_dirs, "doc_id", "sigpl")
+                if sig_idx is not None:
+                    want_ref = ray.put(
+                        np.ascontiguousarray(delta_sigs, dtype=np.int64)
+                    )
+                    hits = ray.get(
+                        [_index_member.remote(kp, want_ref) for kp, _ in sig_idx]
+                    )
+                    signed = np.unique(np.concatenate(hits)) if hits else _EMPTY
+                else:
+                    signed = _collect_unique_i64(
+                        _filter_ds(
+                            rd.read_parquet(
+                                parquet_files(parent_sig_dirs), columns=["doc_id"]
+                            ),
+                            _col_i64("doc_id"),
+                            delta_sigs,
+                            True,
+                        ),
                         _col_i64("doc_id"),
-                        delta_sigs,
-                        True,
-                    ),
-                    _col_i64("doc_id"),
-                )
+                    )
                 if len(signed):
                     reps = _filter_ds(reps, _sig_of, signed, False)
             sig_delta = _pack_sigs(

@@ -434,6 +434,38 @@ def write_part_sig_index(part_dir: str) -> None:
         os.replace(tmp, path)
 
 
+def write_part_meta_index(part_dir: str) -> None:
+    """Sorted point-lookup index for one DOCS_META part: ``_idx_doc_id.npy``
+    (sorted url-hash doc ids) + ``_idx_combo.npy`` / ``_idx_sig.npy`` (the
+    derived (url, content) combo key and content sig id in the same sorted
+    order). A merge's new/modified delta classification (reference M10,
+    improved_faiss_detector.py:269-295) then binary-searches the MEMMAPPED
+    id array for just the delta's urls instead of scanning every stored
+    meta row — the classification becomes delta-bounded. Same
+    atomicity/fallback contract as write_part_sorted_index."""
+    import pyarrow.parquet as pq
+
+    from imagededupx_ray.stages.dedup import doc_sig_combo, sig_ids_from_sha
+
+    files = parquet_files([part_dir])
+    if not files:
+        return
+    t = pq.read_table(files, columns=["doc_id", "text_sha256"])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    combo = doc_sig_combo(t)
+    sig = sig_ids_from_sha(t["text_sha256"])
+    order = np.argsort(ids, kind="stable")
+    for name, arr in (
+        ("doc_id", ids[order]),
+        ("combo", combo[order]),
+        ("sig", sig[order]),
+    ):
+        path = os.path.join(part_dir, f"_idx_{name}.npy")
+        tmp = f"{path}.tmp{os.getpid()}.npy"
+        np.save(tmp, arr)
+        os.replace(tmp, path)
+
+
 def part_sorted_index_paths(
     dirs: list[str], key: str, val: str
 ) -> list[tuple[str, str]] | None:
