@@ -1792,6 +1792,24 @@ def ann_hnsw(sf_dir: str, n_queries: int = 10, k: int = 10):
     return out
 
 
+def pq_search_topk(sf_dir: str, n_queries: int = 10, k: int = 10, m: int = 16):
+    """Product-quantized ANN top-k (stages/pq.py) — the memory-scale path of
+    knn_cosine: fit per-subspace codebooks, encode the embeddings table to
+    m-byte codes (16x compression at d=64), ADC-shortlist each query over
+    the codes-only scan, then exact-rerank the bounded shortlist (the faiss
+    refine discipline; the reference's autofaiss factory picks IVF*,PQ*
+    layouts at this corpus scale, faiss_bert_similarity.py:98-130).
+    Rows-only — recall gates live in tests/test_pq.py."""
+    from imagededupx_ray.stages.pq import pq_encode, pq_fit, pq_search_rerank
+
+    emb = _read(sf_dir, "embeddings")
+    q = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    Q = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    cb = pq_fit(emb, m=m)
+    codes = pq_encode(emb, cb).materialize()
+    return pq_search_rerank(codes, emb, cb, Q, q["vec_id"].to_numpy(), k=k)
+
+
 def image_decode_features(sf_dir: str):
     """Multimodal decode: mixed PNG/JPEG/GIF payloads through the
     actor-pool decode stage — (width, height, mean_luma) come from the REAL
@@ -4671,6 +4689,17 @@ def _component_ok(name: str, df: pd.DataFrame) -> bool:
             < int(r.loc[0, "n_dup_docs"])
         ):
             return False
+    if name == "pq_search_topk" and {"query_id", "vec_id", "score", "rank"} <= cols:
+        s = df["score"].to_numpy()
+        if len(df) == 0 or np.abs(s).max() > 1.0 + 1e-9:
+            return False
+        # reranked scores are true cosines: every query's rank-1 hit must be
+        # itself (queries are corpus rows) with cosine 1.0
+        top1 = df[df["rank"] == 1]
+        if not (top1["query_id"].to_numpy() == top1["vec_id"].to_numpy()).all():
+            return False
+        if not np.allclose(top1["score"].to_numpy(), 1.0, atol=1e-6):
+            return False
     if name == "docs_line_dedup" and {"n_lines", "n_lines_removed"} <= cols:
         rm = df["n_lines_removed"].to_numpy()
         if (rm < 0).any() or (rm > df["n_lines"].to_numpy()).any():
@@ -4722,6 +4751,7 @@ def similarity_suite(sf_dir: str) -> pd.DataFrame:
             "docs_winnow_fingerprints": docs_winnow_fingerprints(sf_dir),
             "ann_cosine": ann_cosine(sf_dir),
             "ann_hnsw": ann_hnsw(sf_dir),
+            "pq_search_topk": pq_search_topk(sf_dir),
             "embedding_dup_pairs_ann": embedding_dup_pairs_ann(sf_dir),
             "semdedup_prune": semdedup_prune(sf_dir),
             "lsa_semdedup": lsa_semdedup(sf_dir),
