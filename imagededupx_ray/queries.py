@@ -1810,6 +1810,28 @@ def pq_search_topk(sf_dir: str, n_queries: int = 10, k: int = 10, m: int = 16):
     return pq_search_rerank(codes, emb, cb, Q, q["vec_id"].to_numpy(), k=k)
 
 
+def docs_bpe_subwords(sf_dir: str, n_merges: int = 200, n_docs: int = 50):
+    """Train a BPE subword vocabulary over the documents table (distributed
+    word counts → bounded driver merge loop, stages/bpe.py) and encode the
+    first ``n_docs`` docs with the learned merges through the stateful
+    actor-pool encoder. Evidence row per encoded doc: token count + the
+    space-joined subword string (full segmentation, md5-stable). Rows-only
+    — trainer parity, blocking invariance and round-trip gates live in
+    tests/test_bpe.py."""
+    from imagededupx_ray.stages.bpe import bpe_encode, bpe_train
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=n_merges)
+    enc = (
+        bpe_encode(docs.filter(expr=f"doc_id < {n_docs}"), merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    enc["subwords"] = enc["tokens"].map(lambda t: " ".join(t))
+    return enc[["doc_id", "n_tokens", "subwords"]]
+
+
 def image_decode_features(sf_dir: str):
     """Multimodal decode: mixed PNG/JPEG/GIF payloads through the
     actor-pool decode stage — (width, height, mean_luma) come from the REAL
@@ -4700,6 +4722,20 @@ def _component_ok(name: str, df: pd.DataFrame) -> bool:
             return False
         if not np.allclose(top1["score"].to_numpy(), 1.0, atol=1e-6):
             return False
+    if name == "docs_bpe_subwords" and {"doc_id", "n_tokens", "subwords"} <= cols:
+        if len(df) == 0:
+            return False
+        nt = df["n_tokens"].to_numpy()
+        # every token count matches its segmentation; every word closes
+        # with the end-of-word marker
+        for _, r in df.iterrows():
+            toks = r["subwords"].split(" ") if r["subwords"] else []
+            if len(toks) != r["n_tokens"]:
+                return False
+            if toks and not "".join(toks).endswith("▁"):
+                return False
+        if (nt <= 0).all():
+            return False
     if name == "docs_line_dedup" and {"n_lines", "n_lines_removed"} <= cols:
         rm = df["n_lines_removed"].to_numpy()
         if (rm < 0).any() or (rm > df["n_lines"].to_numpy()).any():
@@ -4752,6 +4788,7 @@ def similarity_suite(sf_dir: str) -> pd.DataFrame:
             "ann_cosine": ann_cosine(sf_dir),
             "ann_hnsw": ann_hnsw(sf_dir),
             "pq_search_topk": pq_search_topk(sf_dir),
+            "docs_bpe_subwords": docs_bpe_subwords(sf_dir),
             "embedding_dup_pairs_ann": embedding_dup_pairs_ann(sf_dir),
             "semdedup_prune": semdedup_prune(sf_dir),
             "lsa_semdedup": lsa_semdedup(sf_dir),

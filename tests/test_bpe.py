@@ -1,0 +1,148 @@
+"""BPE subword tokenizer (stages/bpe.py): trainer parity vs an independent
+naive oracle, blocking invariance of the distributed word counts, classic
+textbook example, encode round-trip, and empty/edge docs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(texts, blocks: int = 1):
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+def _naive_train(word_counts: dict, n_merges: int):
+    """Independent oracle: full pair recount every iteration (Sennrich et
+    al. 2016, the pseudocode form)."""
+    seqs = {w: tuple(list(w) + ["▁"]) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pc = {}
+        for w, seq in seqs.items():
+            c = word_counts[w]
+            for j in range(len(seq) - 1):
+                p = (seq[j], seq[j + 1])
+                pc[p] = pc.get(p, 0) + c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        out = {}
+        for w, seq in seqs.items():
+            ns, j = [], 0
+            while j < len(seq):
+                if j < len(seq) - 1 and (seq[j], seq[j + 1]) == best:
+                    ns.append(seq[j] + seq[j + 1])
+                    j += 2
+                else:
+                    ns.append(seq[j])
+                    j += 1
+            out[w] = tuple(ns)
+        seqs = out
+    return merges
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "widest widest widest",
+    "the newest gadget is the widest",
+]
+
+
+def test_trainer_matches_naive_oracle():
+    from imagededupx_ray.stages.bpe import bpe_train_from_counts
+
+    wc = {}
+    for t in CORPUS:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    words = sorted(wc)
+    counts = [wc[w] for w in words]
+    got = bpe_train_from_counts(words, counts, 30)
+    want = _naive_train(wc, 30)
+    assert got == want
+
+
+def test_train_blocking_invariance(ray_session):
+    from imagededupx_ray.stages.bpe import bpe_train
+
+    m1 = bpe_train(_docs_ds(CORPUS, blocks=1), n_merges=20)
+    m3 = bpe_train(_docs_ds(CORPUS, blocks=3), n_merges=20)
+    assert m1 == m3 and len(m1) == 20
+
+
+def test_textbook_first_merges(ray_session):
+    """'newest' dominates: the first merges build its subwords; 'est▁'
+    emerges as a suffix unit shared with 'widest'."""
+    from imagededupx_ray.stages.bpe import bpe_train
+
+    merges = bpe_train(_docs_ds(CORPUS), n_merges=12)
+    syms = {a + b for a, b in merges}
+    assert "est▁" in syms or ("est" in syms and "st▁" in syms)
+
+
+def test_encode_roundtrip_and_segmentation(ray_session):
+    from imagededupx_ray.functions.text import normalize_one
+    from imagededupx_ray.stages.bpe import bpe_encode, bpe_train
+
+    texts = CORPUS + ["", "  ", "Unsegmentable-QZX!7 tokens"]
+    ds = _docs_ds(texts, blocks=2)
+    merges = bpe_train(ds, n_merges=25)
+    out = (
+        bpe_encode(ds, merges, concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(texts)
+    for i, t in enumerate(texts):
+        toks = out.loc[i, "tokens"]
+        norm = normalize_one(t)
+        joined = "".join(toks).replace("▁", " ").rstrip()
+        assert joined == norm, (t, list(toks))
+        if norm:
+            assert out.loc[i, "n_tokens"] == len(toks) > 0
+            # every word ends at an end-of-word marker
+            assert "".join(toks).count("▁") == len(norm.split(" "))
+        else:
+            assert out.loc[i, "n_tokens"] == 0
+
+
+def test_encode_compresses_frequent_words(ray_session):
+    """Frequent whole words become single tokens: 'newest' encodes to one
+    symbol after enough merges, rare words stay multi-token."""
+    from imagededupx_ray.stages.bpe import bpe_encode, bpe_train
+
+    ds = _docs_ds(CORPUS)
+    merges = bpe_train(ds, n_merges=60)
+    enc = (
+        bpe_encode(_docs_ds(["newest", "gadget"]), merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert enc.loc[0, "n_tokens"] == 1  # newest▁ fully merged
+    assert enc.loc[1, "n_tokens"] >= 1
+
+
+def test_vocab_contents():
+    from imagededupx_ray.stages.bpe import bpe_train_from_counts, bpe_vocab
+    import pandas as pd
+
+    wc = pd.DataFrame({"word": ["ab", "abc"], "n": [3, 2]})
+    merges = bpe_train_from_counts(wc["word"].tolist(), wc["n"].to_numpy(), 5)
+    vocab = bpe_vocab(merges, wc)
+    assert "▁" in vocab and "a" in vocab and "b" in vocab
+    assert all(a + b in vocab for a, b in merges)
