@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -253,6 +254,21 @@ def main(argv: list[str] | None = None) -> int:
     ln.add_argument("--store", required=True, help="snapshot store root")
     ln.add_argument("--snapshot", help="snapshot name (default: latest complete)")
 
+    bp = sub.add_parser(
+        "bpe",
+        help="train a BPE subword vocab on a text parquet; optionally "
+        "encode it (stages/bpe.py)",
+    )
+    bp.add_argument("--input", required=True, help="parquet dir/file with doc_id+text")
+    bp.add_argument("--output", required=True, help="output dir (merges/, tokens/)")
+    bp.add_argument("--merges", type=int, default=1000, help="merge rules to learn")
+    bp.add_argument("--max-words", type=int, default=30000, help="trainer word cap")
+    bp.add_argument(
+        "--encode",
+        action="store_true",
+        help="also encode the input and write (doc_id, n_tokens, tokens)",
+    )
+
     g = sub.add_parser("synth", help="write a synthetic pages corpus")
     g.add_argument("--output", required=True)
     g.add_argument("--pages", type=int, default=10000)
@@ -441,6 +457,55 @@ def main(argv: list[str] | None = None) -> int:
         out = write_pages_corpus(args.output, n_pages=args.pages, seed=args.seed)
         print(json.dumps({"written": out, "n_pages": args.pages}))
         return 0
+
+    if args.cmd == "bpe":
+        _owns_ray = _ray_init()
+        import ray
+        import ray.data as rd
+
+        try:
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            from imagededupx_ray.stages.bpe import (
+                bpe_encode,
+                bpe_train_from_counts,
+                bpe_vocab,
+                bpe_word_counts,
+            )
+
+            docs = rd.read_parquet(args.input)
+            wc = bpe_word_counts(docs, max_words=args.max_words)
+            merges = bpe_train_from_counts(
+                wc["word"].tolist(), wc["n"].to_numpy(), args.merges
+            )
+            os.makedirs(args.output, exist_ok=True)
+            _pq.write_table(
+                _pa.table(
+                    {
+                        "rank": _pa.array(range(len(merges)), type=_pa.int32()),
+                        "left": _pa.array([a for a, _ in merges]),
+                        "right": _pa.array([b for _, b in merges]),
+                    }
+                ),
+                os.path.join(args.output, "merges.parquet"),
+            )
+            vocab = bpe_vocab(merges, wc)
+            report = {
+                "output": args.output,
+                "n_merges": len(merges),
+                "n_words_seen": int(len(wc)),
+                "vocab_size": len(vocab),
+            }
+            if args.encode:
+                enc = bpe_encode(docs, merges)
+                enc.write_parquet(os.path.join(args.output, "tokens"))
+                report["encoded"] = os.path.join(args.output, "tokens")
+            print(json.dumps(report))
+            return 0
+        finally:
+            if _owns_ray:
+                ray.shutdown()
 
     if args.cmd == "lineage":
         # manifests are plain JSON on disk — no Ray session needed

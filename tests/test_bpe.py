@@ -146,3 +146,42 @@ def test_vocab_contents():
     vocab = bpe_vocab(merges, wc)
     assert "▁" in vocab and "a" in vocab and "b" in vocab
     assert all(a + b in vocab for a, b in merges)
+
+
+def test_cli_bpe_verb(ray_session, tmp_path, capsys):
+    """bpe CLI: train on a documents parquet, write merges + tokens, and
+    the report's vocab accounting holds."""
+    import glob
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from imagededupx_ray.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(CORPUS)), type=pa.int64()),
+                "text": pa.array(CORPUS, type=pa.string()),
+            }
+        ),
+        src,
+    )
+    out = str(tmp_path / "bpe")
+    assert (
+        main(["bpe", "--input", src, "--output", out, "--merges", "40", "--encode"])
+        == 0
+    )
+    rep = json.loads(capsys.readouterr().out.splitlines()[-1])
+    # the tiny corpus exhausts its pair supply before 40 merges (every
+    # word fully merged) — the trainer stops early rather than padding
+    assert 0 < rep["n_merges"] <= 40
+    merges = pq.read_table(out + "/merges.parquet").to_pandas()
+    assert len(merges) == rep["n_merges"]
+    assert list(merges.columns) == ["rank", "left", "right"]
+    toks = pq.read_table(glob.glob(out + "/tokens/*.parquet"))
+    assert toks.num_rows == len(CORPUS)
+    base_chars = set("".join(CORPUS).replace(" ", "")) | {"▁"}
+    assert rep["vocab_size"] == rep["n_merges"] + len(base_chars)
