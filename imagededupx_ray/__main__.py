@@ -254,6 +254,23 @@ def main(argv: list[str] | None = None) -> int:
     ln.add_argument("--store", required=True, help="snapshot store root")
     ln.add_argument("--snapshot", help="snapshot name (default: latest complete)")
 
+    se = sub.add_parser(
+        "search",
+        help="ad-hoc text retrieval over a docs parquet: BM25 / TF-IDF "
+        "cosine / learned LSA / RRF ensemble",
+    )
+    se.add_argument("--input", required=True, help="parquet with doc_id+text")
+    se.add_argument(
+        "--query", action="append", required=True, help="query string (repeatable)"
+    )
+    se.add_argument(
+        "--engine",
+        choices=["bm25", "tfidf", "lsa", "ensemble"],
+        default="bm25",
+    )
+    se.add_argument("--k", type=int, default=10)
+    se.add_argument("--output", help="optionally also write results parquet")
+
     bp = sub.add_parser(
         "bpe",
         help="train a BPE subword vocab on a text parquet; optionally "
@@ -457,6 +474,75 @@ def main(argv: list[str] | None = None) -> int:
         out = write_pages_corpus(args.output, n_pages=args.pages, seed=args.seed)
         print(json.dumps({"written": out, "n_pages": args.pages}))
         return 0
+
+    if args.cmd == "search":
+        _owns_ray = _ray_init()
+        import ray
+        import ray.data as rd
+
+        try:
+            docs = (
+                rd.read_parquet(args.input)
+                .select_columns(["doc_id", "text"])
+                .materialize()
+            )
+            if args.engine == "bm25":
+                from imagededupx_ray.stages.bm25 import bm25_topk
+
+                res = bm25_topk(docs, args.query, k=args.k)
+            elif args.engine == "tfidf":
+                from imagededupx_ray.stages.tfidf import tfidf_topk
+
+                res = tfidf_topk(docs, args.query, k=args.k)
+            elif args.engine == "lsa":
+                from imagededupx_ray.stages.lsa import lsa_topk
+
+                res = lsa_topk(docs, args.query, k=args.k)
+            else:  # ensemble: RRF of BM25 + TF-IDF (reference
+                # EnsembleSimilarity, ensemble_similarity.py:27-170)
+                from imagededupx_ray.functions.fusion import reciprocal_rank_fusion
+                from imagededupx_ray.stages.bm25 import bm25_topk
+                from imagededupx_ray.stages.tfidf import tfidf_topk
+
+                res = reciprocal_rank_fusion(
+                    [
+                        bm25_topk(docs, args.query, k=3 * args.k),
+                        tfidf_topk(docs, args.query, k=3 * args.k),
+                    ],
+                    k=args.k,
+                )
+            if args.output:
+                import pyarrow as _pa
+                import pyarrow.parquet as _pq
+
+                os.makedirs(args.output, exist_ok=True)
+                _pq.write_table(
+                    _pa.Table.from_pandas(res, preserve_index=False),
+                    os.path.join(args.output, "results.parquet"),
+                )
+            out = {
+                "engine": args.engine,
+                "k": args.k,
+                "results": [
+                    {
+                        "query": args.query[int(qi)],
+                        "hits": [
+                            {
+                                "doc_id": int(r.doc_id),
+                                "score": float(r.score),
+                                "rank": int(r.rank),
+                            }
+                            for r in g.itertuples()
+                        ],
+                    }
+                    for qi, g in res.groupby("query_id", sort=True)
+                ],
+            }
+            print(json.dumps(out))
+            return 0
+        finally:
+            if _owns_ray:
+                ray.shutdown()
 
     if args.cmd == "bpe":
         _owns_ray = _ray_init()

@@ -69,3 +69,47 @@ def test_cli_new_verbs(ray_session, tmp_path, capsys):
     crep = json.loads(capsys.readouterr().out.splitlines()[-1])["cross"]
     assert crep["n_a"] == 200 and crep["n_b"] == 80
     assert _rows(str(tmp_path / "cleanA" / "*.parquet")) == crep["n_a_clean"]
+
+
+def test_cli_search_verb(ray_session, tmp_path, capsys):
+    """search CLI: all four engines return k ranked hits per query with
+    the hit lists ordered by rank and scores descending."""
+    import pyarrow as pa
+
+    from imagededupx_ray.__main__ import main
+
+    texts = [
+        "fast table scan with vectorized filters",
+        "window aggregate over event streams",
+        "hash join build and probe phases",
+        "fast scan of a columnar table",
+        "broadcast the small dimension table",
+    ] * 4
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        ),
+        src,
+    )
+    for engine in ["bm25", "tfidf", "lsa", "ensemble"]:
+        assert (
+            main(
+                [
+                    "search", "--input", src, "--query", "fast table scan",
+                    "--query", "hash join", "--engine", engine, "--k", "3",
+                ]
+            )
+            == 0
+        )
+        rep = json.loads(capsys.readouterr().out.splitlines()[-1])
+        assert rep["engine"] == engine and len(rep["results"]) == 2
+        for r in rep["results"]:
+            assert len(r["hits"]) == 3
+            ranks = [h["rank"] for h in r["hits"]]
+            scores = [h["score"] for h in r["hits"]]
+            assert ranks == [1, 2, 3]
+            assert scores == sorted(scores, reverse=True)
