@@ -185,3 +185,51 @@ def test_cli_bpe_verb(ray_session, tmp_path, capsys):
     assert toks.num_rows == len(CORPUS)
     base_chars = set("".join(CORPUS).replace(" ", "")) | {"▁"}
     assert rep["vocab_size"] == rep["n_merges"] + len(base_chars)
+
+
+# ---- property gates (driver-side kernels, no Ray session) ----------------
+from hypothesis import given, settings, strategies as st
+
+# unicode-heavy word alphabet; excludes whitespace (the tokenizer's split
+# key) and the end-of-word marker U+2581 (the documented input contract)
+_WORD = st.text(
+    alphabet=st.sampled_from(list("abcdeéü汉字🎉x7-&.") ),
+    min_size=1,
+    max_size=12,
+)
+_CORPUS = st.lists(
+    st.tuples(_WORD, st.integers(min_value=1, max_value=50)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_CORPUS)
+def test_property_trainer_matches_naive(pairs):
+    from imagededupx_ray.stages.bpe import bpe_train_from_counts
+
+    wc = {}
+    for w, c in pairs:
+        wc[w] = wc.get(w, 0) + c
+    words = sorted(wc)
+    got = bpe_train_from_counts(words, [wc[w] for w in words], 15)
+    assert got == _naive_train(wc, 15)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_CORPUS, st.integers(min_value=0, max_value=40))
+def test_property_encode_roundtrip(pairs, n_merges):
+    """Every word re-assembles exactly from its subwords regardless of how
+    many merges were learned — BPE is lossless by construction."""
+    from imagededupx_ray.stages.bpe import _encode_word, bpe_train_from_counts
+
+    wc = {}
+    for w, c in pairs:
+        wc[w] = wc.get(w, 0) + c
+    words = sorted(wc)
+    merges = bpe_train_from_counts(words, [wc[w] for w in words], n_merges)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for w in words:
+        toks = _encode_word(w, ranks)
+        assert "".join(toks) == w + "▁", (w, toks)
